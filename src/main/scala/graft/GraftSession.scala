@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory with the settings this engine assumes.
+  *
+  * Tuned for the driver harness (single-JVM `local[N]`) but every knob is
+  * cluster-sane: AQE on (runtime shuffle-partition coalescing + skew-join
+  * splitting), shuffle partitions sized to cores rather than the 200
+  * default, UTC session time zone for oracle parity.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // the driver's testdata parquet uses TIMESTAMP(NANOS), which Spark only
+      // reads as a long; Tables/queries convert explicitly where needed
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Accessors for the driver-provided TPC-H-ish test tables
+  * (see TESTDATA.md). At cluster scale these would be catalog tables;
+  * here they are bare parquet directories keyed by scale-factor dir.
+  */
+object Tables {
+
+  /** Epoch-nanos for a UTC date literal — the testdata timestamps surface as
+    * nanos longs (see nanosAsLong above), so date predicates compare raw
+    * longs and stay pushdown-eligible at the parquet scan.
+    */
+  def nanos(isoDate: String): Long =
+    java.time.LocalDate.parse(isoDate).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+
+  /** Nanos-long column → TimestampType (micros). */
+  def tsFromNanos(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events with `ts` as epoch-micros long. The raw parquet column is
+    * TIMESTAMP(NANOS) (surfacing as a nanos long under nanosAsLong); we
+    * truncate to micros — the precision every downstream engine (and the
+    * DuckDB oracle) actually sees — once, at the source.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events").withColumn("ts", expr("ts div 1000"))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,530 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory from SURVEY.md §2, re-expressed over the
+  * driver's TPC-H-ish tables (frames ↔ fact table, bboxes ↔ child rows).
+  * Each query keeps the *shape* of the reference operator it validates
+  * (citations in each doc string) while staying fully Catalyst-optimizable:
+  * filters and projections push to the parquet scan, small dimensions are
+  * broadcast, aggregations are partial (map-side combine), and every window
+  * is partitioned by a high-cardinality key so no stage is single-threaded
+  * at 100 TB.
+  */
+object RelationalQueries extends QueryModule {
+
+  /** Exact, order-independent aggregation of 2-decimal doubles. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  override val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- scans
+    QueryDef(
+      "q1_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("sum_disc_price"),
+            count(lit(1)).as("count_order")
+          )
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "Flagship pricing-summary agg (TPC-H Q1 shape; SURVEY A1/A3 hash-agg spine)."
+    ),
+    QueryDef(
+      "s1_scan_prune",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") && col("l_quantity") < 5)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity < 5""".stripMargin),
+      "Scan with predicate pushdown + column pruning (SURVEY S1; data_loader.py:18-53)."
+    ),
+    // -------------------------------------------------------------- filters
+    QueryDef(
+      "f2_range_filter",
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("value").between(0.5, 5.0) && col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("value")),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE value BETWEEN 0.5 AND 5.0 AND event_type = 'click'""".stripMargin),
+      "Distance-range predicate shape (SURVEY F2; obj_obj_distance_qa.py:63-65)."
+    ),
+    QueryDef(
+      "f4_having",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("spend"))
+          .filter(col("n_orders") >= 15),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin),
+      "Count-threshold HAVING (SURVEY F4; object_count_qa.py:57-63)."
+    ),
+    QueryDef(
+      "f12_sample_mod",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 10 === 0)
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty")),
+      Some("""SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin),
+      "Deterministic every-Nth sampling (SURVEY F12; objectron_processor.py:126-128)."
+    ),
+    QueryDef(
+      "f14_prefix_regex",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_type").startsWith("STANDARD"))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"),
+            split(col("p_type"), " ").getItem(0).as("type_head")
+          ),
+      Some("""SELECT p_partkey, regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num,
+             |  string_split(p_type, ' ')[1] AS type_head
+             |FROM part WHERE p_type LIKE 'STANDARD%'""".stripMargin),
+      "Prefix predicate + regex/split extraction (SURVEY F14/M1; class_mapping.py:87-103)."
+    ),
+    // ---------------------------------------------------------------- joins
+    QueryDef(
+      "j1_broadcast_dim",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("bal"))
+      },
+      Some("""SELECT r_name, count(*) AS n_cust,
+             |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin),
+      "Broadcast dim-join chain (SURVEY J1/J3; matterport_processor.py:190-211)."
+    ),
+    QueryDef(
+      "j4_fact_chain",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val n = Tables.nation(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin),
+      "Fact-to-fact equi-join chain with broadcast dim (SURVEY J4; coco_processor.py:281-335)."
+    ),
+    QueryDef(
+      "j5_semi_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             |GROUP BY c_mktsegment""".stripMargin),
+      "Left-semi set membership (SURVEY J5/U4; hypersim_processor.py:276-278)."
+    ),
+    QueryDef(
+      "j_anti_join",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val li = Tables.lineitem(s, d)
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("never_ordered"))
+      },
+      Some("""SELECT p_brand, count(*) AS never_ordered FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |GROUP BY p_brand""".stripMargin),
+      "Anti-join: unlabeled = bboxes ∉ codebook (SURVEY §2.4 'absent' analog, U5)."
+    ),
+    QueryDef(
+      "j7_left_coalesce",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val liAgg = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice"))).as("item_total"))
+        o.join(liAgg, o("o_orderkey") === liAgg("l_orderkey"), "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(coalesce(col("item_total"), lit(0).cast("decimal(18,2)"))).as("total"),
+            sum(when(col("item_total").isNull, 1).otherwise(0)).as("empty_orders")
+          )
+      },
+      Some("""SELECT o_orderpriority,
+             |  sum(COALESCE(item_total, CAST(0 AS DECIMAL(18,2)))) AS total,
+             |  CAST(sum(CASE WHEN item_total IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS empty_orders
+             |FROM orders LEFT JOIN (
+             |  SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS item_total
+             |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      "Left join + coalesce default (SURVEY J1 left variant, J7; create_labeled_dataset.py:105-141)."
+    ),
+    QueryDef(
+      "j8_selfjoin_pairs",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        val a = li.alias("a")
+        val b = li.alias("b")
+        a.join(b, col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_linenumber") < col("b.l_linenumber"))
+          .select(abs(dec(col("a.l_extendedprice")) - dec(col("b.l_extendedprice"))).as("price_gap"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("price_gap")).as("gap_sum"),
+               min(col("price_gap")).as("gap_min"), max(col("price_gap")).as("gap_max"))
+      },
+      Some("""SELECT count(*) AS n_pairs,
+             |  sum(gap) AS gap_sum, min(gap) AS gap_min, max(gap) AS gap_max
+             |FROM (SELECT abs(CAST(a.l_extendedprice AS DECIMAL(18,2)) - CAST(b.l_extendedprice AS DECIMAL(18,2))) AS gap
+             |  FROM lineitem a JOIN lineitem b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber)""".stripMargin),
+      "Per-group i<j pair self-join (SURVEY J8; obj_obj_distance_qa.py:36-47). Equi key + theta residual; partition-local after the shuffle on l_orderkey."
+    ),
+    QueryDef(
+      "j6_argmax_per_group",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        c.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_name"), col("c_acctbal"))
+      },
+      Some("""SELECT n_name, c_name, c_acctbal FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rk FROM customer) c
+             |JOIN nation ON c_nationkey = n_nationkey WHERE rk = 1""".stripMargin),
+      "Argmax-per-group join (SURVEY J6/A4; taskonomy_processor.py:307-329)."
+    ),
+    QueryDef(
+      "j10_representatives",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min_by(col("event_type"), col("ts")).as("first_event"), min(col("ts")).as("first_ts_us")),
+      Some("""SELECT user_id, arg_min(event_type, ts) AS first_event, epoch_us(min(ts)) AS first_ts_us
+             |FROM events GROUP BY user_id""".stripMargin),
+      "First-location-per-instance representatives dedup (SURVEY J10; build_label_codebook_fast.py:382-386). ts is unique per row so min_by is total-ordered."
+    ),
+    // ----------------------------------------------------------- aggregates
+    QueryDef(
+      "a2_global_stats",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_quantity")).as("q_min"),
+          max(col("l_quantity")).as("q_max"),
+          sum(dec(col("l_quantity"))).as("q_sum")
+        ),
+      Some("""SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
+             |  min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_sum FROM lineitem""".stripMargin),
+      "Corpus-level counts (SURVEY A2/A6; data_loader.py:109-129)."
+    ),
+    QueryDef(
+      "a5_stats_profile",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("value")).as("v_min"),
+            max(col("value")).as("v_max"),
+            round(sum(dec(col("value"))).cast("double") / count(lit(1)), 6).as("v_mean"),
+            median(col("value")).as("v_median")
+          ),
+      Some("""SELECT event_type, count(*) AS n, min(value) AS v_min, max(value) AS v_max,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS v_mean,
+             |  median(value) AS v_median
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Depth-stats profile: count/min/max/mean/median (SURVEY A5; utils.py:93-127). Mean = exact decimal sum ÷ count as one IEEE divide; median interpolates two exact 2-decimal doubles — identical on both engines."
+    ),
+    QueryDef(
+      "a15_conditional_rates",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("value") > 10, 1).otherwise(0)).as("n_big"),
+            count(lit(1)).as("n"),
+            round(sum(when(col("value") > 10, 1).otherwise(0)).cast("double") / count(lit(1)), 6).as("big_rate")
+          ),
+      Some("""SELECT event_type,
+             |  CAST(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_big, count(*) AS n,
+             |  round(CAST(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS big_rate
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Conditional success-rate tallies (SURVEY A15; build_enhanced_codebook.py:437-497)."
+    ),
+    QueryDef(
+      "a12_collect_sorted",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 100)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("l_partkey")))).as("parts"),
+            count(lit(1)).as("n")
+          ),
+      Some("""SELECT l_orderkey, string_agg(l_partkey, ',' ORDER BY l_partkey) AS parts,
+             |  count(*) AS n
+             |FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey""".stripMargin),
+      "Instance-location cache: key → sorted member list (SURVEY A12; build_enhanced_codebook.py:33-86). Sorted + string-joined for a stable cross-engine encoding."
+    ),
+    // -------------------------------------------------- windows / top-k
+    QueryDef(
+      "w1_rank_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+             |WHERE rk <= 3""".stripMargin),
+      "Per-partition rank / top-k (SURVEY W1; cam_obj_rel_dist_qa.py:53-59)."
+    ),
+    QueryDef(
+      "w4_first_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts ASC, event_id ASC) AS rk FROM events)
+             |WHERE rk = 1""".stripMargin),
+      "Order-pinned first-per-group dedup (SURVEY W4; object_3d_size_qa.py:31-42)."
+    ),
+    QueryDef(
+      "w6_id_assignment",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderpriority"), col("o_orderkey"))
+          .withColumn("qa_id", format_string("%s_%06d", regexp_replace(lower(col("o_orderpriority")), "[^a-z0-9]+", "_"), row_number().over(w)))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  printf('%s_%06d', regexp_replace(lower(o_orderpriority), '[^a-z0-9]+', '_', 'g'),
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC)) AS qa_id
+             |FROM orders WHERE o_totalprice > 400000""".stripMargin),
+      "Contiguous formatted id assignment per group (SURVEY W6; qa_base.py:54-65)."
+    ),
+    QueryDef(
+      "w_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            sum(dec(col("value"))).over(w).as("running_value"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             |    ORDER BY ts ASC, event_id ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             |FROM events""".stripMargin),
+      "Running aggregate (beyond-reference extension; decimal keeps prefix sums exact)."
+    ),
+    // ------------------------------------------------------------- set ops
+    QueryDef(
+      "u1_union_tagged",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click").select(col("user_id"), lit("c").as("tag"))
+        val views = e.filter(col("event_type") === "view").select(col("user_id"), lit("v").as("tag"))
+        clicks.unionByName(views).groupBy(col("tag")).agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT tag, count(*) AS n, count(DISTINCT user_id) AS n_users FROM (
+             |  SELECT user_id, 'c' AS tag FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, 'v' AS tag FROM events WHERE event_type = 'view') GROUP BY tag""".stripMargin),
+      "Tagged unionByName (SURVEY U1; generate_qa.py:99-144)."
+    ),
+    QueryDef(
+      "u3_distinct_pairs",
+      (s, d) =>
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+      "Distinct projection (SURVEY U3; taskonomy_processor.py:327-329)."
+    ),
+    QueryDef(
+      "u5_intersect_except",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clickers = e.filter(col("event_type") === "click").select(col("user_id"))
+        val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+        val both = clickers.intersect(buyers).withColumn("kind", lit("click_and_buy"))
+        val only = clickers.except(buyers).withColumn("kind", lit("click_no_buy"))
+        both.unionByName(only).groupBy(col("kind")).agg(count(lit(1)).as("n_users"))
+      },
+      Some("""SELECT kind, count(*) AS n_users FROM (
+             |  SELECT user_id, 'click_and_buy' AS kind FROM (
+             |    SELECT user_id FROM events WHERE event_type = 'click'
+             |    INTERSECT
+             |    SELECT user_id FROM events WHERE event_type = 'purchase')
+             |  UNION ALL
+             |  SELECT user_id, 'click_no_buy' AS kind FROM (
+             |    SELECT user_id FROM events WHERE event_type = 'click'
+             |    EXCEPT
+             |    SELECT user_id FROM events WHERE event_type = 'purchase')) GROUP BY kind""".stripMargin),
+      "INTERSECT / EXCEPT as semi/anti duals (SURVEY U4/U5; create_labeled_dataset.py:81)."
+    ),
+    // ------------------------------------------------------ scalar functions
+    QueryDef(
+      "m1_string_ops",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(split(col("p_name"), " ").getItem(0)).as("head"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            substring(col("p_type"), 1, 3).as("type3")
+          ),
+      Some("""SELECT p_partkey, upper(string_split(p_name, ' ')[1]) AS head,
+             |  length(p_name) AS name_len,
+             |  concat_ws('|', p_brand, p_type) AS brand_type,
+             |  substring(p_type, 1, 3) AS type3
+             |FROM part""".stripMargin),
+      "String toolkit: split/upper/length/concat/substring (SURVEY M1)."
+    ),
+    QueryDef(
+      "m2_round_units",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 500)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity") * 100, 1).as("qty_cm"),
+            round(col("l_extendedprice") / 1000, 3).as("price_k"),
+            col("l_quantity").cast("int").as("qty_int")
+          ),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_quantity * 100, 1) AS qty_cm,
+             |  round(l_extendedprice / 1000, 3) AS price_k,
+             |  CAST(l_quantity AS INTEGER) AS qty_int
+             |FROM lineitem WHERE l_orderkey <= 500""".stripMargin),
+      "Unit conversions + rounding (SURVEY M2; object_3d_size_qa.py:58-59)."
+    ),
+    QueryDef(
+      "m4_date_buckets",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |FROM orders GROUP BY 1""".stripMargin),
+      "Calendar bucketing (SURVEY M4; qa_base.py:145). String-keyed for cross-engine stability."
+    ),
+    QueryDef(
+      "m3_seeded_random",
+      (s, d) => {
+        // Deterministic "random" distractor: uniform in [0,1) from the md5 of
+        // the row key — reproducible across engines and runs, unlike the
+        // reference's unseeded random (SURVEY M3; qa_base.py:68-109).
+        val u = conv(substring(md5(concat(lit("seed1:"), col("o_orderkey"))), 1, 15), 16, 10)
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 1000)
+          .select(
+            col("o_orderkey"),
+            round(u, 6).as("u"),
+            round(dec(col("o_totalprice")).cast("double") * (lit(0.8) + lit(0.4) * u), 2).as("distractor_price")
+          )
+      },
+      Some("""SELECT o_orderkey, round(u, 6) AS u,
+             |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * (0.8 + 0.4 * u), 2) AS distractor_price
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |  CAST(CAST(concat('0x', substring(md5(concat('seed1:', o_orderkey)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+             |  FROM orders WHERE o_orderkey <= 1000)""".stripMargin),
+      "Seeded distractor randomness via md5 → uniform (SURVEY M3): cross-engine-identical."
+    ),
+    QueryDef(
+      "e_sessionize",
+      (s, d) => {
+        // Gap-based sessionization: new session when >30 min since previous
+        // event of the same user. Batch analog of stateful streaming
+        // sessionization; scales as one shuffle on user_id.
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_n", sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_n"))
+          .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("session_value"))
+      },
+      Some("""SELECT user_id, session_n, count(*) AS n_events,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |FROM (
+             |  SELECT user_id, value,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+             |  FROM (
+             |    SELECT *, CASE WHEN prev_ts IS NULL
+             |        OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+             |      FROM events)))
+             |GROUP BY user_id, session_n""".stripMargin),
+      "Gap sessionization via lag + running flag-sum (streaming-adjacent batch op)."
+    ),
+    QueryDef(
+      "e_tumbling_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy((expr("ts div 3600000000") * 3600).as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v")),
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type,
+             |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "Tumbling event-time window aggregation (batch form of the streaming path)."
+    )
+  )
+}

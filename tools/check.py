@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's DuckDB oracle compare.
+
+Dev-only tooling (duckdb/pandas are driver-side packages, not library deps).
+
+Usage: python3 tools/check.py [sf_dir] [out_dir]
+  1. expects `sbt "runMain graft.Verify <sf_dir> <out_dir>"` to have run
+  2. for each query: runs oracle SQL in DuckDB over the same parquet tables,
+     loads the Spark parquet result, sorts columns by name + rows, compares.
+"""
+import json, sys, glob, os
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+fails, passes = [], []
+for name, sql in sorted(oracles.items()):
+    res_dir = f"{OUT}/{name}"
+    if not glob.glob(f"{res_dir}/*.parquet"):
+        fails.append((name, "no spark output")); continue
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}")); continue
+    try:
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+    except Exception as e:
+        fails.append((name, f"spark result read error: {e}")); continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        fails.append((name, f"schema mismatch: oracle={list(exp.columns)} spark={list(got.columns)}")); continue
+    if len(exp) != len(got):
+        fails.append((name, f"row count: oracle={len(exp)} spark={len(got)}")); continue
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    exp = exp.astype(str); got = got.astype(str)
+    diff = (exp != got)
+    if diff.any().any():
+        idx = diff.any(axis=1)
+        bad = idx[idx].index[:3]
+        msgs = [f"row {i}: oracle={exp.loc[i].to_dict()} spark={got.loc[i].to_dict()}" for i in bad]
+        fails.append((name, f"{int(idx.sum())} mismatched rows; " + " | ".join(msgs)))
+    else:
+        passes.append((name, len(exp)))
+
+for n, r in passes:
+    print(f"PASS {n} ({r} rows)")
+for n, m in fails:
+    print(f"FAIL {n}: {m[:500]}")
+print(f"\n{len(passes)} passed, {len(fails)} failed")
+sys.exit(1 if fails else 0)
