@@ -12,7 +12,10 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    TextQueries,
+    DedupQueries,
+    EmbeddingQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

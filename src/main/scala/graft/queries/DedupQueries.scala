@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators over the `documents` table — the core of any
+  * 100 TB training-data pipeline. Four families, mirroring production
+  * dedup stacks (exact hash, MinHash+LSH banding, SimHash hamming,
+  * verified n-gram Jaccard):
+  *
+  * Scale design: every candidate-generation step is a *bucketed* shuffle
+  * join (band hash / simhash chunk), never an O(n²) cross join — the
+  * quadratic work only happens inside buckets, which stay small because the
+  * band keys are 60-bit hashes. The DuckDB oracles replay the identical
+  * math but may use the naive pair join (the oracle only runs at sf0.01);
+  * candidate-set semantics (band-collision conditions) are kept identical
+  * so results match exactly.
+  *
+  * All hashes derive from md5 (cross-engine bit-identical); see
+  * [[PipelineFns]].
+  */
+object DedupQueries extends QueryModule {
+  import PipelineFns._
+
+  private val NumMinhash = 8 // 8 minhashes → 4 bands × 2 rows
+  private val NumBands = 4
+  private val JaccardThreshold = 0.5
+  private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
+  private val HammingMax = 3
+
+  /** doc_id + distinct 3-gram shingle set. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("sh")
+    )
+
+  private val shingleSetSql =
+    s"SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
+
+  /** Minhash signature columns mh0..mh7 from a shingle-set column. */
+  private def minhashCols(sh: Column): Seq[Column] =
+    (0 until NumMinhash).map { j =>
+      array_min(transform(sh, x => h60(concat(lit(s"$j:"), x)))).as(s"mh$j")
+    }
+
+  private def minhashColsSql: String =
+    (0 until NumMinhash).map { j =>
+      s"list_min(list_transform(sh, x -> ${h60Sql(s"concat('$j:', x)")})) AS mh$j"
+    }.mkString(", ")
+
+  /** LSH band keys: md5 over pairs of adjacent minhashes. */
+  private def bandCols: Seq[Column] =
+    (0 until NumBands).map { b =>
+      md5(concat_ws("_", col(s"mh${2 * b}").cast("string"), col(s"mh${2 * b + 1}").cast("string"))).as(s"band$b")
+    }
+
+  private def bandColsSql: String =
+    (0 until NumBands).map { b =>
+      s"md5(concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))) AS band$b"
+    }.mkString(", ")
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
+
+  private val jaccardSql =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+
+  /** 56-bit simhash over distinct tokens: per-bit majority vote over token
+    * hashes. Unrolled Scala-side (bit index must be a literal for
+    * shiftright); 56 in-row folds, all inside whole-stage codegen.
+    */
+  private def simhash(toks: Column): Column = {
+    val hs = transform(array_distinct(toks), t => h60(t))
+    (0 until SimhashBits).map { b =>
+      when(
+        aggregate(hs, lit(0), (acc, x) => acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L << b)
+      ).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private val simhashSql =
+    s"""CAST(list_sum(list_transform(range(0, $SimhashBits), b ->
+       |  CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "d1_exact_dedup",
+      (s, d) => {
+        // keep = min doc_id per content hash; scales as one hash-partitioned
+        // window (equivalently groupBy+join-back) on a 128-bit key.
+        val w = Window.partitionBy(col("content_hash"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("content_hash"))
+          .withColumn("keep_id", min(col("doc_id")).over(w))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+      },
+      Some(s"""SELECT doc_id, content_hash,
+             |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+             |  count(*) OVER (PARTITION BY content_hash) AS group_size,
+             |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS INTEGER) AS is_dup
+             |FROM (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS content_hash FROM documents)""".stripMargin),
+      "Exact dedup on normalized content hash: representative (min doc_id) per group + dup flag."
+    ),
+    QueryDef(
+      "d2_minhash_signatures",
+      (s, d) =>
+        shingleSets(s, d)
+          .select(col("doc_id") +: minhashCols(col("sh")): _*)
+          .select(col("doc_id") +: (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*),
+      Some(s"""SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, $bandColsSql
+             |FROM (SELECT doc_id, $minhashColsSql FROM ($shingleSetSql))""".stripMargin),
+      "MinHash signatures (8 seeded min-hashes over 3-gram shingles) + 4 LSH band keys per document."
+    ),
+    QueryDef(
+      "d3_lsh_near_dup_pairs",
+      (s, d) => {
+        val sets = shingleSets(s, d).cache()
+        val sigs = sets.select(col("doc_id") +: minhashCols(col("sh")): _*)
+          .select(col("doc_id") +: bandCols: _*)
+        // bucketed candidate generation: explode band keys, equi-join per
+        // (band index, band hash) bucket — the scale path; no cross join.
+        val bands = sigs.select(
+          col("doc_id"),
+          posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+        )
+        val cands = bands.as("x")
+          .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cands
+          .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+          .select(col("doc_a"), col("doc_b"), round(jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+          .filter(col("jaccard") >= JaccardThreshold)
+      },
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jaccardSql, 6) AS jaccard
+             |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+             |  AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
+             |WHERE round($jaccardSql, 6) >= $JaccardThreshold""".stripMargin),
+      "MinHash-LSH near-dup pairs: band-bucket join for candidates, exact Jaccard >= 0.5 verification."
+    ),
+    QueryDef(
+      "d4_simhash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), simhash(col("toks")).as("simhash")),
+      Some(s"""SELECT doc_id, $simhashSql AS simhash
+             |FROM (SELECT doc_id, list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
+             |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))""".stripMargin),
+      "SimHash: 56-bit locality-sensitive signature per document (majority vote over token-hash bits)."
+    ),
+    QueryDef(
+      "d5_simhash_near_dup_pairs",
+      (s, d) => {
+        val sims = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), simhash(col("toks")).as("simhash"))
+          .cache()
+        // hamming <= 3 over 56 bits ⇒ at least one of the 4 14-bit chunks is
+        // identical (pigeonhole) — chunk equality is the bucketed join key.
+        val chunks = sims.select(
+          col("doc_id"),
+          col("simhash"),
+          posexplode(array((0 until 4).map(c => shiftright(col("simhash"), 14 * c).bitwiseAND(16383)): _*)).as(Seq("chunk_idx", "chunk"))
+        )
+        chunks.as("x")
+          .join(
+            chunks.as("y"),
+            col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id")
+          )
+          .select(
+            col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
+          )
+          .distinct()
+          .filter(col("hamming") <= HammingMax)
+      },
+      Some(s"""WITH sims AS (
+             |  SELECT doc_id, $simhashSql AS simhash
+             |  FROM (SELECT doc_id, list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
+             |    FROM (SELECT doc_id, $tokensSql AS toks FROM documents)))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin),
+      "SimHash near-dup pairs: 14-bit chunk buckets (pigeonhole-complete for hamming<=3) + hamming verify."
+    ),
+    QueryDef(
+      "d6_jaccard_verified_groups",
+      (s, d) => {
+        // end-to-end dedup decision: LSH candidates → Jaccard >= 0.5 →
+        // connected representative = min doc_id over each doc's neighbors
+        // (single-link 1-hop approximation, deterministic).
+        val sets = shingleSets(s, d).cache()
+        val sigs = sets.select(col("doc_id") +: minhashCols(col("sh")): _*)
+          .select(col("doc_id") +: bandCols: _*)
+        val bands = sigs.select(
+          col("doc_id"),
+          posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+        )
+        val cands = bands.as("x")
+          .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") =!= col("y.doc_id"))
+          .select(col("x.doc_id").as("did"), col("y.doc_id").as("nbr"))
+          .distinct()
+        val verified = cands
+          .join(sets.as("a"), col("did") === col("a.doc_id"))
+          .join(sets.as("b"), col("nbr") === col("b.doc_id"))
+          .filter(round(jaccard(col("a.sh"), col("b.sh")), 6) >= JaccardThreshold)
+          .select(col("did"), col("nbr"))
+        verified
+          .groupBy(col("did"))
+          .agg(least(min(col("nbr")), col("did").cast("long")).as("rep_id"), count(lit(1)).as("n_neighbors"))
+          .select(col("did").as("doc_id"), col("rep_id"), col("n_neighbors"))
+      },
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
+             |verified AS (
+             |  SELECT sa.doc_id AS doc_id, sb.doc_id AS nbr
+             |  FROM sigs sa JOIN sigs sb ON sa.doc_id <> sb.doc_id
+             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
+             |  WHERE round($jaccardSql, 6) >= $JaccardThreshold)
+             |SELECT doc_id, least(min(nbr), CAST(doc_id AS BIGINT)) AS rep_id, count(*) AS n_neighbors
+             |FROM verified GROUP BY doc_id""".stripMargin),
+      "Near-dup group representatives: verified-neighbor min-id (deterministic 1-hop single-link)."
+    )
+  )
+}

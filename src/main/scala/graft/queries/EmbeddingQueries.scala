@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search operators over the `embeddings` table
+  * (`vec_id: long, embedding: array<float>, label: int`, dim=64).
+  *
+  * Determinism design: float arithmetic is summation-order-dependent, so a
+  * naive dot product can differ between engines (and between cluster
+  * topologies). We therefore *quantize* each vector to integers
+  * (`round(x*1000)` — the same trick product ANN stacks use for PQ/int8
+  * storage) and do all dot products / norms in exact 64-bit integer
+  * arithmetic; only the final cosine does (identical, single) IEEE double
+  * ops. Results are bit-identical across Spark, DuckDB, and any partition
+  * count — which also makes distributed top-k stable without tie luck.
+  *
+  * Scale design: brute-force kNN broadcasts the (tiny) query set so the big
+  * side streams map-only; the ANN path buckets by deterministic hyperplane
+  * LSH so candidate joins shuffle on bucket ids instead of crossing.
+  */
+object EmbeddingQueries extends QueryModule {
+  import PipelineFns._
+
+  private val Dim = 64
+  private val NumPlanes = 6 // 64 LSH buckets
+  private val CosineThreshold = 0.4
+
+  /** Quantized int vector: round(double(x) * 1000). */
+  private def qvec(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def idotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> ($a)[i] * ($b)[i]))"
+
+  private def inorm2(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  private def inorm2Sql(a: String): String =
+    s"list_sum(list_transform($a, x -> x * x))"
+
+  /** Cosine from exact integer parts; the only float ops are two sqrts, one
+    * multiply, one divide — identical on both engines.
+    */
+  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  private def cosineSql(dot: String, n2a: String, n2b: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
+
+  /** Deterministic integer hyperplane component for plane p, 1-based dim i:
+    * h60("plane<p>:<i>") % 2001 - 1000 ∈ [-1000, 1000].
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    h60(concat(lit(s"plane$p:"), i.cast("string"))) % 2001 - 1000
+
+  private def planeComponentSql(p: Int, i: String): String =
+    s"${h60Sql(s"concat('plane$p:', CAST($i AS VARCHAR))")} % 2001 - 1000"
+
+  /** 6-bit LSH bucket id: sign bits of integer dots with 6 pseudo-random
+    * integer hyperplanes (all derived from md5 — no stored model state).
+    */
+  private def lshBucket(q: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(
+        aggregate(
+          zip_with(q, transform(sequence(lit(1), lit(Dim)), i => planeComponent(p, i)), (x, y) => x * y),
+          lit(0L),
+          (acc, x) => acc + x
+        ) > 0,
+        lit(1 << p)
+      ).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private val lshBucketSql =
+    (0 until NumPlanes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(1, $Dim + 1), i -> q[i] * (${planeComponentSql(p, "i")}))) > 0
+         | THEN ${1 << p} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+
+  private val quantizedSql =
+    s"SELECT vec_id, label, $qvecSql AS q FROM embeddings"
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "v1_knn_bruteforce",
+      (s, d) => {
+        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+        // broadcast the tiny query set: the corpus side is a map-only scan
+        // (no shuffle of the big table) — the 100 TB-safe brute-force shape.
+        base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(idot(col("q"), col("qq")), col("n2"), col("qn2")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql))
+             |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cos FROM (
+             |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    ${cosineSql(idotSql("b.q", "q.q"), "b.n2", "q.n2")} AS cos,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ${cosineSql(idotSql("b.q", "q.q"), "b.n2", "q.n2")} DESC, b.vec_id ASC) AS rk
+             |  FROM base q JOIN base b ON b.vec_id <> q.vec_id WHERE q.vec_id < 10)
+             |WHERE rk <= 5""".stripMargin),
+      "Brute-force cosine top-5 kNN for a broadcast query set (baseline ANN; exact int arithmetic)."
+    ),
+    QueryDef(
+      "v2_lsh_buckets",
+      (s, d) =>
+        quantized(s, d)
+          .withColumn("bucket", lshBucket(col("q")))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_vectors"), countDistinct(col("label")).as("n_labels")),
+      Some(s"""SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+             |FROM (SELECT label, $lshBucketSql AS bucket FROM ($quantizedSql))
+             |GROUP BY bucket""".stripMargin),
+      "Hyperplane-LSH bucket assignment (6 md5-derived integer hyperplanes → 64 buckets) + occupancy stats."
+    ),
+    QueryDef(
+      "v3_lsh_ann",
+      (s, d) => {
+        val base = quantized(s, d)
+          .withColumn("n2", inorm2(col("q")))
+          .withColumn("bucket", lshBucket(col("q")))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"), col("bucket").as("qbucket"))
+        // candidates restricted to the query's bucket: join shuffles on
+        // bucket id, quadratic work stays inside buckets.
+        base.join(broadcast(queries), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(idot(col("q"), col("qq")), col("n2"), col("qn2")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT vec_id, q, ${inorm2Sql("q")} AS n2, $lshBucketSql AS bucket FROM ($quantizedSql))
+             |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cos FROM (
+             |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    ${cosineSql(idotSql("b.q", "q.q"), "b.n2", "q.n2")} AS cos,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ${cosineSql(idotSql("b.q", "q.q"), "b.n2", "q.n2")} DESC, b.vec_id ASC) AS rk
+             |  FROM base q JOIN base b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10)
+             |WHERE rk <= 3""".stripMargin),
+      "LSH-bucketed approximate NN: same-bucket candidates only, exact cosine rerank, top-3."
+    ),
+    QueryDef(
+      "v4_cosine_near_dup_pairs",
+      (s, d) => {
+        val base = quantized(s, d)
+          .withColumn("n2", inorm2(col("q")))
+          .withColumn("bucket", lshBucket(col("q")))
+        base.as("a")
+          .join(base.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", cosine(idot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")))
+          .filter(col("cos") >= CosineThreshold)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT vec_id, q, ${inorm2Sql("q")} AS n2, $lshBucketSql AS bucket FROM ($quantizedSql))
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  round(${cosineSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")}, 6) AS cos
+             |FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |WHERE ${cosineSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $CosineThreshold""".stripMargin),
+      "Embedding-cosine near-dup pairs: LSH-bucketed candidate join, cosine >= 0.4."
+    ),
+    QueryDef(
+      "v5_label_centroids",
+      (s, d) => {
+        // IVF-style coarse quantizer: exact integer centroid sums per label.
+        // All arithmetic is integer (commutative-exact), so no ordering
+        // ceremony is needed anywhere.
+        quantized(s, d)
+          .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("v")).as("sv"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("dim"), sum(col("sv") * col("sv")).as("norm2_scaled"))
+      },
+      Some(s"""SELECT label, count(*) AS dim,
+             |  CAST(sum(sv * sv) AS BIGINT) AS norm2_scaled
+             |FROM (SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv
+             |  FROM (SELECT label, unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM ($quantizedSql))
+             |  GROUP BY label, pos)
+             |GROUP BY label""".stripMargin),
+      "IVF-style label centroids: exact integer per-dimension sums, scaled squared norm per label."
+    )
+  )
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic primitives for the document/embedding pipeline
+  * operators. Everything is built on md5 — the one hash both Spark and the
+  * DuckDB oracle compute bit-identically — so every "random" quantity
+  * (minhash seeds, simhash bits, LSH hyperplanes) is reproducible across
+  * engines, runs, and cluster sizes.
+  */
+object PipelineFns {
+
+  /** 60-bit positive hash of a string column (first 15 hex digits of md5).
+    * Codegen-friendly: md5/conv/substring are all built-in expressions.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of the same 60-bit hash. */
+  def h60Sql(expr: String): String =
+    s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Lower-cased alnum tokens of the `text` column. Matches the oracle's
+    * regexp_extract_all(lower(text), '[a-z0-9]+') exactly.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Word n-gram shingles: space-joined windows of `n` consecutive tokens.
+    * 1-based window starts 1..len-n+1 (callers guarantee len >= n; the
+    * testdata floor is 10 tokens/doc).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " ")
+    )
+
+  def shinglesSql(toksExpr: String, n: Int): String =
+    s"list_transform(range(1, greatest(len($toksExpr) - ${n - 1}, 1) + 1), i -> array_to_string(($toksExpr)[i:i+${n - 2 + 1}], ' '))"
+}
+
+/** Text-analysis operators a large-scale training-data pipeline needs,
+  * over the `documents` table: token counting, language ID, quality
+  * scoring, fingerprinting, vocabulary stats. All are single-scan,
+  * shuffle-free per-row column programs (plus one explode+groupBy), so they
+  * scale linearly with input splits at 100 TB.
+  */
+object TextQueries extends QueryModule {
+  import PipelineFns._
+
+  private val stopEn = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopEs = Seq("el", "la", "de", "que", "los", "un")
+  private val stopDe = Seq("der", "die", "und", "das", "ein", "nicht")
+  private val stopFr = Seq("le", "les", "et", "des", "une", "est")
+
+  private def inList(x: Column, ws: Seq[String]): Column = x.isin(ws: _*)
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def stopScore(toks: Column, ws: Seq[String]): Column =
+    size(filter(toks, t => inList(t, ws)))
+  private def stopScoreSql(ws: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN ${sqlList(ws)}))"
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t1_token_stats",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          // BPE-ish piece count: alpha runs, digit runs, other non-space chars
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_pieces"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("n_alnum_chars"),
+          round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks), 6).as("mean_token_len")
+        )
+      },
+      Some(s"""SELECT doc_id, len(toks) AS n_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+             |  CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER) AS n_alnum_chars,
+             |  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 6) AS mean_token_len
+             |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)""".stripMargin),
+      "Token counting: whitespace-free alnum tokens + BPE-ish piece segmentation (pipeline text-analysis op)."
+    ),
+    QueryDef(
+      "t2_language_id",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scored = Tables.documents(s, d).select(
+          col("lang"),
+          stopScore(toks, stopEn).as("s_en"),
+          stopScore(toks, stopEs).as("s_es"),
+          stopScore(toks, stopDe).as("s_de"),
+          stopScore(toks, stopFr).as("s_fr")
+        )
+        scored
+          .withColumn(
+            "pred",
+            when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, lit("unknown"))
+              .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), lit("en"))
+              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), lit("es"))
+              .when(col("s_de") >= col("s_fr"), lit("de"))
+              .otherwise(lit("fr"))
+          )
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT lang, pred, count(*) AS n FROM (
+             |  SELECT lang,
+             |    CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+             |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             |         WHEN s_de >= s_fr THEN 'de'
+             |         ELSE 'fr' END AS pred
+             |  FROM (SELECT lang,
+             |      ${stopScoreSql(stopEn)} AS s_en, ${stopScoreSql(stopEs)} AS s_es,
+             |      ${stopScoreSql(stopDe)} AS s_de, ${stopScoreSql(stopFr)} AS s_fr
+             |    FROM (SELECT lang, $tokensSql AS toks FROM documents)))
+             |GROUP BY lang, pred""".stripMargin),
+      "Language ID via stopword n-gram scoring, reported as a lang×pred confusion matrix (pipeline text-analysis op)."
+    ),
+    QueryDef(
+      "t3_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val allStop = stopEn ++ stopEs ++ stopDe ++ stopFr
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            size(toks).as("n_tokens"),
+            stopScore(toks, allStop).as("n_stop"),
+            size(array_distinct(toks)).as("n_unique")
+          )
+          .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+          .withColumn("ttr", round(col("n_unique").cast("double") / col("n_tokens"), 6))
+          .withColumn(
+            "quality",
+            round(
+              least(col("n_tokens"), lit(100)).cast("double") / 100 * 0.5
+                + col("n_stop").cast("double") / col("n_tokens") * 0.2
+                + col("n_unique").cast("double") / col("n_tokens") * 0.3,
+              6
+            )
+          )
+      },
+      Some(s"""SELECT doc_id, n_chars, n_tokens, n_stop, n_unique,
+             |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+             |  round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS ttr,
+             |  round(CAST(least(n_tokens, 100) AS DOUBLE) / 100 * 0.5
+             |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
+             |    + CAST(n_unique AS DOUBLE) / n_tokens * 0.3, 6) AS quality
+             |FROM (SELECT doc_id, n_chars, CAST(len(toks) AS INTEGER) AS n_tokens,
+             |    CAST(${stopScoreSql(stopEn ++ stopEs ++ stopDe ++ stopFr)} AS INTEGER) AS n_stop,
+             |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique
+             |  FROM (SELECT doc_id, n_chars, $tokensSql AS toks FROM documents))""".stripMargin),
+      "Document quality scoring: length / stopword-ratio / type-token-ratio composite (pipeline text-analysis op)."
+    ),
+    QueryDef(
+      "t4_fingerprint",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val sh = shingles(toks, 5)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          // winnowing-style fingerprint: min 60-bit hash over 5-gram shingles
+          array_min(transform(sh, x => h60(x))).as("fingerprint"),
+          // canonical content hash over normalized (lower/alnum-tokenized) text
+          md5(array_join(toks, " ")).as("content_hash")
+        )
+      },
+      Some(s"""SELECT doc_id,
+             |  list_min(list_transform(${shinglesSql("toks", 5)}, x -> ${h60Sql("x")})) AS fingerprint,
+             |  md5(array_to_string(toks, ' ')) AS content_hash
+             |FROM (SELECT doc_id, $tokensSql AS toks FROM documents)""".stripMargin),
+      "Document fingerprinting: min-hash-of-shingles (winnowing-style) + normalized content hash (pipeline text-analysis op)."
+    ),
+    QueryDef(
+      "t5_word_freq",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs")),
+      Some(s"""SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+             |FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+             |GROUP BY token""".stripMargin),
+      "Corpus vocabulary stats via token explode → groupBy (generator/UDTF shape, SURVEY §2.9)."
+    )
+  )
+}
