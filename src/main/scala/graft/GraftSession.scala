@@ -21,6 +21,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // QA metadata maps follow Python-dict last-wins collision semantics
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       // the driver's testdata parquet uses TIMESTAMP(NANOS), which Spark only
       // reads as a long; Tables/queries convert explicitly where needed
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

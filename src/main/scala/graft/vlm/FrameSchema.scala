@@ -1,0 +1,137 @@
+package graft.vlm
+
+import org.apache.spark.sql.types._
+
+/** The unified frame-record data model (SURVEY.md §1.2) as case classes +
+  * an explicit StructType. The schema is *fixed* (schema-on-write), unlike
+  * the reference's schema-on-read JSON probing — Catalyst prunes columns
+  * against it and the JSON reader never has to infer.
+  *
+  * Canonical constructions in the reference: sunrgbd_processor.py:225-246,
+  * matterport_processor.py:226-249, objectron_processor.py:214-239,
+  * hypersim_processor.py:341-362, taskonomy_processor.py:385-406;
+  * 9-DoF box: data_processing/utils.py:46-90.
+  */
+object FrameSchema {
+
+  /** 9-DoF oriented box, camera frame (+X right, +Y down, +Z forward);
+    * angles normalized to [-1, 1] (data_processing/utils.py:28-43).
+    */
+  case class Bbox3D(
+      x: Double, y: Double, z: Double,
+      xl: Double, yl: Double, zl: Double,
+      pitch: Double, yaw: Double, roll: Double,
+      category: String,
+      object_id: Option[String] = None,
+      label_id: Option[Int] = None,
+      confidence: Option[Double] = None)
+
+  /** 2D box, normalized to one encoding at ingest (SURVEY §7.4 item 5);
+    * the reference's three raw encodings (geometry.py:272-335) are folded
+    * into (x, y, w, h) + area by the readers.
+    */
+  case class Bbox2D(
+      x: Double, y: Double, w: Double, h: Double,
+      area: Option[Double],
+      category: String,
+      instance_id: Option[Long] = None,
+      iscrowd: Option[Int] = None)
+
+  case class Camera(
+      fx: Double, fy: Double, cx: Double, cy: Double,
+      image_width: Int, image_height: Int,
+      intrinsics: Seq[Seq[Double]],
+      extrinsics: Option[Seq[Seq[Double]]])
+
+  /** Ref: data_processing/utils.py:93-127. */
+  case class DepthStats(
+      present: Boolean,
+      valid_pixels: Long,
+      total_pixels: Long,
+      min: Option[Double], max: Option[Double],
+      median: Option[Double], mean: Option[Double])
+
+  case class FrameRecord(
+      dataset: String,
+      split: String,
+      image_id: String,
+      scene_id: Option[String],
+      video_id: Option[String],
+      frame_id: Option[String],
+      filename: Option[String],
+      rgb_path: Option[String],
+      depth_path: Option[String],
+      depth_type: String,
+      camera: Camera,
+      depth_stats: Option[DepthStats],
+      bounding_boxes_2d: Seq[Bbox2D],
+      bounding_boxes_3d: Seq[Bbox3D],
+      timestamp: Option[Long])
+
+  /** QA output row (QA_generation/utils/qa_base.py:39-66). `answer` is
+    * stringified (the reference mixes numbers/letters/strings in one field);
+    * `metadata` is a string map for the same reason — documented deviation,
+    * values round-trip exactly.
+    */
+  case class QaPair(
+      id: String,
+      question: String,
+      answer: String,
+      answer_type: String,
+      options: Option[Seq[String]],
+      metadata: Map[String, String])
+
+  import org.apache.spark.sql.{Encoder, Encoders}
+  implicit val frameEncoder: Encoder[FrameRecord] = Encoders.product[FrameRecord]
+  implicit val qaEncoder: Encoder[QaPair] = Encoders.product[QaPair]
+
+  val bbox3dType: StructType = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType), StructField("z", DoubleType),
+    StructField("xl", DoubleType), StructField("yl", DoubleType), StructField("zl", DoubleType),
+    StructField("pitch", DoubleType), StructField("yaw", DoubleType), StructField("roll", DoubleType),
+    StructField("category", StringType),
+    StructField("object_id", StringType), StructField("label_id", IntegerType),
+    StructField("confidence", DoubleType)
+  ))
+
+  val bbox2dType: StructType = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType),
+    StructField("w", DoubleType), StructField("h", DoubleType),
+    StructField("area", DoubleType), StructField("category", StringType),
+    StructField("instance_id", LongType), StructField("iscrowd", IntegerType)
+  ))
+
+  val cameraType: StructType = StructType(Seq(
+    StructField("fx", DoubleType), StructField("fy", DoubleType),
+    StructField("cx", DoubleType), StructField("cy", DoubleType),
+    StructField("image_width", IntegerType), StructField("image_height", IntegerType),
+    StructField("intrinsics", ArrayType(ArrayType(DoubleType))),
+    StructField("extrinsics", ArrayType(ArrayType(DoubleType)))
+  ))
+
+  val depthStatsType: StructType = StructType(Seq(
+    StructField("present", BooleanType),
+    StructField("valid_pixels", LongType), StructField("total_pixels", LongType),
+    StructField("min", DoubleType), StructField("max", DoubleType),
+    StructField("median", DoubleType), StructField("mean", DoubleType)
+  ))
+
+  /** The scan schema for unified-JSON corpora (S1). */
+  val frameType: StructType = StructType(Seq(
+    StructField("dataset", StringType),
+    StructField("split", StringType),
+    StructField("image_id", StringType),
+    StructField("scene_id", StringType),
+    StructField("video_id", StringType),
+    StructField("frame_id", StringType),
+    StructField("filename", StringType),
+    StructField("rgb_path", StringType),
+    StructField("depth_path", StringType),
+    StructField("depth_type", StringType),
+    StructField("camera", cameraType),
+    StructField("depth_stats", depthStatsType),
+    StructField("bounding_boxes_2d", ArrayType(bbox2dType)),
+    StructField("bounding_boxes_3d", ArrayType(bbox3dType)),
+    StructField("timestamp", LongType)
+  ))
+}

@@ -1,0 +1,105 @@
+package graft.vlm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level API over the [[Geo]] kernels.
+  *
+  * Split per SURVEY.md §7.3: anything expressible as built-in column math
+  * stays a native (codegen'd) expression — normalize-angle, center distance,
+  * max dimension, seeded randomness; only the genuinely matrix-shaped
+  * kernels (vertices, 8×8 min distance, relative position) are Scala UDFs
+  * over small fixed arrays. UDF inputs/outputs are primitives and
+  * `Array[Double]`-shaped — no Row juggling in the hot path.
+  */
+object GeoFunctions {
+
+  // ---------------------------------------------------------------- native
+  /** normalize_angle as pure column math (data_processing/utils.py:28-43). */
+  def normalizeAngleCol(deg: Column): Column =
+    (pmod(deg, lit(360)) - when(pmod(deg, lit(360)) > 180, 360).otherwise(0)) / 180.0
+
+  /** ‖(x,y,z)‖ — camera-space distance for camera-frame boxes
+    * (geometry.py:401-421).
+    */
+  def centerDistanceCol(x: Column, y: Column, z: Column): Column =
+    sqrt(x * x + y * y + z * z)
+
+  /** Max box dimension (geometry.py:121-132). */
+  def maxDimCol(xl: Column, yl: Column, zl: Column): Column =
+    greatest(xl, yl, zl)
+
+  /** Deterministic uniform in [0,1) keyed on a seed string column — the
+    * engine's replacement for the reference's unseeded `random` (SURVEY §7.3
+    * M3): reproducible across runs, engines, and partitionings.
+    */
+  def seededUniform(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** `class_N` → readable name, fallback `object_N`; pure column version of
+    * Geo.parseClassCategory with an empty codebook
+    * (class_mapping.py:87-103).
+    */
+  def parseClassCategoryCol(category: Column): Column =
+    when(
+      category.startsWith("class_") && regexp_extract(category, "^class_([0-9]+)$", 1) =!= "",
+      concat(lit("object_"), regexp_extract(category, "^class_([0-9]+)$", 1))
+    ).otherwise(category)
+
+  // ------------------------------------------------------------------ UDFs
+  /** 8 oriented-box vertices (geometry.py:60-95). */
+  val bboxVerticesUdf = udf {
+    (x: Double, y: Double, z: Double, xl: Double, yl: Double, zl: Double,
+     pitch: Double, yaw: Double, roll: Double) =>
+      Geo.bboxVertices(x, y, z, xl, yl, zl, pitch, yaw, roll).map(_.toSeq).toSeq
+  }
+
+  /** Min 8×8 vertex distance between two boxes (geometry.py:98-118). */
+  val minBoxDistanceUdf = udf {
+    (a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
+      Geo.minDistanceBetweenBoxes(a.map(_.toArray).toArray, b.map(_.toArray).toArray)
+  }
+
+  /** Min camera→vertex distance from an explicit camera position
+    * (geometry.py:165-189).
+    */
+  val cameraToBoxDistanceUdf = udf {
+    (cam: Seq[Double], vertices: Seq[Seq[Double]]) =>
+      Geo.distanceCameraToBox(cam.toArray, vertices.map(_.toArray).toArray)
+  }
+
+  /** Camera position from 4×4 extrinsics, null-safe (geometry.py:135-162). */
+  val cameraPositionUdf = udf {
+    (extrinsics: Seq[Seq[Double]]) =>
+      if (extrinsics == null) None
+      else Geo.cameraPosition(extrinsics.map(_.toArray).toArray).map(_.toSeq)
+  }
+
+  /** Enhanced relative position: returns struct(depth, horizontal, vertical,
+    * center_distance) (geometry.py:424-495).
+    */
+  val relativePositionUdf = udf {
+    (a: Seq[Seq[Double]], b: Seq[Seq[Double]], minDist: Double) =>
+      val (d, h, v, cd) = Geo.enhancedRelativePosition(
+        a.map(_.toArray).toArray, b.map(_.toArray).toArray, minDist)
+      (d, h, v, cd)
+  }
+
+  /** World→camera transform of box vertices: inv(extrinsics) applied to the
+    * 8 vertices (geometry.py:192-219 `transform_bbox_to_camera_frame`).
+    */
+  val toCameraFrameUdf = udf {
+    (vertices: Seq[Seq[Double]], extrinsics: Seq[Seq[Double]]) =>
+      val inv = Geo.invertRigid(extrinsics.map(_.toArray).toArray)
+      Geo.transformPoints(inv, vertices.map(_.toArray).toArray).map(_.toSeq).toSeq
+  }
+
+  /** Quaternion (x,y,z,w) → normalized Euler angles struct — the 9-DoF
+    * conversion chain (data_processing/utils.py:46-90).
+    */
+  val quatToNormalizedEulerUdf = udf {
+    (qx: Double, qy: Double, qz: Double, qw: Double) =>
+      val (p, yw, r) = Geo.quaternionToEulerDeg(qx, qy, qz, qw)
+      (Geo.normalizeAngle(p), Geo.normalizeAngle(yw), Geo.normalizeAngle(r))
+  }
+}

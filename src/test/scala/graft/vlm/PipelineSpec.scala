@@ -1,0 +1,66 @@
+package graft.vlm
+
+import java.nio.file.Files
+
+/** End-to-end: write a unified-JSON mini-corpus to disk, ingest with the
+  * declared schema (S1), run the full pipeline (K2–K4), read outputs back.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("ingest → generate → sinks round trip") {
+    val dir = Files.createTempDirectory("graft_corpus").toString
+    val out = Files.createTempDirectory("graft_qa").toString
+    // two frame docs in nested per-scene dirs + a summary.json to exclude
+    val sceneDir = new java.io.File(s"$dir/testds/scene0"); sceneDir.mkdirs()
+    def doc(imageId: String, boxes: String): String =
+      s"""{"dataset":"testds","split":"s0","image_id":"$imageId","scene_id":"scene0",
+         |"depth_type":"none",
+         |"camera":{"fx":500,"fy":500,"cx":320,"cy":240,"image_width":640,"image_height":480,
+         |  "intrinsics":[[500,0,320],[0,500,240],[0,0,1]],
+         |  "extrinsics":[[1,0,0,0],[0,1,0,0],[0,0,1,0],[0,0,0,1]]},
+         |"bounding_boxes_2d":[],
+         |"bounding_boxes_3d":[$boxes]}""".stripMargin.replace("\n", "")
+    def b3d(cat: String, x: Double, z: Double): String =
+      s"""{"x":$x,"y":0.5,"z":$z,"xl":1,"yl":1,"zl":1,"pitch":0,"yaw":0,"roll":0,"category":"$cat"}"""
+    Files.writeString(new java.io.File(sceneDir, "f1.json").toPath,
+      doc("f1", s"${b3d("chair", 0, 3)},${b3d("chair", 2, 3)},${b3d("desk", -2, 5)}"))
+    Files.writeString(new java.io.File(sceneDir, "f2.json").toPath,
+      doc("f2", s"${b3d("sofa", 0, 2)}"))
+    Files.writeString(new java.io.File(sceneDir, "summary.json").toPath, """{"not":"a frame"}""")
+
+    val frames = Ingest.readFrames(spark, dir)
+    assert(frames.count() == 2) // summary.json excluded
+    assert(frames.columns.contains("_source_file"))
+
+    val counts = QaPipeline.run(spark, frames, "testds", out)
+    assert(counts("object_count") == 2)
+    assert(counts("object_3d_size") == 3) // chair+desk, sofa
+    assert(counts("obj_obj_distance") >= 1)
+
+    // combined output has every task's rows tagged
+    val combined = spark.read.json(s"$out/testds_all_qa_pairs")
+    assert(combined.count() == counts.values.sum)
+    // summary matches
+    val summary = spark.read.json(s"$out/testds_summary").collect()
+    assert(summary.map(_.getAs[Long]("total_questions")).sum == counts.values.sum)
+
+    // K1: partitioned snapshot write round-trips
+    val snap = Files.createTempDirectory("graft_snap").toString
+    Ingest.writeFrames(frames, snap)
+    val back = Ingest.readFrames(spark, snap)
+    assert(back.count() == 2)
+  }
+
+  test("limit and bbox-availability gate (F1/F17)") {
+    val dir = Files.createTempDirectory("graft_corpus2").toString
+    val d = new java.io.File(dir); d.mkdirs()
+    Files.writeString(new java.io.File(d, "empty.json").toPath,
+      """{"dataset":"t","split":"s","image_id":"e1","depth_type":"none",
+        |"camera":{"fx":1,"fy":1,"cx":0,"cy":0,"image_width":10,"image_height":10,"intrinsics":[],"extrinsics":null},
+        |"bounding_boxes_2d":[],"bounding_boxes_3d":[]}""".stripMargin.replace("\n", ""))
+    val frames = Ingest.readFrames(spark, dir)
+    assert(frames.count() == 1)
+    assert(Ingest.withUsableBoxes(frames).count() == 0)
+    assert(Ingest.readFrames(spark, dir, limit = Some(0)).count() == 0)
+  }
+}
