@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries,
     TextQueries,
     DedupQueries,
-    EmbeddingQueries
+    EmbeddingQueries,
+    DomainQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

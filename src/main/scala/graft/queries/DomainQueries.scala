@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Tables
+import graft.vlm.{GeoFunctions, QaPrimitives}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Oracle-checked queries exercising the VLM domain engine's geometry and
+  * QA-assembly kernels over the driver's testdata tables: synthetic 9-DoF
+  * boxes are derived deterministically from lineitem columns, run through
+  * the *same* column functions / UDFs the QA tasks use, and cross-validated
+  * against closed-form SQL in DuckDB.
+  *
+  * Determinism: boxes are axis-aligned (zero rotation) in the UDF-checked
+  * queries, so every value is plain +,-,*,/,sqrt — IEEE-identical across
+  * engines with no trig-libm skew; the min-vertex-distance oracle uses the
+  * independent per-axis least-of-4 closed form (valid for axis-aligned
+  * corners), so the 8×8 UDF is verified against *different* math.
+  */
+object DomainQueries extends QueryModule {
+
+  /** Synthetic box columns from lineitem: center spread over ±few meters,
+    * dims in (0, ~2.2]. All exact decimal-derived doubles.
+    */
+  private def syntheticBoxes(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 2000)
+      .select(
+        col("l_orderkey").as("frame_id"),
+        col("l_linenumber").as("idx"),
+        // /7 keeps pairwise x-diffs off the 0.1 classifier-threshold lattice
+        // (multiples of 1/7), so vertex-mean fp noise can't flip comparisons
+        ((col("l_quantity") - 25) / 7).as("x"),
+        (col("l_discount") * 10 - 0.5).as("y"),
+        (col("l_linenumber") + lit(2.0)).as("z"),
+        (col("l_tax") * 2 + 0.2).as("xl"),
+        ((col("l_quantity") % 7) / 10 + 0.3).as("yl"),
+        ((col("l_linenumber") % 3) / 2.0 + 0.4).as("zl")
+      )
+
+  private val syntheticBoxesSql =
+    """SELECT l_orderkey AS frame_id, l_linenumber AS idx,
+      |  (l_quantity - 25) / 7 AS x, l_discount * 10 - 0.5 AS y, l_linenumber + 2.0 AS z,
+      |  l_tax * 2 + 0.2 AS xl, (l_quantity % 7) / 10 + 0.3 AS yl, (l_linenumber % 3) / 2.0 + 0.4 AS zl
+      |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "g1_box_metrics",
+      (s, d) =>
+        syntheticBoxes(s, d).select(
+          col("frame_id"), col("idx"),
+          round(GeoFunctions.centerDistanceCol(col("x"), col("y"), col("z")), 6).as("center_dist"),
+          round(GeoFunctions.maxDimCol(col("xl"), col("yl"), col("zl")), 6).as("max_dim"),
+          round(GeoFunctions.normalizeAngleCol(col("frame_id") % 720 - 360), 6).as("norm_angle")
+        ),
+      Some(s"""SELECT frame_id, idx,
+             |  round(sqrt(x*x + y*y + z*z), 6) AS center_dist,
+             |  round(greatest(xl, greatest(yl, zl)), 6) AS max_dim,
+             |  round((CASE WHEN ((frame_id % 720 - 360) % 360 + 360) % 360 > 180
+             |    THEN ((frame_id % 720 - 360) % 360 + 360) % 360 - 360
+             |    ELSE ((frame_id % 720 - 360) % 360 + 360) % 360 END) / 180.0, 6) AS norm_angle
+             |FROM ($syntheticBoxesSql)""".stripMargin),
+      "Geometry kernels G4/G9/A11 (normalize-angle, ‖center‖ camera distance, max dim) as native column math (geometry.py:401-421, utils.py:28-43)."
+    ),
+    QueryDef(
+      "g2_pair_min_distance",
+      (s, d) => {
+        // the QA engine's J8 pair shape: per-frame i<j self-join, min 8×8
+        // vertex distance via the production UDF over axis-aligned vertices
+        val b = syntheticBoxes(s, d).withColumn(
+          "verts",
+          GeoFunctions.bboxVerticesUdf(
+            col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
+            lit(0.0), lit(0.0), lit(0.0)))
+        val a = b.select(col("frame_id"), col("idx").as("i"), col("verts").as("v1"))
+        val c = b.select(col("frame_id").as("frame_id2"), col("idx").as("j"), col("verts").as("v2"))
+        a.join(c, col("frame_id") === col("frame_id2") && col("i") < col("j"))
+          .select(
+            col("frame_id"), col("i"), col("j"),
+            round(GeoFunctions.minBoxDistanceUdf(col("v1"), col("v2")), 6).as("min_dist"))
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql)
+             |SELECT a.frame_id, a.idx AS i, c.idx AS j,
+             |  round(sqrt(
+             |    least((a.x - a.xl/2 - c.x + c.xl/2)*(a.x - a.xl/2 - c.x + c.xl/2),
+             |          (a.x - a.xl/2 - c.x - c.xl/2)*(a.x - a.xl/2 - c.x - c.xl/2),
+             |          (a.x + a.xl/2 - c.x + c.xl/2)*(a.x + a.xl/2 - c.x + c.xl/2),
+             |          (a.x + a.xl/2 - c.x - c.xl/2)*(a.x + a.xl/2 - c.x - c.xl/2)) +
+             |    least((a.y - a.yl/2 - c.y + c.yl/2)*(a.y - a.yl/2 - c.y + c.yl/2),
+             |          (a.y - a.yl/2 - c.y - c.yl/2)*(a.y - a.yl/2 - c.y - c.yl/2),
+             |          (a.y + a.yl/2 - c.y + c.yl/2)*(a.y + a.yl/2 - c.y + c.yl/2),
+             |          (a.y + a.yl/2 - c.y - c.yl/2)*(a.y + a.yl/2 - c.y - c.yl/2)) +
+             |    least((a.z - a.zl/2 - c.z + c.zl/2)*(a.z - a.zl/2 - c.z + c.zl/2),
+             |          (a.z - a.zl/2 - c.z - c.zl/2)*(a.z - a.zl/2 - c.z - c.zl/2),
+             |          (a.z + a.zl/2 - c.z + c.zl/2)*(a.z + a.zl/2 - c.z + c.zl/2),
+             |          (a.z + a.zl/2 - c.z - c.zl/2)*(a.z + a.zl/2 - c.z - c.zl/2))
+             |  ), 6) AS min_dist
+             |FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx""".stripMargin),
+      "Min 8×8 vertex distance UDF (geometry.py:98-118) verified against the independent per-axis least-of-4 closed form for axis-aligned boxes."
+    ),
+    QueryDef(
+      "g3_relative_position",
+      (s, d) => {
+        // enhanced_relative_position center-diff classification through the
+        // production UDF (identity extrinsics → camera frame = world frame)
+        val idExtr = array(
+          array(lit(1.0), lit(0.0), lit(0.0), lit(0.0)),
+          array(lit(0.0), lit(1.0), lit(0.0), lit(0.0)),
+          array(lit(0.0), lit(0.0), lit(1.0), lit(0.0)),
+          array(lit(0.0), lit(0.0), lit(0.0), lit(1.0)))
+        val b = syntheticBoxes(s, d).withColumn(
+          "verts",
+          GeoFunctions.toCameraFrameUdf(
+            GeoFunctions.bboxVerticesUdf(
+              col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
+              lit(0.0), lit(0.0), lit(0.0)),
+            idExtr))
+        val a = b.select(col("frame_id"), col("idx").as("i"), col("verts").as("v1"))
+        val c = b.select(col("frame_id").as("frame_id2"), col("idx").as("j"), col("verts").as("v2"))
+        a.join(c, col("frame_id") === col("frame_id2") && col("i") < col("j"))
+          .withColumn("rp", GeoFunctions.relativePositionUdf(col("v1"), col("v2"), lit(0.0)))
+          .groupBy(col("rp").getField("_1").as("depth_rel"), col("rp").getField("_2").as("horizontal_rel"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql)
+             |SELECT depth_rel, horizontal_rel, count(*) AS n FROM (
+             |  SELECT
+             |    CASE WHEN abs(a.z - c.z) < 0.1 THEN 'Same depth'
+             |         WHEN a.z - c.z < 0 THEN 'Nearer' ELSE 'Farther' END AS depth_rel,
+             |    CASE WHEN abs(a.x - c.x) < 0.1 THEN 'Same horizontal position'
+             |         WHEN a.x - c.x < 0 THEN 'Left' ELSE 'Right' END AS horizontal_rel
+             |  FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx)
+             |GROUP BY depth_rel, horizontal_rel""".stripMargin),
+      "Relative-position classifier UDF (geometry.py:424-495) vs closed-form center-diff CASE logic; vertex means reduce to centers for axis-aligned boxes."
+    ),
+    QueryDef(
+      "g4_project_2d",
+      (s, d) =>
+        syntheticBoxes(s, d)
+          .filter(col("z") > 0)
+          .select(
+            col("frame_id"), col("idx"),
+            round(lit(500) * col("x") / col("z") + 320, 6).as("u"),
+            round(lit(500) * col("y") / col("z") + 240, 6).as("v"))
+          .filter(col("u").between(0, 640) && col("v").between(0, 480)),
+      Some(s"""SELECT frame_id, idx,
+             |  round(500 * x / z + 320, 6) AS u, round(500 * y / z + 240, 6) AS v
+             |FROM ($syntheticBoxesSql) WHERE z > 0
+             |  AND round(500 * x / z + 320, 6) BETWEEN 0 AND 640
+             |  AND round(500 * y / z + 240, 6) BETWEEN 0 AND 480""".stripMargin),
+      "Pinhole 3D→2D projection with image clipping (build_label_codebook_fast.py:238-280 / G18)."
+    ),
+    QueryDef(
+      "qa1_multiple_choice_assembly",
+      (s, d) => {
+        // full QA multiple-choice assembly through the production primitives:
+        // seeded distractors (percent range 0.4–1.8, clamp, collision nudge),
+        // seeded shuffle, letter recovery — the object_3d_size pipeline shape
+        // on synthetic "sizes"
+        val base = syntheticBoxes(s, d)
+          .filter(col("idx") === 1)
+          .withColumn("size_cm", GeoFunctions.maxDimCol(col("xl"), col("yl"), col("zl")) * 100)
+          .withColumn("seed", concat(lit("qa1|"), col("frame_id")))
+          .withColumn("ans", round(col("size_cm"), 1))
+          .withColumn(
+            "opts",
+            array(
+              round(col("size_cm"), 1) +:
+                (1 to 3).map(k => round(QaPrimitives.distractor(col("size_cm"), col("seed"), k, (0.4, 1.8)), 1)): _*
+            ).cast("array<string>"))
+        QaPrimitives.shuffleToLetter(base, col("opts"), col("ans").cast("string"), col("seed"))
+          .select(
+            col("frame_id"),
+            col("_letter").as("answer"),
+            concat_ws("|", col("_shuffled")).as("options"),
+            col("ans").cast("string").as("answer_value"))
+      },
+      Some("""WITH base AS (
+             |  SELECT frame_id, size_cm, concat('qa1|', CAST(frame_id AS VARCHAR)) AS seed,
+             |    round(size_cm, 1) AS ans
+             |  FROM (SELECT l_orderkey AS frame_id,
+             |      greatest(l_tax * 2 + 0.2, greatest((l_quantity % 7) / 10 + 0.3, (l_linenumber % 3) / 2.0 + 0.4)) * 100 AS size_cm
+             |    FROM lineitem WHERE l_orderkey <= 2000 AND l_linenumber = 1)),
+             |opts AS (
+             |  SELECT frame_id, seed, ans,
+             |    [CAST(ans AS VARCHAR),
+             |     CAST(round(CASE WHEN greatest(size_cm * (0.4 + (CAST(concat('0x', substring(md5(concat(seed, ':d1')), 1, 15)) AS BIGINT) / 1152921504606846976.0) * 1.4), 0.1) = size_cm THEN size_cm * 1.2 ELSE greatest(size_cm * (0.4 + (CAST(concat('0x', substring(md5(concat(seed, ':d1')), 1, 15)) AS BIGINT) / 1152921504606846976.0) * 1.4), 0.1) END, 1) AS VARCHAR),
+             |     CAST(round(CASE WHEN greatest(size_cm * (0.4 + (CAST(concat('0x', substring(md5(concat(seed, ':d2')), 1, 15)) AS BIGINT) / 1152921504606846976.0) * 1.4), 0.1) = size_cm THEN size_cm * 1.2 ELSE greatest(size_cm * (0.4 + (CAST(concat('0x', substring(md5(concat(seed, ':d2')), 1, 15)) AS BIGINT) / 1152921504606846976.0) * 1.4), 0.1) END, 1) AS VARCHAR),
+             |     CAST(round(CASE WHEN greatest(size_cm * (0.4 + (CAST(concat('0x', substring(md5(concat(seed, ':d3')), 1, 15)) AS BIGINT) / 1152921504606846976.0) * 1.4), 0.1) = size_cm THEN size_cm * 1.2 ELSE greatest(size_cm * (0.4 + (CAST(concat('0x', substring(md5(concat(seed, ':d3')), 1, 15)) AS BIGINT) / 1152921504606846976.0) * 1.4), 0.1) END, 1) AS VARCHAR)
+             |    ] AS o
+             |  FROM base),
+             |shuf AS (
+             |  SELECT frame_id, ans,
+             |    list_transform(
+             |      list_sort(list_transform(range(1, 5), i ->
+             |        struct_pack(k := md5(concat(seed, ':s', CAST(i - 1 AS VARCHAR))), v := o[i]))),
+             |      x -> x.v) AS shuffled
+             |  FROM opts)
+             |SELECT frame_id,
+             |  substring('ABCDEFGH', CAST(list_position(shuffled, CAST(ans AS VARCHAR)) AS INTEGER), 1) AS answer,
+             |  array_to_string(shuffled, '|') AS options,
+             |  CAST(ans AS VARCHAR) AS answer_value
+             |FROM shuf""".stripMargin),
+      "Full multiple-choice QA assembly (qa_base.py:68-137): seeded distractors + shuffle + letter recovery, replayed in DuckDB."
+    )
+  )
+}

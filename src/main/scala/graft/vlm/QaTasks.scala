@@ -43,8 +43,6 @@ object QaTasks {
     "cam_obj_rel_dist" -> camObjRelDist
   )
 
-  private val letters = array((0 until 8).map(i => lit(('A' + i).toChar.toString)): _*)
-
   private def metaCommon: Seq[(String, Column)] = Seq(
     "source_file" -> coalesce(col("_source_file"), lit("")),
     "image_id" -> coalesce(col("image_id"), lit("")),
@@ -86,37 +84,7 @@ object QaTasks {
       .select(col("id"), col("question"), col("answer"), col("answer_type"), col("options"), col("metadata"))
   }
 
-  /** Seeded distractor for a numeric answer with a percent range
-    * (qa_base.py:68-109): mult ∈ [lo, hi), clamp to ≥ 0.1, nudge ×1.2 on
-    * exact collision — the reference's exact post-processing chain.
-    */
-  private def distractor(answer: Column, seedKey: Column, k: Int, range: (Double, Double)): Column = {
-    val u = seededUniform(concat(seedKey, lit(s":d$k")))
-    val raw = answer * (lit(range._1) + u * (range._2 - range._1))
-    val clamped = greatest(raw, lit(0.1))
-    when(clamped === answer, answer * 1.2).otherwise(clamped)
-  }
-
-  /** Seeded Fisher-Yates-equivalent shuffle: sort options by per-position
-    * md5 keys (qa_base.py:111-137). Returns (shuffled options, answer
-    * letter, answer value) — the letter is the *first* position holding the
-    * correct value, as in the reference's `list.index`.
-    */
-  private def shuffleToLetter(df: DataFrame, optsCol: Column, correctCol: Column, seedKey: Column): DataFrame =
-    df.withColumn(
-        "_shuffled",
-        transform(
-          array_sort(
-            zip_with(
-              optsCol,
-              sequence(lit(0), size(optsCol) - 1),
-              (o, i) => struct(md5(concat(seedKey, lit(":s"), i.cast("string"))).as("k"), o.as("v"))
-            )
-          ),
-          x => x.getField("v")
-        )
-      )
-      .withColumn("_letter", element_at(letters, array_position(col("_shuffled"), correctCol).cast("int")))
+  import QaPrimitives.{distractor, shuffleToLetter}
 
   // ------------------------------------------------------------------ tasks
 
