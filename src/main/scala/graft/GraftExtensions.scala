@@ -1,0 +1,24 @@
+package graft
+
+import graft.functions.SimHash56
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer: registers graft's custom expressions
+  * for SQL use (`SELECT simhash56(hashes) ...`). Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — wired in
+  * [[GraftSession]]. The DataFrame API ([[graft.functions]]) works without
+  * registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash56"),
+        new ExpressionInfo(classOf[SimHash56].getName, "simhash56"),
+        (children: Seq[Expression]) => SimHash56(children.head)
+      )
+    )
+  }
+}

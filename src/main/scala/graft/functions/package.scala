@@ -1,0 +1,12 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.shims
+
+/** Column-level API over graft's custom Catalyst expressions. */
+package object functions {
+
+  /** One-pass 56-bit SimHash over an array<bigint> of token hashes. */
+  def simhash56(hashes: Column): Column =
+    shims.column(SimHash56(shims.expression(hashes)))
+}

@@ -40,15 +40,34 @@ object DedupQueries extends QueryModule {
   private val shingleSetSql =
     s"SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
 
-  /** Minhash signature columns mh0..mh7 from a shingle-set column. */
-  private def minhashCols(sh: Column): Seq[Column] =
+  /** Per-shingle 256-bit hex digest (two md5 calls), sliced into eight
+    * 32-bit chunks — one minhash value per chunk. Two md5 passes over the
+    * shingle set instead of eight (one per seeded permutation): 4× less
+    * hashing for the same signature quality class; the digest column is
+    * materialized once in its own projection so all eight mh extractions
+    * reuse it.
+    */
+  private def hexPair(x: Column): Column =
+    concat(md5(x), md5(concat(lit("~"), x)))
+
+  private val hexPairSql = "concat(md5(x), md5(concat('~', x)))"
+
+  /** doc_id + per-shingle 64-hex digests, built atop the cached shingle sets. */
+  private def hexDigests(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), transform(col("sh"), x => hexPair(x)).as("hx"))
+
+  private val hexDigestSql =
+    s"SELECT doc_id, list_transform(sh, x -> $hexPairSql) AS hx FROM sets"
+
+  /** Minhash signature columns mh0..mh7 from the digest column. */
+  private def minhashCols(hx: Column): Seq[Column] =
     (0 until NumMinhash).map { j =>
-      array_min(transform(sh, x => h60(concat(lit(s"$j:"), x)))).as(s"mh$j")
+      array_min(transform(hx, h => conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long"))).as(s"mh$j")
     }
 
   private def minhashColsSql: String =
     (0 until NumMinhash).map { j =>
-      s"list_min(list_transform(sh, x -> ${h60Sql(s"concat('$j:', x)")})) AS mh$j"
+      s"list_min(list_transform(hx, h -> CAST(concat('0x', substring(h, ${8 * j + 1}, 8)) AS BIGINT))) AS mh$j"
     }.mkString(", ")
 
   /** LSH band keys: md5 over pairs of adjacent minhashes. */
@@ -62,26 +81,28 @@ object DedupQueries extends QueryModule {
       s"md5(concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))) AS band$b"
     }.mkString(", ")
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b)))
-
-  private val jaccardSql =
-    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
-
-  /** 56-bit simhash over distinct tokens: per-bit majority vote over token
-    * hashes. Unrolled Scala-side (bit index must be a literal for
-    * shiftright); 56 in-row folds, all inside whole-stage codegen.
+  /** Jaccard from a pre-computed intersection size — `array_intersect` is
+    * the expensive half of verification, so callers compute it exactly once
+    * and feed it to both numerator and denominator.
     */
-  private def simhash(toks: Column): Column = {
-    val hs = transform(array_distinct(toks), t => h60(t))
-    (0 until SimhashBits).map { b =>
-      when(
-        aggregate(hs, lit(0), (acc, x) => acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-        lit(1L << b)
-      ).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  private def jaccardFrom(isect: Column, a: Column, b: Column): Column =
+    isect.cast("double") / (size(a) + size(b) - isect)
+
+  private val isectSql = "len(list_intersect(a.sh, b.sh))"
+  private def jaccardFromSql(isect: String) =
+    s"CAST($isect AS DOUBLE) / (len(a.sh) + len(b.sh) - $isect)"
+
+  /** doc_id + 56-bit simhash (majority vote over distinct-token hashes).
+    * The token-hash array is materialized in its own projection (one md5
+    * per distinct token), then folded in a single codegen'd pass by the
+    * custom [[graft.functions.SimHash56]] expression — the built-in
+    * formulation (56 separate higher-order `aggregate` folds) re-evaluated
+    * the md5 transform per bit and was ~20× slower at sf0.1.
+    */
+  private def simhashed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), transform(array_distinct(tokens(col("text"))), t => h60(t)).as("hs"))
+      .select(col("doc_id"), graft.functions.simhash56(col("hs")).as("simhash"))
 
   private val simhashSql =
     s"""CAST(list_sum(list_transform(range(0, $SimhashBits), b ->
@@ -111,18 +132,20 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "d2_minhash_signatures",
       (s, d) =>
-        shingleSets(s, d)
-          .select(col("doc_id") +: minhashCols(col("sh")): _*)
+        hexDigests(shingleSets(s, d))
+          .select(col("doc_id") +: minhashCols(col("hx")): _*)
           .select(col("doc_id") +: (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*),
-      Some(s"""SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, $bandColsSql
-             |FROM (SELECT doc_id, $minhashColsSql FROM ($shingleSetSql))""".stripMargin),
-      "MinHash signatures (8 seeded min-hashes over 3-gram shingles) + 4 LSH band keys per document."
+      Some(s"""WITH sets AS ($shingleSetSql), hx AS ($hexDigestSql)
+             |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, $bandColsSql
+             |FROM (SELECT doc_id, $minhashColsSql FROM hx)""".stripMargin),
+      "MinHash signatures (8 32-bit chunk min-hashes over 3-gram shingles) + 4 LSH band keys per document."
     ),
     QueryDef(
       "d3_lsh_near_dup_pairs",
       (s, d) => {
         val sets = shingleSets(s, d).cache()
-        val sigs = sets.select(col("doc_id") +: minhashCols(col("sh")): _*)
+        val sigs = hexDigests(sets)
+          .select(col("doc_id") +: minhashCols(col("hx")): _*)
           .select(col("doc_id") +: bandCols: _*)
         // bucketed candidate generation: explode band keys, equi-join per
         // (band index, band hash) bucket — the scale path; no cross join.
@@ -137,24 +160,23 @@ object DedupQueries extends QueryModule {
         cands
           .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
           .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
-          .select(col("doc_a"), col("doc_b"), round(jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), size(array_intersect(col("a.sh"), col("b.sh"))).as("isect"), col("a.sh").as("sha"), col("b.sh").as("shb"))
+          .select(col("doc_a"), col("doc_b"), round(jaccardFrom(col("isect"), col("sha"), col("shb")), 6).as("jaccard"))
           .filter(col("jaccard") >= JaccardThreshold)
       },
-      Some(s"""WITH sets AS ($shingleSetSql),
-             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets))
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jaccardSql, 6) AS jaccard
-             |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
-             |  AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
-             |JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
-             |WHERE round($jaccardSql, 6) >= $JaccardThreshold""".stripMargin),
+      Some(s"""WITH sets AS ($shingleSetSql), hx AS ($hexDigestSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM hx))
+             |SELECT doc_a, doc_b, jaccard FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(${jaccardFromSql(isectSql)}, 6) AS jaccard
+             |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id)
+             |WHERE jaccard >= $JaccardThreshold""".stripMargin),
       "MinHash-LSH near-dup pairs: band-bucket join for candidates, exact Jaccard >= 0.5 verification."
     ),
     QueryDef(
       "d4_simhash",
-      (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), simhash(col("toks")).as("simhash")),
+      (s, d) => simhashed(s, d),
       Some(s"""SELECT doc_id, $simhashSql AS simhash
              |FROM (SELECT doc_id, list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
              |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))""".stripMargin),
@@ -163,10 +185,7 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "d5_simhash_near_dup_pairs",
       (s, d) => {
-        val sims = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), simhash(col("toks")).as("simhash"))
-          .cache()
+        val sims = simhashed(s, d).cache()
         // hamming <= 3 over 56 bits ⇒ at least one of the 4 14-bit chunks is
         // identical (pigeonhole) — chunk equality is the bucketed join key.
         val chunks = sims.select(
@@ -204,7 +223,8 @@ object DedupQueries extends QueryModule {
         // connected representative = min doc_id over each doc's neighbors
         // (single-link 1-hop approximation, deterministic).
         val sets = shingleSets(s, d).cache()
-        val sigs = sets.select(col("doc_id") +: minhashCols(col("sh")): _*)
+        val sigs = hexDigests(sets)
+          .select(col("doc_id") +: minhashCols(col("hx")): _*)
           .select(col("doc_id") +: bandCols: _*)
         val bands = sigs.select(
           col("doc_id"),
@@ -217,21 +237,22 @@ object DedupQueries extends QueryModule {
         val verified = cands
           .join(sets.as("a"), col("did") === col("a.doc_id"))
           .join(sets.as("b"), col("nbr") === col("b.doc_id"))
-          .filter(round(jaccard(col("a.sh"), col("b.sh")), 6) >= JaccardThreshold)
+          .select(col("did"), col("nbr"), size(array_intersect(col("a.sh"), col("b.sh"))).as("isect"), size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+          .filter(round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6) >= JaccardThreshold)
           .select(col("did"), col("nbr"))
         verified
           .groupBy(col("did"))
           .agg(least(min(col("nbr")), col("did").cast("long")).as("rep_id"), count(lit(1)).as("n_neighbors"))
           .select(col("did").as("doc_id"), col("rep_id"), col("n_neighbors"))
       },
-      Some(s"""WITH sets AS ($shingleSetSql),
-             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
+      Some(s"""WITH sets AS ($shingleSetSql), hx AS ($hexDigestSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM hx)),
              |verified AS (
              |  SELECT sa.doc_id AS doc_id, sb.doc_id AS nbr
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id <> sb.doc_id
              |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
              |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
-             |  WHERE round($jaccardSql, 6) >= $JaccardThreshold)
+             |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold)
              |SELECT doc_id, least(min(nbr), CAST(doc_id AS BIGINT)) AS rep_id, count(*) AS n_neighbors
              |FROM verified GROUP BY doc_id""".stripMargin),
       "Near-dup group representatives: verified-neighbor min-id (deterministic 1-hop single-link)."
