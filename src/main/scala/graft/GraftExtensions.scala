@@ -12,13 +12,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (
-        FunctionIdentifier("simhash56"),
-        new ExpressionInfo(classOf[SimHash56].getName, "simhash56"),
-        (children: Seq[Expression]) => SimHash56(children.head)
-      )
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registry.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("simhash56"),
+      new ExpressionInfo(classOf[SimHash56].getName, "simhash56"),
+      (children: Seq[Expression]) => SimHash56(children.head)
     )
-  }
+  )
+
+  /** Late registration onto an already-created session (extensions config
+    * only applies at session build time).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.shims.registerFunction(spark, id.funcName, info, builder)
+    }
 }

@@ -16,6 +16,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     EmbeddingQueries,
+    MultimodalQueries,
     DomainQueries
   )
 

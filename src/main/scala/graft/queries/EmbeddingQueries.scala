@@ -27,6 +27,8 @@ object EmbeddingQueries extends QueryModule {
   private val Dim = 64
   private val NumPlanes = 6 // 64 LSH buckets
   private val CosineThreshold = 0.4
+  private val NumCells = 8 // IVF coarse cells
+  private val NumProbe = 2 // IVF cells probed per query
 
   /** Quantized int vector: round(double(x) * 1000). */
   private def qvec(emb: Column): Column =
@@ -200,6 +202,67 @@ object EmbeddingQueries extends QueryModule {
              |  GROUP BY label, pos)
              |GROUP BY label""".stripMargin),
       "IVF-style label centroids: exact integer per-dimension sums, scaled squared norm per label."
+    ),
+    QueryDef(
+      "v6_ivf_ann",
+      (s, d) => {
+        // Real IVF probe path: a small deterministic centroid table (the
+        // first NumCells vectors — stand-in for a kmeans codebook, which at
+        // scale is trained offline and loaded as a dim table), broadcast to
+        // (a) assign every vector to its nearest cell map-side and (b) give
+        // each query its nprobe=2 closest cells. Candidates = vectors in
+        // probed cells; exact cosine rerank, top-3. The only shuffle is the
+        // candidate equi-join on cell id.
+        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+        val centroids = base.filter(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        def l2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+        val assigned = base.join(broadcast(centroids))
+          .withColumn("dist", l2(col("q"), col("cq")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid").as("cell"))
+        val probes = base.filter(col("vec_id") < 10)
+          .join(broadcast(centroids))
+          .withColumn("dist", l2(col("q"), col("cq")))
+          .withColumn("prk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("prk") <= NumProbe)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"), col("cid").as("cell"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(idot(col("q"), col("qq")), col("n2"), col("qn2")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells),
+             |assigned AS (
+             |  SELECT vec_id, q, n2, cell FROM (
+             |    SELECT b.vec_id, b.q, b.n2, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
+             |    FROM base b CROSS JOIN cent c)
+             |  WHERE crk = 1),
+             |probes AS (
+             |  SELECT query_id, qq, qn2, cell FROM (
+             |    SELECT b.vec_id AS query_id, b.q AS qq, b.n2 AS qn2, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS prk
+             |    FROM base b CROSS JOIN cent c WHERE b.vec_id < 10)
+             |  WHERE prk <= $NumProbe)
+             |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cos FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    ${cosineSql(idotSql("a.q", "p.qq"), "a.n2", "p.qn2")} AS cos,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY ${cosineSql(idotSql("a.q", "p.qq"), "a.n2", "p.qn2")} DESC, a.vec_id ASC) AS rk
+             |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id)
+             |WHERE rk <= 3""".stripMargin),
+      "IVF ANN: broadcast centroid codebook, map-side cell assignment, nprobe=2 probing, exact cosine rerank top-3."
     )
   )
 }

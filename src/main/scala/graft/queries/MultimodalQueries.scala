@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: the Spark-side plumbing a 100 TB media
+  * pipeline needs — opaque `binary` payload columns with typed metadata,
+  * deterministic frame sampling, and a batched `mapPartitions` decode stage
+  * (the dataflow shape of the reference's model-inference loop,
+  * `data_processing/build_label_codebook_fast.py:152-235`: scan → batch →
+  * per-batch forward → join back).
+  *
+  * The container has no image/audio codecs, so the *decode* itself is a
+  * clearly-marked deterministic fake (md5 of the payload bytes); everything
+  * the engine is responsible for — binary schema, batching, partitioning,
+  * the executor-side batch loop, metadata math — is real and oracle-checked.
+  * Payloads are the UTF-8 bytes of `documents.text`, so DuckDB can replay
+  * every derived quantity.
+  */
+object MultimodalQueries extends QueryModule {
+  import PipelineFns._
+
+  private val FrameSampleEvery = 5
+  private val DecodeBatchSize = 16
+  private val ResizeTarget = 256
+
+  /** Fake media dimensions from the doc id hash: w ∈ [64, 1087], h ∈ [64, 831].
+    * Stand-in for reading them from a real container header.
+    */
+  private def fakeW(id: Column): Column = h60(concat(lit("w:"), id.cast("string"))) % 1024 + 64
+  private def fakeH(id: Column): Column = h60(concat(lit("h:"), id.cast("string"))) % 768 + 64
+  private def fakeWSql(id: String) = s"${h60Sql(s"concat('w:', CAST($id AS VARCHAR))")} % 1024 + 64"
+  private def fakeHSql(id: String) = s"${h60Sql(s"concat('h:', CAST($id AS VARCHAR))")} % 768 + 64"
+
+  /** documents with an opaque binary payload column — the multimodal data
+    * model: (id, payload: binary, metadata struct).
+    */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")), (h60(concat(lit("fmt:"), col("doc_id").cast("string"))) % 3 + 1).cast("int")).as("format"),
+        fakeW(col("doc_id")).as("width"),
+        fakeH(col("doc_id")).as("height")
+      ).as("meta")
+    )
+
+  /** One decoded feature row per media payload. f0..f3 are 32-bit slices of
+    * the payload digest — the deterministic STUB standing in for a real
+    * image/audio feature extractor (no codecs in this container).
+    */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, f0: Long, f1: Long, f2: Long, f3: Long)
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "mm1_media_catalog",
+      (s, d) =>
+        media(s, d).select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          length(col("payload")).as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          (col("meta.width").cast("double") / col("meta.height")).as("aspect")
+        ),
+      Some(s"""SELECT doc_id,
+             |  ['jpeg', 'png', 'webp'][CAST(${h60Sql("concat('fmt:', CAST(doc_id AS VARCHAR))")} % 3 + 1 AS INTEGER)] AS format,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  ${fakeWSql("doc_id")} AS width,
+             |  ${fakeHSql("doc_id")} AS height,
+             |  CAST(${fakeWSql("doc_id")} AS DOUBLE) / (${fakeHSql("doc_id")}) AS aspect
+             |FROM documents""".stripMargin),
+      "Multimodal catalog: binary payload + typed metadata struct (format, dims) per media row."
+    ),
+    QueryDef(
+      "mm2_frame_sample",
+      (s, d) => {
+        // each payload is a fake "video" with hash-derived frame count;
+        // explode frame indices and keep every 5th (reference F12 sampling,
+        // objectron_processor.py:126-128, lifted to media level). Explode
+        // then filter: the filter is on a generator output, so Catalyst
+        // rewrites sequence+filter before any shuffle — row count stays
+        // bounded by n_frames/5 per doc.
+        val n = (h60(concat(lit("nf:"), col("doc_id").cast("string"))) % 40 + 10).as("n_frames")
+        media(s, d)
+          .select(col("doc_id"), n)
+          .select(col("doc_id"), col("n_frames"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+          .filter(col("frame_idx") % FrameSampleEvery === 0)
+          .select(
+            col("doc_id"),
+            col("frame_idx"),
+            col("n_frames"),
+            (col("frame_idx") * 40L).as("pts_ms") // fake 25 fps timestamps
+          )
+      },
+      Some(s"""SELECT doc_id, frame_idx, n_frames, frame_idx * 40 AS pts_ms
+             |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx
+             |  FROM (SELECT doc_id, ${h60Sql("concat('nf:', CAST(doc_id AS VARCHAR))")} % 40 + 10 AS n_frames FROM documents))
+             |WHERE frame_idx % $FrameSampleEvery = 0""".stripMargin),
+      "Frame sampling: hash-derived frame count per payload, every-5th-frame selection with fake pts."
+    ),
+    QueryDef(
+      "mm3_decode_features",
+      (s, d) => {
+        import s.implicits._
+        // the batched executor-side decode loop: partitions stream through
+        // in fixed-size batches exactly like a model-inference stage
+        // (batch tensors, forward pass, emit rows). The md5 "feature
+        // extractor" is the deterministic stub; swap `decodeBatch` for a
+        // real codec + model session per partition at deployment.
+        val md = media(s, d).select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+          batch.map { case (id, payload) =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(payload).map("%02x".format(_)).mkString
+            def slice(j: Int): Long = java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16)
+            MediaFeatures(id, payload.length, slice(0), slice(1), slice(2), slice(3))
+          }
+        md.mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch)).toDF()
+      },
+      Some(s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  ${(0 until 4).map(j => s"CAST(concat('0x', substring(md5(text), ${8 * j + 1}, 8)) AS BIGINT) AS f$j").mkString(", ")}
+             |FROM documents""".stripMargin),
+      "Batched mapPartitions decode: binary payloads -> feature rows in batches of 16 (inference-stage plumbing; md5 stub)."
+    ),
+    QueryDef(
+      "mm4_resize_plan",
+      (s, d) =>
+        // aspect-preserving resize planning + tiny-crop rejection
+        // (reference F16, taskonomy_processor.py:344-345) — pure column
+        // math over the metadata struct; no decode needed, so at scale this
+        // runs as a metadata-only scan with the payload column pruned away.
+        media(s, d)
+          .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"))
+          .filter(col("w") > 5 && col("h") > 5)
+          .withColumn("scale", lit(ResizeTarget).cast("double") / greatest(col("w"), col("h")))
+          .select(
+            col("doc_id"), col("w"), col("h"),
+            when(col("scale") < 1, floor(col("w") * col("scale"))).otherwise(col("w")).cast("long").as("out_w"),
+            when(col("scale") < 1, floor(col("h") * col("scale"))).otherwise(col("h")).cast("long").as("out_h")
+          ),
+      Some(s"""SELECT doc_id, w, h,
+             |  CAST(CASE WHEN scale < 1 THEN floor(w * scale) ELSE w END AS BIGINT) AS out_w,
+             |  CAST(CASE WHEN scale < 1 THEN floor(h * scale) ELSE h END AS BIGINT) AS out_h
+             |FROM (SELECT doc_id, w, h, CAST($ResizeTarget AS DOUBLE) / greatest(w, h) AS scale
+             |  FROM (SELECT doc_id, ${fakeWSql("doc_id")} AS w, ${fakeHSql("doc_id")} AS h FROM documents)
+             |  WHERE w > 5 AND h > 5)""".stripMargin),
+      "Resize planning: aspect-preserving target-256 dims + tiny-crop filter, metadata-only (payload pruned)."
+    )
+  )
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference pipeline is batch-only (SURVEY.md §2.10) — these ops are the
+  * continuous-ingest lift of its event-shaped operators, written as plain
+  * `DataFrame => DataFrame` transformations so the SAME code runs in batch
+  * (`spark.read` input) and streaming (`spark.readStream` input): Spark's
+  * unified model. Streaming-only semantics (watermarks, state timeouts) are
+  * no-ops under batch execution.
+  *
+  * Scale notes: every op keys its state by a high-cardinality column
+  * (`user_id`, `event_id`), so state stores shard evenly across executors;
+  * watermarks bound state size — nothing here grows without bound at 100 TB/day.
+  */
+object StreamingOps {
+
+  /** One input event. `ts` is event time. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** One completed (or final-on-shutdown) user session. */
+  final case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long, total_value: Double)
+
+  /** Open-session accumulator held in the state store (public: the state
+    * encoder's generated code must reach its accessors).
+    */
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Tumbling 10-minute counts per event type. Late data beyond 15 minutes
+    * is dropped by the watermark (streaming); under batch the watermark is
+    * ignored and this is exactly the `e_tumbling_window` aggregation.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
+
+  /** Idempotent-ingest guard: exactly-once per `event_id` within the
+    * watermark horizon (the `readStream` lift of the reference's
+    * one-file-per-frame idempotency, SURVEY.md §2.10).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "15 minutes").dropDuplicates("event_id")
+
+  /** Stateful gap sessionization: a session closes after `gapMinutes` of
+    * user inactivity (event-time timeout). Same 30-minute-gap semantics as
+    * the batch `e_sessionize` query — the stream emits a session when the
+    * watermark passes its gap horizon instead of via a lag window.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]
+    ): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, s.start, s.end, s.n, s.total))
+      } else {
+        // within one trigger, fold the user's new events in time order;
+        // emit every session that closes (gap exceeded), keep the open one.
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += Session(userId, s.start, s.end, s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** File-source ingest of an event directory as a stream — the S1
+    * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
+    * per micro-batch keeps replays deterministic.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.streaming.StreamingOps.{Event, Session}
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ops: correctness under micro-batch execution and parity with
+  * the batch formulation of the same transformation.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  // base offset: the initial watermark is epoch 0, and events at exactly the
+  // watermark are treated as late — keep the fixture well past it.
+  private def ts(minute: Long): java.sql.Timestamp = new java.sql.Timestamp((1000 + minute) * 60000L)
+
+  private val fixture = Seq(
+    // user 1: two sessions separated by a 40-min gap
+    Event(0, ts(0), 1, "view", 1.0),
+    Event(1, ts(10), 1, "click", 2.0),
+    Event(2, ts(50), 1, "view", 3.0),
+    // user 2: one session
+    Event(3, ts(5), 2, "view", 4.0),
+    Event(4, ts(6), 2, "error", 5.0),
+    // duplicate event id (ingest replay)
+    Event(3, ts(5), 2, "view", 4.0)
+  )
+
+  test("tumblingCounts: identical results in batch and streaming execution") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val batch = StreamingOps.tumblingCounts(fixture.toDF())
+      .orderBy("window_start", "event_type")
+      .collect()
+      .map(_.toSeq)
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamed = s.table("tumbling").orderBy("window_start", "event_type").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops replayed event ids within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val ids = s.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("sessionize emits gap-closed sessions matching batch lag-window semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every open session's gap horizon so
+      // event-time timeouts fire and the remaining sessions emit.
+      mem.addData(Event(99, ts(10000), 9, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9, "view", 0.0))
+      q.processAllAvailable()
+
+      val got = s.table("sessions").as[Session].collect()
+        .filter(_.user_id != 9)
+        .sortBy(x => (x.user_id, x.start_ts))
+        .toSeq
+      val want = Seq(
+        Session(1, ts(0).getTime, ts(10).getTime, 2, 3.0),
+        Session(1, ts(50).getTime, ts(50).getTime, 1, 3.0),
+        Session(2, ts(5).getTime, ts(6).getTime, 3, 13.0) // dup id kept: dedup is a separate op
+      )
+      assert(got == want)
+
+      // batch parity: same session boundaries from the lag-window program
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val batchSessions = fixture.toDF()
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess", when(col("prev_ts").isNull || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_n", sum(col("new_sess")).over(byUser.rowsBetween(Long.MinValue, 0)))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      val batchKeyed = batchSessions
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._3)).toSeq
+      val streamKeyed = got.map(x => (x.user_id, x.n_events, x.total_value)).sortBy(x => (x._1, x._3))
+      assert(streamKeyed == batchKeyed)
+    } finally q.stop()
+  }
+}
