@@ -9,4 +9,8 @@ package object functions {
   /** One-pass 56-bit SimHash over an array<bigint> of token hashes. */
   def simhash56(hashes: Column): Column =
     shims.column(SimHash56(shims.expression(hashes)))
+
+  /** Distinct word-n-gram shingle md5 digests of a text column, one pass. */
+  def shingleHashes(text: Column, n: Int): Column =
+    shims.column(ShingleHashes(shims.expression(text), n))
 }

@@ -30,44 +30,37 @@ object DedupQueries extends QueryModule {
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
 
-  /** doc_id + distinct 3-gram shingle set. */
+  /** doc_id + distinct 3-gram shingle DIGEST set (md5 hex per shingle).
+    * Working in digest space makes every downstream op cheap: Jaccard
+    * intersects fixed-width strings and all eight minhashes slice the same
+    * digest. One fused codegen pass ([[graft.functions.ShingleHashes]])
+    * replaces tokenize → shingle → distinct → hash built-in chain (4
+    * interpreted higher-order passes; was ~6 s of the sf0.1 bench).
+    */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("sh")
+      graft.functions.shingleHashes(col("text"), 3).as("sh")
     )
 
   private val shingleSetSql =
-    s"SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
+    s"SELECT doc_id, list_distinct(list_transform(${shinglesSql("toks", 3)}, x -> md5(x))) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
 
-  /** Per-shingle 256-bit hex digest (two md5 calls), sliced into eight
-    * 32-bit chunks — one minhash value per chunk. Two md5 passes over the
-    * shingle set instead of eight (one per seeded permutation): 4× less
-    * hashing for the same signature quality class; the digest column is
-    * materialized once in its own projection so all eight mh extractions
-    * reuse it.
+  /** Minhash signature columns mh0..mh7: 32-bit slices of each shingle's
+    * 128-bit digest at stride 3 (overlapping — 8 slices fit the 32 hex
+    * chars), min per slice. One md5 per shingle total; the mild correlation
+    * between overlapping slices only affects candidate recall, and every
+    * candidate is exact-Jaccard-verified downstream. At 1e9+ doc scale,
+    * widen to independent 32-bit chunks from a second digest.
     */
-  private def hexPair(x: Column): Column =
-    concat(md5(x), md5(concat(lit("~"), x)))
-
-  private val hexPairSql = "concat(md5(x), md5(concat('~', x)))"
-
-  /** doc_id + per-shingle 64-hex digests, built atop the cached shingle sets. */
-  private def hexDigests(sets: DataFrame): DataFrame =
-    sets.select(col("doc_id"), transform(col("sh"), x => hexPair(x)).as("hx"))
-
-  private val hexDigestSql =
-    s"SELECT doc_id, list_transform(sh, x -> $hexPairSql) AS hx FROM sets"
-
-  /** Minhash signature columns mh0..mh7 from the digest column. */
-  private def minhashCols(hx: Column): Seq[Column] =
+  private def minhashCols(sh: Column): Seq[Column] =
     (0 until NumMinhash).map { j =>
-      array_min(transform(hx, h => conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long"))).as(s"mh$j")
+      array_min(transform(sh, h => conv(substring(h, 3 * j + 1, 8), 16, 10).cast("long"))).as(s"mh$j")
     }
 
   private def minhashColsSql: String =
     (0 until NumMinhash).map { j =>
-      s"list_min(list_transform(hx, h -> CAST(concat('0x', substring(h, ${8 * j + 1}, 8)) AS BIGINT))) AS mh$j"
+      s"list_min(list_transform(sh, h -> CAST(concat('0x', substring(h, ${3 * j + 1}, 8)) AS BIGINT))) AS mh$j"
     }.mkString(", ")
 
   /** LSH band keys: md5 over pairs of adjacent minhashes. */
@@ -132,20 +125,20 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "d2_minhash_signatures",
       (s, d) =>
-        hexDigests(shingleSets(s, d))
-          .select(col("doc_id") +: minhashCols(col("hx")): _*)
+        shingleSets(s, d)
+          .select(col("doc_id") +: minhashCols(col("sh")): _*)
           .select(col("doc_id") +: (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*),
-      Some(s"""WITH sets AS ($shingleSetSql), hx AS ($hexDigestSql)
+      Some(s"""WITH sets AS ($shingleSetSql)
              |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, $bandColsSql
-             |FROM (SELECT doc_id, $minhashColsSql FROM hx)""".stripMargin),
-      "MinHash signatures (8 32-bit chunk min-hashes over 3-gram shingles) + 4 LSH band keys per document."
+             |FROM (SELECT doc_id, $minhashColsSql FROM sets)""".stripMargin),
+      "MinHash signatures (8 32-bit digest-slice min-hashes over 3-gram shingles) + 4 LSH band keys per document."
     ),
     QueryDef(
       "d3_lsh_near_dup_pairs",
       (s, d) => {
         val sets = shingleSets(s, d).cache()
-        val sigs = hexDigests(sets)
-          .select(col("doc_id") +: minhashCols(col("hx")): _*)
+        val sigs = sets
+          .select(col("doc_id") +: minhashCols(col("sh")): _*)
           .select(col("doc_id") +: bandCols: _*)
         // bucketed candidate generation: explode band keys, equi-join per
         // (band index, band hash) bucket — the scale path; no cross join.
@@ -164,8 +157,8 @@ object DedupQueries extends QueryModule {
           .select(col("doc_a"), col("doc_b"), round(jaccardFrom(col("isect"), col("sha"), col("shb")), 6).as("jaccard"))
           .filter(col("jaccard") >= JaccardThreshold)
       },
-      Some(s"""WITH sets AS ($shingleSetSql), hx AS ($hexDigestSql),
-             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM hx))
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets))
              |SELECT doc_a, doc_b, jaccard FROM (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(${jaccardFromSql(isectSql)}, 6) AS jaccard
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
@@ -223,8 +216,8 @@ object DedupQueries extends QueryModule {
         // connected representative = min doc_id over each doc's neighbors
         // (single-link 1-hop approximation, deterministic).
         val sets = shingleSets(s, d).cache()
-        val sigs = hexDigests(sets)
-          .select(col("doc_id") +: minhashCols(col("hx")): _*)
+        val sigs = sets
+          .select(col("doc_id") +: minhashCols(col("sh")): _*)
           .select(col("doc_id") +: bandCols: _*)
         val bands = sigs.select(
           col("doc_id"),
@@ -245,8 +238,8 @@ object DedupQueries extends QueryModule {
           .agg(least(min(col("nbr")), col("did").cast("long")).as("rep_id"), count(lit(1)).as("n_neighbors"))
           .select(col("did").as("doc_id"), col("rep_id"), col("n_neighbors"))
       },
-      Some(s"""WITH sets AS ($shingleSetSql), hx AS ($hexDigestSql),
-             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM hx)),
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
              |verified AS (
              |  SELECT sa.doc_id AS doc_id, sb.doc_id AS nbr
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id <> sb.doc_id

@@ -60,22 +60,27 @@ object EmbeddingQueries extends QueryModule {
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
 
   /** Deterministic integer hyperplane component for plane p, 1-based dim i:
-    * h60("plane<p>:<i>") % 2001 - 1000 ∈ [-1000, 1000].
+    * h60("plane<p>:<i>") % 2001 - 1000 ∈ [-1000, 1000]. The planes are
+    * constants of the plan, so the Spark side folds them at build time into
+    * literal arrays (the oracle re-derives them per row — identical values,
+    * and the oracle only runs at sf0.01).
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    h60(concat(lit(s"plane$p:"), i.cast("string"))) % 2001 - 1000
+  private lazy val planeVecs: IndexedSeq[Array[Long]] =
+    (0 until NumPlanes).map { p =>
+      (1 to Dim).map(i => h60Jvm(s"plane$p:$i") % 2001 - 1000).toArray
+    }
 
   private def planeComponentSql(p: Int, i: String): String =
     s"${h60Sql(s"concat('plane$p:', CAST($i AS VARCHAR))")} % 2001 - 1000"
 
   /** 6-bit LSH bucket id: sign bits of integer dots with 6 pseudo-random
-    * integer hyperplanes (all derived from md5 — no stored model state).
+    * integer hyperplanes (md5-derived — no stored model state).
     */
   private def lshBucket(q: Column): Column =
     (0 until NumPlanes).map { p =>
       when(
         aggregate(
-          zip_with(q, transform(sequence(lit(1), lit(Dim)), i => planeComponent(p, i)), (x, y) => x * y),
+          zip_with(q, typedLit(planeVecs(p)), (x, y) => x * y),
           lit(0L),
           (acc, x) => acc + x
         ) > 0,

@@ -22,6 +22,17 @@ object PipelineFns {
   def h60Sql(expr: String): String =
     s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Driver-side evaluation of the same 60-bit hash — for quantities that
+    * are constants of the plan (LSH hyperplanes): fold them at build time
+    * instead of per row.
+    */
+  def h60Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Lower-cased alnum tokens of the `text` column. Matches the oracle's
     * regexp_extract_all(lower(text), '[a-z0-9]+') exactly.
     */
