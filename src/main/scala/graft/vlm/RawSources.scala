@@ -1,0 +1,150 @@
+package graft.vlm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-side dataset readers (SURVEY.md §2.1): the native formats that are
+  * directly Spark-readable. Binary formats (HDF5/protobuf/pickle — S7, S9,
+  * S10) are landing-zone conversions by design (SURVEY §7.4 item 1) and are
+  * not re-parsed here.
+  */
+object RawSources {
+
+  // ---- S3: COCO labels.json — one document, three logical tables ---------
+
+  /** One multiLine JSON scan of a COCO annotation file; the three logical
+    * tables are projections of the same cached read
+    * (coco_processor.py:234-259).
+    */
+  final case class CocoTables(images: DataFrame, annotations: DataFrame, categories: DataFrame)
+
+  def readCoco(spark: SparkSession, path: String): CocoTables = {
+    val doc = spark.read.option("multiLine", true).json(path).cache()
+    CocoTables(
+      images = doc.select(explode(col("images")).as("i")).select(col("i.*")),
+      annotations = doc.select(explode(col("annotations")).as("a")).select(col("a.*")),
+      categories = doc.select(explode(col("categories")).as("c")).select(col("c.*"))
+    )
+  }
+
+  /** J4: images ⋈ annotations on image_id, annotations ⋈ categories on
+    * category_id (categories broadcast — 80 rows), re-assembled into
+    * unified frames with 2D boxes (coco_processor.py:281-335). The camera
+    * focal is the reference's 0.7·width estimate (coco_processor.py:223).
+    */
+  def cocoToFrames(t: CocoTables, split: String = "val"): DataFrame = {
+    val anns = t.annotations
+      .join(broadcast(t.categories.select(col("id").as("category_id"), col("name"))), Seq("category_id"))
+      .select(
+        col("image_id"),
+        struct(
+          col("bbox")(0).cast("double").as("x"),
+          col("bbox")(1).cast("double").as("y"),
+          col("bbox")(2).cast("double").as("w"),
+          col("bbox")(3).cast("double").as("h"),
+          col("area").cast("double").as("area"),
+          col("name").as("category"),
+          col("id").cast("long").as("instance_id"),
+          col("iscrowd").cast("int").as("iscrowd")
+        ).as("bbox2d")
+      )
+      .groupBy(col("image_id"))
+      .agg(collect_list(col("bbox2d")).as("bounding_boxes_2d"))
+    t.images
+      .select(
+        col("id").as("image_id_raw"),
+        col("file_name"),
+        col("width").cast("int").as("image_width"),
+        col("height").cast("int").as("image_height")
+      )
+      .join(anns, col("image_id_raw") === col("image_id"), "left")
+      .select(
+        lit("coco").as("dataset"),
+        lit(split).as("split"),
+        col("image_id_raw").cast("string").as("image_id"),
+        col("file_name").as("filename"),
+        lit("pseudo").as("depth_type"),
+        struct(
+          (col("image_width") * 0.7).as("fx"),
+          (col("image_width") * 0.7).as("fy"),
+          (col("image_width") / 2.0).as("cx"),
+          (col("image_height") / 2.0).as("cy"),
+          col("image_width"), col("image_height"),
+          array(
+            array(col("image_width") * 0.7, lit(0.0), col("image_width") / 2.0),
+            array(lit(0.0), col("image_width") * 0.7, col("image_height") / 2.0),
+            array(lit(0.0), lit(0.0), lit(1.0))
+          ).as("intrinsics"),
+          lit(null).cast("array<array<double>>").as("extrinsics")
+        ).as("camera"),
+        coalesce(col("bounding_boxes_2d"), array().cast(org.apache.spark.sql.types.ArrayType(FrameSchema.bbox2dType))).as("bounding_boxes_2d")
+      )
+  }
+
+  // ---- S4: SUN RGB-D intrinsics.txt --------------------------------------
+
+  /** Whitespace-matrix intrinsics files: strip `%` comment lines, parse the
+    * nine floats row-major, return (file, fx, fy, cx, cy)
+    * (sunrgbd_processor.py:22-36). `wholetext` keeps one row per file, so a
+    * directory of scenes parses in one scan.
+    */
+  def readIntrinsics(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(input_file_name().as("file"), col("value"))
+      .withColumn("nums",
+        filter(
+          transform(
+            split(regexp_replace(col("value"), "(?m)^%.*$", ""), "\\s+"),
+            s => when(s.rlike("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"), s.cast("double"))
+          ),
+          x => x.isNotNull
+        ))
+      .filter(size(col("nums")) >= 9)
+      .select(
+        col("file"),
+        col("nums")(0).as("fx"), col("nums")(4).as("fy"),
+        col("nums")(2).as("cx"), col("nums")(5).as("cy")
+      )
+
+  // ---- S5: SUN RGB-D extrinsics directory --------------------------------
+
+  /** Pick the lexicographically-last timestamped file per scene directory,
+    * parse its 3×4-or-4×4 row-major matrix, pad the bottom row
+    * (sunrgbd_processor.py:39-86). Scene = parent directory of the file.
+    */
+  def readExtrinsics(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", true).text(s"$dir/*.txt")
+      .select(input_file_name().as("file"), col("value"))
+      .withColumn("scene", regexp_extract(col("file"), "^(.*)/[^/]+$", 1))
+      .groupBy(col("scene"))
+      .agg(max_by(col("value"), col("file")).as("content"), max(col("file")).as("file"))
+      .withColumn("nums",
+        filter(
+          transform(split(trim(col("content")), "\\s+"),
+            s => when(s.rlike("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"), s.cast("double"))),
+          x => x.isNotNull
+        ))
+      .filter(size(col("nums")).isin(12, 16))
+      .withColumn("extrinsics",
+        when(size(col("nums")) === 16,
+          array((0 until 4).map(r => array((0 until 4).map(c => col("nums")(4 * r + c)): _*)): _*))
+          .otherwise(
+            array(
+              array(col("nums")(0), col("nums")(1), col("nums")(2), col("nums")(3)),
+              array(col("nums")(4), col("nums")(5), col("nums")(6), col("nums")(7)),
+              array(col("nums")(8), col("nums")(9), col("nums")(10), col("nums")(11)),
+              array(lit(0.0), lit(0.0), lit(0.0), lit(1.0))
+            )))
+      .select(col("scene"), col("file"), col("extrinsics"))
+
+  // ---- S12: partition discovery from paths -------------------------------
+
+  /** Hive-less partition columns parsed from file paths with regex — the
+    * directory-iteration pattern every processor uses
+    * (e.g. sunrgbd_processor.py:278-301).
+    */
+  def withPathPartitions(df: DataFrame, pattern: String, names: Seq[String]): DataFrame =
+    names.zipWithIndex.foldLeft(df) { case (acc, (n, i)) =>
+      acc.withColumn(n, regexp_extract(input_file_name(), pattern, i + 1))
+    }
+}

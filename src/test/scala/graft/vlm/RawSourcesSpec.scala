@@ -1,0 +1,76 @@
+package graft.vlm
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+/** Raw-source readers on temp-dir fixtures shaped like the native formats. */
+class RawSourcesSpec extends SparkSpec {
+
+  private def tmp(): Path = Files.createTempDirectory("graft-raw")
+
+  test("readCoco splits one labels.json into three tables; cocoToFrames joins them (S3/J4)") {
+    val dir = tmp()
+    val json =
+      """{"images": [
+        |   {"id": 1, "file_name": "a.jpg", "width": 640, "height": 480},
+        |   {"id": 2, "file_name": "b.jpg", "width": 320, "height": 240}],
+        | "annotations": [
+        |   {"id": 10, "image_id": 1, "category_id": 5, "bbox": [10, 20, 30, 40], "area": 1200.0, "iscrowd": 0},
+        |   {"id": 11, "image_id": 1, "category_id": 7, "bbox": [1, 2, 3, 4], "area": 12.0, "iscrowd": 0}],
+        | "categories": [
+        |   {"id": 5, "name": "chair"}, {"id": 7, "name": "table"}]}""".stripMargin
+    Files.writeString(dir.resolve("labels.json"), json)
+
+    val t = RawSources.readCoco(spark, dir.resolve("labels.json").toString)
+    assert(t.images.count() == 2 && t.annotations.count() == 2 && t.categories.count() == 2)
+
+    val frames = RawSources.cocoToFrames(t).orderBy("image_id").collect()
+    assert(frames.length == 2)
+    val f1 = frames.head
+    assert(f1.getAs[String]("image_id") == "1")
+    val boxes = f1.getSeq[org.apache.spark.sql.Row](f1.fieldIndex("bounding_boxes_2d"))
+    assert(boxes.map(_.getAs[String]("category")).sorted == Seq("chair", "table"))
+    val cam = f1.getStruct(f1.fieldIndex("camera"))
+    assert(cam.getAs[Double]("fx") == 640 * 0.7 && cam.getAs[Int]("image_width") == 640)
+    // image 2 has no annotations: empty bbox list, frame kept (left join)
+    assert(frames(1).getSeq[org.apache.spark.sql.Row](frames(1).fieldIndex("bounding_boxes_2d")).isEmpty)
+  }
+
+  test("readIntrinsics parses %-commented whitespace matrices (S4)") {
+    val dir = tmp()
+    Files.writeString(dir.resolve("intrinsics.txt"),
+      "% camera intrinsics\n529.5 0 365.0\n0 529.5 265.0\n0 0 1\n")
+    val r = RawSources.readIntrinsics(spark, dir.resolve("intrinsics.txt").toString).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("fx") == 529.5 && row.getAs[Double]("fy") == 529.5)
+    assert(row.getAs[Double]("cx") == 365.0 && row.getAs[Double]("cy") == 265.0)
+  }
+
+  test("readExtrinsics picks the last timestamped file and pads 3x4 to 4x4 (S5)") {
+    val dir = tmp()
+    // earlier timestamp: identity-ish; later timestamp: the one that must win
+    Files.writeString(dir.resolve("20140101.txt"),
+      "1 0 0 0\n0 1 0 0\n0 0 1 0\n")
+    Files.writeString(dir.resolve("20150101.txt"),
+      "0 0 1 5\n1 0 0 6\n0 1 0 7\n")
+    val r = RawSources.readExtrinsics(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("file").endsWith("20150101.txt"))
+    val m = r.head.getSeq[scala.collection.Seq[Double]](r.head.fieldIndex("extrinsics"))
+    assert(m.length == 4)
+    assert(m(0) == Seq(0.0, 0.0, 1.0, 5.0))
+    assert(m(3) == Seq(0.0, 0.0, 0.0, 1.0)) // padded bottom row
+  }
+
+  test("withPathPartitions extracts partition columns from paths (S12)") {
+    val dir = tmp()
+    val sub = dir.resolve("kv1/NYU0001")
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve("frame.json"), """{"x": 1}""")
+    val df = spark.read.json(dir.toString + "/*/*/*.json")
+    val out = RawSources.withPathPartitions(df, ".*/([^/]+)/([^/]+)/[^/]+\\.json$", Seq("sensor", "scene"))
+    val row = out.select("sensor", "scene").collect().head
+    assert(row.getString(0) == "kv1" && row.getString(1) == "NYU0001")
+  }
+}
