@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.vlm.SparkSpec
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * scale (filter pushdown, column pruning, broadcast choices, no cartesian
+  * blowups) must survive refactors. Asserted on the optimizer's initial
+  * plan at sf0.001 — the shapes are data-size-independent except where AQE
+  * would only improve them (e.g. promote a sort-merge join to broadcast).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("s1_scan_prune pushes filters and prunes columns at the parquet scan") {
+    val p = plan("s1_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // the scan must not read the wide comment column it doesn't project
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("j1_broadcast_dim broadcasts the dimension side") {
+    val p = plan("j1_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("j5_semi_join plans a left-semi join, j_anti_join a left-anti join") {
+    assert(plan("j5_semi_join").contains("LeftSemi"))
+    assert(plan("j_anti_join").contains("LeftAnti"))
+  }
+
+  test("v1_knn_bruteforce broadcasts the query set (no shuffle of the corpus side)") {
+    val p = plan("v1_knn_bruteforce")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("no query plans a cartesian product") {
+    for (name <- SparkEntry.queries.keys) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("q1_agg does two-phase (partial then final) hash aggregation inside codegen") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // codegen stages only exist in the AQE final plan, after execution
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("*("), exec) // whole-stage-codegen stage markers
+  }
+
+  test("mm4_resize_plan reads only doc_id (payload/text pruned from the scan)") {
+    val p = plan("mm4_resize_plan")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"), p)
+  }
+
+  test("d3_lsh_near_dup_pairs joins candidates on band buckets, not a cross join") {
+    val p = plan("d3_lsh_near_dup_pairs")
+    assert(p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+}
