@@ -136,6 +136,18 @@ object Codebook {
       .drop("ordered", "labeled_boxes", "_frame_key")
   }
 
+  /** A13: cache statistics — min/max/avg locations per instance
+    * (build_enhanced_codebook.py:76-84).
+    */
+  def cacheStats(cache: DataFrame): DataFrame =
+    cache.agg(
+      count(lit(1)).as("n_instances"),
+      sum(col("n_locations")).as("total_locations"),
+      min(col("n_locations")).as("min_locations"),
+      max(col("n_locations")).as("max_locations"),
+      round(avg(col("n_locations")), 4).as("avg_locations")
+    )
+
   /** A8: label distribution over the kept codebook. */
   def labelDistribution(codebook: DataFrame): DataFrame =
     codebook.groupBy(col("label")).agg(count(lit(1)).as("n_instances"))

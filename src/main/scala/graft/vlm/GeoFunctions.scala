@@ -46,6 +46,30 @@ object GeoFunctions {
       concat(lit("object_"), regexp_extract(category, "^class_([0-9]+)$", 1))
     ).otherwise(category)
 
+  /** A5: depth statistics from a sampled depth-value array — valid-pixel
+    * mask (0 < d < 100, finite; utils.py:104-106) then count/min/max/exact
+    * median/mean as one in-row column program (no shuffle). At raster scale
+    * the landing-zone job feeds this the per-frame sample column;
+    * `percentile_approx` replaces the exact median when samples exceed
+    * row-size budgets (SURVEY §2.9).
+    */
+  def depthStatsCol(depths: Column, totalPixels: Column): Column = {
+    val valid = sort_array(filter(depths, d => d > 0 && d < 100 && !isnan(d)))
+    val n = size(valid)
+    val median = when(n === 0, lit(null).cast("double"))
+      .when(pmod(n, lit(2)) === 1, element_at(valid, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(valid, (n / 2).cast("int")) + element_at(valid, (n / 2 + 1).cast("int"))) / 2.0)
+    struct(
+      (n > 0).as("present"),
+      n.cast("long").as("valid_pixels"),
+      totalPixels.cast("long").as("total_pixels"),
+      array_min(valid).as("min"),
+      array_max(valid).as("max"),
+      median.as("median"),
+      when(n > 0, aggregate(valid, lit(0.0), (acc, d) => acc + d) / n).as("mean")
+    )
+  }
+
   // ------------------------------------------------------------------ UDFs
   /** 8 oriented-box vertices (geometry.py:60-95). */
   val bboxVerticesUdf = udf {

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object QaPipeline {
 
-  /** Task registry; mirrors config.py:17-88's dataset→tasks mapping by
-    * accepting an explicit task list per run.
+  /** Task registry (six 3D + three legacy 2D tasks); mirrors
+    * config.py:17-88's dataset→tasks mapping by accepting an explicit task
+    * list per run.
     */
-  val taskRegistry: Map[String, (DataFrame, String) => DataFrame] = QaTasks.all
+  val taskRegistry: Map[String, (DataFrame, String) => DataFrame] = QaTasks.all ++ QaTasks2D.all
 
   def validateTasks(tasks: Seq[String]): Unit = {
     val unknown = tasks.filterNot(taskRegistry.contains)
