@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.SimHash56
+import graft.functions.{LongDot, ShingleHashes, SimHash56}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,17 @@ object GraftExtensions {
       FunctionIdentifier("simhash56"),
       new ExpressionInfo(classOf[SimHash56].getName, "simhash56"),
       (children: Seq[Expression]) => SimHash56(children.head)
+    ),
+    (
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "long_dot"),
+      (children: Seq[Expression]) => LongDot(children(0), children(1))
+    ),
+    (
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children(0), children(1).eval().asInstanceOf[Number].intValue())
     )
   )
 

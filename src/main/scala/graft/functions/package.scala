@@ -13,4 +13,8 @@ package object functions {
   /** Distinct word-n-gram shingle md5 digests of a text column, one pass. */
   def shingleHashes(text: Column, n: Int): Column =
     shims.column(ShingleHashes(shims.expression(text), n))
+
+  /** Exact int64 dot product of two array<bigint> columns. */
+  def longDot(a: Column, b: Column): Column =
+    shims.column(LongDot(shims.expression(a), shims.expression(b)))
 }

@@ -142,14 +142,19 @@ object DedupQueries extends QueryModule {
           .select(col("doc_id") +: bandCols: _*)
         // bucketed candidate generation: explode band keys, equi-join per
         // (band index, band hash) bucket — the scale path; no cross join.
+        // Both sides carry all four band keys so a pair can be kept only at
+        // its FIRST shared band — exact dedup without a distinct() shuffle.
         val bands = sigs.select(
-          col("doc_id"),
-          posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
+            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
         )
+        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
+          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
+        }
         val cands = bands.as("x")
           .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+          .filter(col("x.band_idx") === firstSharedBand)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
         cands
           .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
           .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
@@ -186,17 +191,25 @@ object DedupQueries extends QueryModule {
           col("simhash"),
           posexplode(array((0 until 4).map(c => shiftright(col("simhash"), 14 * c).bitwiseAND(16383)): _*)).as(Seq("chunk_idx", "chunk"))
         )
+        // a pair meets once per shared chunk; keep it only at its FIRST
+        // shared chunk — computable in-row from the simhash xor, so no
+        // distinct() (at scale that was a second full shuffle of the
+        // candidate set).
+        val xorCol = col("x.simhash").bitwiseXOR(col("y.simhash"))
+        val firstSharedChunk = (0 until 4).reverse.foldLeft(lit(-1)) { (acc, c) =>
+          when(shiftright(xorCol, 14 * c).bitwiseAND(16383) === 0, lit(c)).otherwise(acc)
+        }
         chunks.as("x")
           .join(
             chunks.as("y"),
             col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id")
           )
+          .filter(col("x.chunk_idx") === firstSharedChunk)
           .select(
             col("x.doc_id").as("doc_a"),
             col("y.doc_id").as("doc_b"),
-            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
+            bit_count(xorCol).as("hamming")
           )
-          .distinct()
           .filter(col("hamming") <= HammingMax)
       },
       Some(s"""WITH sims AS (
@@ -219,14 +232,18 @@ object DedupQueries extends QueryModule {
         val sigs = sets
           .select(col("doc_id") +: minhashCols(col("sh")): _*)
           .select(col("doc_id") +: bandCols: _*)
+        // first-shared-band dedup, as in d3 (directed pairs here)
         val bands = sigs.select(
-          col("doc_id"),
-          posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
+            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
         )
+        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
+          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
+        }
         val cands = bands.as("x")
           .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") =!= col("y.doc_id"))
+          .filter(col("x.band_idx") === firstSharedBand)
           .select(col("x.doc_id").as("did"), col("y.doc_id").as("nbr"))
-          .distinct()
         val verified = cands
           .join(sets.as("a"), col("did") === col("a.doc_id"))
           .join(sets.as("b"), col("nbr") === col("b.doc_id"))

@@ -37,15 +37,19 @@ object EmbeddingQueries extends QueryModule {
   private val qvecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the custom
+    * codegen'd [[graft.functions.LongDot]] (one tight loop; the built-in
+    * `aggregate(zip_with(...))` chain allocates a zipped array per row and
+    * runs interpreted).
+    */
   private def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.longDot(a, b)
 
   private def idotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> ($a)[i] * ($b)[i]))"
 
   private def inorm2(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+    graft.functions.longDot(a, a)
 
   private def inorm2Sql(a: String): String =
     s"list_sum(list_transform($a, x -> x * x))"
@@ -79,11 +83,7 @@ object EmbeddingQueries extends QueryModule {
   private def lshBucket(q: Column): Column =
     (0 until NumPlanes).map { p =>
       when(
-        aggregate(
-          zip_with(q, typedLit(planeVecs(p)), (x, y) => x * y),
-          lit(0L),
-          (acc, x) => acc + x
-        ) > 0,
+        graft.functions.longDot(q, typedLit(planeVecs(p))) > 0,
         lit(1 << p)
       ).otherwise(lit(0))
     }.reduce(_ + _)
@@ -221,8 +221,10 @@ object EmbeddingQueries extends QueryModule {
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
         val centroids = base.filter(col("vec_id") < NumCells)
           .select(col("vec_id").as("cid"), col("q").as("cq"))
+        // exact-integer identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (no zipped
+        // diff array; all three terms are codegen'd LongDot loops)
         def l2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+          graft.functions.longDot(a, a) + graft.functions.longDot(b, b) - lit(2L) * graft.functions.longDot(a, b)
         val assigned = base.join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
           .withColumn("crk", row_number().over(
