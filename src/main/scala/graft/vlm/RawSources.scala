@@ -137,6 +137,68 @@ object RawSources {
             )))
       .select(col("scene"), col("file"), col("extrinsics"))
 
+  // ---- S6: SUN RGB-D annotation3Dfinal/index.json ------------------------
+
+  /** Polygon annotations → 9-DoF boxes: explode objects, keep only
+    * rectangle polygons with 4 X/Z ground-plane points (F9), recover the
+    * axis-aligned box (center = coordinate means, dims = extents, zero
+    * rotation — SUN RGB-D provides none) and strip `:modifier` suffixes
+    * from category names (sunrgbd_processor.py:89-127). Pure column math —
+    * no UDF.
+    */
+  def readSunrgbdAnnotations(spark: SparkSession, path: String): DataFrame = {
+    val doc = spark.read.option("multiLine", true).json(path)
+      .withColumn("_source_file", input_file_name())
+    doc
+      .select(col("_source_file"), posexplode(col("objects")).as(Seq("obj_idx", "obj")))
+      .filter(col("obj").isNotNull && size(col("obj.polygon")) > 0)
+      .withColumn("poly", col("obj.polygon")(0))
+      .filter(col("poly.rectangle") === true) // F9
+      .filter(size(col("poly.X")) === 4 && size(col("poly.Z")) === 4) // F9
+      .select(
+        col("_source_file"),
+        col("obj_idx"),
+        split(coalesce(col("obj.name"), lit("unknown")), ":")(0).as("category"), // M1 cleanup
+        (aggregate(col("poly.X"), lit(0.0), (a, x) => a + x.cast("double")) / 4).as("x"),
+        ((col("poly.Ymin").cast("double") + col("poly.Ymax").cast("double")) / 2).as("y"),
+        (aggregate(col("poly.Z"), lit(0.0), (a, x) => a + x.cast("double")) / 4).as("z"),
+        (array_max(col("poly.X")) - array_min(col("poly.X"))).cast("double").as("xl"),
+        abs(col("poly.Ymax").cast("double") - col("poly.Ymin").cast("double")).as("yl"),
+        (array_max(col("poly.Z")) - array_min(col("poly.Z"))).cast("double").as("zl"),
+        lit(0.0).as("pitch"), lit(0.0).as("yaw"), lit(0.0).as("roll")
+      )
+  }
+
+  // ---- S9: binary sequence file → many rows (generator source) -----------
+
+  /** One decoded frame of a binary sequence file. */
+  final case class SeqFrame(file: String, frame_idx: Int, timestamp: Long, values: Array[Float])
+
+  /** The S9 source topology — `binaryFile` scan + `flatMap` generator, one
+    * file → many frame rows (objectron_processor.py:40-104). Objectron's
+    * real `.pbdata` decode needs generated protobuf classes and is a
+    * landing-zone job (SURVEY §7.4 item 1); this reader runs the identical
+    * Spark plumbing on a little-endian length-prefixed format:
+    * `[n:int32] n × [timestamp:int64][k:int32][k × float32]`.
+    */
+  def readBinarySequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = buf.getInt
+        (0 until n).map { i =>
+          val ts = buf.getLong
+          val k = buf.getInt
+          val vals = Array.fill(k)(buf.getFloat)
+          SeqFrame(path, i, ts, vals)
+        }
+      }
+      .toDF()
+  }
+
   // ---- S12: partition discovery from paths -------------------------------
 
   /** Hive-less partition columns parsed from file paths with regex — the

@@ -63,6 +63,41 @@ class RawSourcesSpec extends SparkSpec {
     assert(m(3) == Seq(0.0, 0.0, 0.0, 1.0)) // padded bottom row
   }
 
+  test("readSunrgbdAnnotations keeps rectangle 4-point polygons and recovers axis-aligned boxes (S6/F9)") {
+    val dir = tmp()
+    val json =
+      """{"objects": [
+        |  {"name": "chair:occluded", "polygon": [
+        |    {"rectangle": true, "X": [0, 2, 2, 0], "Z": [1, 1, 3, 3], "Ymin": -1, "Ymax": 1}]},
+        |  {"name": "wall", "polygon": [
+        |    {"rectangle": false, "X": [0, 1, 2], "Z": [0, 1, 2], "Ymin": 0, "Ymax": 2}]},
+        |  {"name": "table", "polygon": [
+        |    {"rectangle": true, "X": [0, 1, 2], "Z": [0, 1, 2], "Ymin": 0, "Ymax": 2}]},
+        |  null]}""".stripMargin
+    Files.writeString(dir.resolve("index.json"), json)
+    val rows = RawSources.readSunrgbdAnnotations(spark, dir.resolve("index.json").toString).collect()
+    // only the rectangle with 4 X/Z points survives; modifiers stripped
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("category") == "chair")
+    assert(r.getAs[Double]("x") == 1.0 && r.getAs[Double]("y") == 0.0 && r.getAs[Double]("z") == 2.0)
+    assert(r.getAs[Double]("xl") == 2.0 && r.getAs[Double]("yl") == 2.0 && r.getAs[Double]("zl") == 2.0)
+    assert(r.getAs[Double]("yaw") == 0.0)
+  }
+
+  test("readBinarySequences expands one binary file into many frame rows (S9)") {
+    val dir = tmp()
+    val buf = java.nio.ByteBuffer.allocate(4 + 2 * (8 + 4 + 2 * 4)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(2)
+    buf.putLong(1000L); buf.putInt(2); buf.putFloat(1.5f); buf.putFloat(2.5f)
+    buf.putLong(2000L); buf.putInt(2); buf.putFloat(3.5f); buf.putFloat(4.5f)
+    Files.write(dir.resolve("seq0.bin"), buf.array())
+    val rows = RawSources.readBinarySequences(spark, dir.toString).orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("frame_idx") == 0 && rows(0).getAs[Long]("timestamp") == 1000L)
+    assert(rows(1).getSeq[Float](rows(1).fieldIndex("values")) == Seq(3.5f, 4.5f))
+  }
+
   test("withPathPartitions extracts partition columns from paths (S12)") {
     val dir = tmp()
     val sub = dir.resolve("kv1/NYU0001")
