@@ -4,18 +4,21 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word-`n`-gram shingle digests of a text column, in one pass:
   * lowercase → `[a-z0-9]+` tokens → space-joined n-token windows →
-  * first-occurrence-distinct → md5 hex per shingle.
+  * first-occurrence-distinct → 60-bit md5-derived hash per shingle
+  * (the first 15 hex digits of md5, i.e. the engine-wide `h60`).
   *
   * Exactly equivalent to the composed built-ins
-  * `transform(array_distinct(shingles(tokens(text), n)), md5)` — and to the
+  * `transform(array_distinct(shingles(tokens(text), n)), h60)` — and to the
   * DuckDB rendering used by the oracles — but a single tight JVM scan
   * instead of four interpreted higher-order passes building throwaway
   * intermediate arrays; ~5× faster shingle-set materialization at sf0.1.
+  * Long digests keep downstream work integer-only: Jaccard intersects
+  * longs, and minhash slices are bit shifts ([[MinHash8]]).
   *
   * Tokenization matches `regexp_extract_all(lower(text), '[a-z0-9]+')`:
   * the byte-level scan is equivalent because UTF-8 continuation/lead bytes
@@ -28,7 +31,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     case StringType => TypeCheckResult.TypeCheckFailure(s"shingle size must be >= 1, got $n")
     case other => TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires string, got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
@@ -42,8 +45,6 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleHashes {
-
-  private val HexDigits = "0123456789abcdef".toCharArray
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {
@@ -66,7 +67,7 @@ object ShingleHashes {
     // (matches shingles(): at least one window even when len < n)
     val nWindows = math.max(tokens.length - (n - 1), 1)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder(64)
     var w = 0
     while (w < nWindows) {
@@ -82,17 +83,16 @@ object ShingleHashes {
       }
       md.reset()
       val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = new Array[Byte](32)
+      // first 15 hex digits = high 60 bits of the first 8 digest bytes,
+      // matching conv(substring(md5(x), 1, 15), 16, 10)
+      var h60 = 0L
       var h = 0
-      while (h < 16) {
-        hex(2 * h) = HexDigits((digest(h) >> 4) & 0xf).toByte
-        hex(2 * h + 1) = HexDigits(digest(h) & 0xf).toByte
-        h += 1
-      }
-      seen.add(UTF8String.fromBytes(hex))
+      while (h < 8) { h60 = (h60 << 8) | (digest(h) & 0xffL); h += 1 }
+      h60 = h60 >>> 4
+      seen.add(h60)
       w += 1
     }
-    val out = new Array[AnyRef](seen.size)
+    val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }

@@ -17,4 +17,8 @@ package object functions {
   /** Exact int64 dot product of two array<bigint> columns. */
   def longDot(a: Column, b: Column): Column =
     shims.column(LongDot(shims.expression(a), shims.expression(b)))
+
+  /** Eight 32-bit-slice minhash values from an array of 60-bit hashes. */
+  def minhash8(hashes: Column): Column =
+    shims.column(MinHash8(shims.expression(hashes)))
 }

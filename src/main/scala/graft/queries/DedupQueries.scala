@@ -30,12 +30,13 @@ object DedupQueries extends QueryModule {
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
 
-  /** doc_id + distinct 3-gram shingle DIGEST set (md5 hex per shingle).
-    * Working in digest space makes every downstream op cheap: Jaccard
-    * intersects fixed-width strings and all eight minhashes slice the same
-    * digest. One fused codegen pass ([[graft.functions.ShingleHashes]])
-    * replaces tokenize → shingle → distinct → hash built-in chain (4
-    * interpreted higher-order passes; was ~6 s of the sf0.1 bench).
+  /** doc_id + distinct 3-gram shingle DIGEST set (60-bit h60 per shingle).
+    * Working in integer digest space makes every downstream op cheap:
+    * Jaccard intersects longs and all eight minhashes are bit-shift slices
+    * of the same digest. One fused codegen pass
+    * ([[graft.functions.ShingleHashes]]) replaces the tokenize → shingle →
+    * distinct → hash built-in chain (4 interpreted higher-order passes;
+    * was ~6 s of the sf0.1 bench).
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -44,23 +45,23 @@ object DedupQueries extends QueryModule {
     )
 
   private val shingleSetSql =
-    s"SELECT doc_id, list_distinct(list_transform(${shinglesSql("toks", 3)}, x -> md5(x))) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
+    s"SELECT doc_id, list_distinct(list_transform(${shinglesSql("toks", 3)}, x -> ${h60Sql("x")})) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
 
-  /** Minhash signature columns mh0..mh7: 32-bit slices of each shingle's
-    * 128-bit digest at stride 3 (overlapping — 8 slices fit the 32 hex
-    * chars), min per slice. One md5 per shingle total; the mild correlation
-    * between overlapping slices only affects candidate recall, and every
-    * candidate is exact-Jaccard-verified downstream. At 1e9+ doc scale,
-    * widen to independent 32-bit chunks from a second digest.
+  /** Minhash signature columns mh0..mh7: overlapping 32-bit slices of the
+    * 60-bit digest at 4-bit stride, min per slice — all eight minima in one
+    * codegen pass ([[graft.functions.MinHash8]]). Slice correlation only
+    * affects candidate recall; every candidate is exact-Jaccard-verified
+    * downstream. At 1e9+ doc scale, widen to independent slices from a
+    * second digest.
     */
-  private def minhashCols(sh: Column): Seq[Column] =
-    (0 until NumMinhash).map { j =>
-      array_min(transform(sh, h => conv(substring(h, 3 * j + 1, 8), 16, 10).cast("long"))).as(s"mh$j")
-    }
+  private def signatures(sets: DataFrame): DataFrame =
+    sets
+      .select(col("doc_id"), graft.functions.minhash8(col("sh")).as("mh")) // one pass per row
+      .select(col("doc_id") +: (0 until NumMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
 
   private def minhashColsSql: String =
     (0 until NumMinhash).map { j =>
-      s"list_min(list_transform(sh, h -> CAST(concat('0x', substring(h, ${3 * j + 1}, 8)) AS BIGINT))) AS mh$j"
+      s"list_min(list_transform(sh, h -> (h >> ${4 * j}) & 4294967295)) AS mh$j"
     }.mkString(", ")
 
   /** LSH band keys: md5 over pairs of adjacent minhashes. */
@@ -125,8 +126,7 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "d2_minhash_signatures",
       (s, d) =>
-        shingleSets(s, d)
-          .select(col("doc_id") +: minhashCols(col("sh")): _*)
+        signatures(shingleSets(s, d))
           .select(col("doc_id") +: (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*),
       Some(s"""WITH sets AS ($shingleSetSql)
              |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, $bandColsSql
@@ -137,8 +137,7 @@ object DedupQueries extends QueryModule {
       "d3_lsh_near_dup_pairs",
       (s, d) => {
         val sets = shingleSets(s, d).cache()
-        val sigs = sets
-          .select(col("doc_id") +: minhashCols(col("sh")): _*)
+        val sigs = signatures(sets)
           .select(col("doc_id") +: bandCols: _*)
         // bucketed candidate generation: explode band keys, equi-join per
         // (band index, band hash) bucket — the scale path; no cross join.
@@ -229,8 +228,7 @@ object DedupQueries extends QueryModule {
         // connected representative = min doc_id over each doc's neighbors
         // (single-link 1-hop approximation, deterministic).
         val sets = shingleSets(s, d).cache()
-        val sigs = sets
-          .select(col("doc_id") +: minhashCols(col("sh")): _*)
+        val sigs = signatures(sets)
           .select(col("doc_id") +: bandCols: _*)
         // first-shared-band dedup, as in d3 (directed pairs here)
         val bands = sigs.select(

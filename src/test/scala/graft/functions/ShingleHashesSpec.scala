@@ -5,14 +5,14 @@ import graft.vlm.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** ShingleHashes must equal the composed built-in chain it replaces:
-  * transform(array_distinct(shingles(tokens(text), n)), md5).
+  * transform(array_distinct(shingles(tokens(text), n)), h60).
   */
 class ShingleHashesSpec extends SparkSpec {
 
   private def builtinChain(text: org.apache.spark.sql.Column, n: Int) =
     transform(
       array_distinct(PipelineFns.shingles(PipelineFns.tokens(text), n)),
-      x => md5(x)
+      x => PipelineFns.h60(x)
     )
 
   private val cases = Seq(
@@ -38,7 +38,7 @@ class ShingleHashesSpec extends SparkSpec {
       )
       val rows = df.collect()
       rows.zip(cases).foreach { case (r, txt) =>
-        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n text='$txt'")
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n text='$txt'")
       }
     }
   }
