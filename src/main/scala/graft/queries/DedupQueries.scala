@@ -87,15 +87,15 @@ object DedupQueries extends QueryModule {
     s"CAST($isect AS DOUBLE) / (len(a.sh) + len(b.sh) - $isect)"
 
   /** doc_id + 56-bit simhash (majority vote over distinct-token hashes).
-    * The token-hash array is materialized in its own projection (one md5
-    * per distinct token), then folded in a single codegen'd pass by the
-    * custom [[graft.functions.SimHash56]] expression — the built-in
-    * formulation (56 separate higher-order `aggregate` folds) re-evaluated
-    * the md5 transform per bit and was ~20× slower at sf0.1.
+    * Distinct token hashes are 1-gram shingle digests, so the fused
+    * [[graft.functions.ShingleHashes]] scan produces them in one pass, and
+    * [[graft.functions.SimHash56]] folds them in another — the all-built-in
+    * formulation (regex tokens → distinct → md5 transform → 56 interpreted
+    * `aggregate` folds, re-evaluated per bit) was ~20× slower at sf0.1.
     */
   private def simhashed(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), transform(array_distinct(tokens(col("text"))), t => h60(t)).as("hs"))
+      .select(col("doc_id"), graft.functions.shingleHashes(col("text"), 1).as("hs"))
       .select(col("doc_id"), graft.functions.simhash56(col("hs")).as("simhash"))
 
   private val simhashSql =
