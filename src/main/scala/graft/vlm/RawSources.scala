@@ -1,6 +1,6 @@
 package graft.vlm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Raw-side dataset readers (SURVEY.md §2.1): the native formats that are
@@ -197,6 +197,46 @@ object RawSources {
         }
       }
       .toDF()
+  }
+
+  // ---- G11: 2D-bbox encoding normalization -------------------------------
+
+  /** Normalize any of the reference's three raw 2D-bbox encodings
+    * (geometry.py:272-335) into the engine's single (x, y, w, h, area,
+    * category) struct:
+    *   - Taskonomy mask-derived: x_min/y_min/x_max/y_max
+    *   - COCO: nested bbox_2d {x, y, width, height}
+    *   - direct: x/y/w/h
+    * Encoding is decided from the SCHEMA (not per row), so the projection
+    * is a plain column program; `area` falls back to w·h.
+    */
+  def normalizeBoxes2d(df: DataFrame, boxesCol: String = "bounding_boxes_2d"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val elem = df.schema(boxesCol).dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val names = elem.fieldNames.toSet
+    def norm(b: Column): Column = {
+      val (x, y, w, h): (Column, Column, Column, Column) =
+        if (names.contains("x_min"))
+          (b.getField("x_min").cast("double"), b.getField("y_min").cast("double"),
+            (b.getField("x_max") - b.getField("x_min")).cast("double"),
+            (b.getField("y_max") - b.getField("y_min")).cast("double"))
+        else if (names.contains("bbox_2d")) {
+          val n = b.getField("bbox_2d")
+          (n.getField("x").cast("double"), n.getField("y").cast("double"),
+            n.getField("width").cast("double"), n.getField("height").cast("double"))
+        } else
+          (b.getField("x").cast("double"), b.getField("y").cast("double"),
+            b.getField("w").cast("double"), b.getField("h").cast("double"))
+      val area =
+        if (names.contains("area")) coalesce(b.getField("area").cast("double"), w * h)
+        else w * h
+      struct(
+        x.as("x"), y.as("y"), w.as("w"), h.as("h"),
+        area.as("area"),
+        coalesce(b.getField("category").cast("string"), lit("unknown")).as("category")
+      )
+    }
+    df.withColumn(boxesCol, transform(col(boxesCol), norm(_)))
   }
 
   // ---- S12: partition discovery from paths -------------------------------

@@ -98,6 +98,38 @@ class RawSourcesSpec extends SparkSpec {
     assert(rows(1).getSeq[Float](rows(1).fieldIndex("values")) == Seq(3.5f, 4.5f))
   }
 
+  test("normalizeBoxes2d reads all three raw encodings (G11, geometry.py:272-335)") {
+    val s = spark
+    import s.implicits._
+    // Taskonomy corners
+    val t = Seq((1, Seq((0.0, 1.0, 10.0, 21.0, 17.0, "chair")))).toDF("id", "bounding_boxes_2d")
+      .select(col("id"), transform(col("bounding_boxes_2d"), b => struct(
+        b.getField("_1").as("x_min"), b.getField("_2").as("y_min"),
+        b.getField("_3").as("x_max"), b.getField("_4").as("y_max"),
+        b.getField("_5").as("area"), b.getField("_6").as("category"))).as("bounding_boxes_2d"))
+    val tn = RawSources.normalizeBoxes2d(t).select(explode(col("bounding_boxes_2d"))).select("col.*").collect().head
+    assert(tn.getAs[Double]("x") == 0.0 && tn.getAs[Double]("w") == 10.0 && tn.getAs[Double]("h") == 20.0)
+    assert(tn.getAs[Double]("area") == 17.0) // stored area wins
+
+    // COCO nested
+    val c = Seq((1, Seq((5.0, 6.0, 7.0, 8.0, "dog")))).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), b => struct(
+        struct(b.getField("_1").as("x"), b.getField("_2").as("y"),
+          b.getField("_3").as("width"), b.getField("_4").as("height")).as("bbox_2d"),
+        b.getField("_5").as("category"))).as("bounding_boxes_2d"))
+    val cn = RawSources.normalizeBoxes2d(c).select(explode(col("bounding_boxes_2d"))).select("col.*").collect().head
+    assert(cn.getAs[Double]("x") == 5.0 && cn.getAs[Double]("w") == 7.0 && cn.getAs[Double]("area") == 56.0)
+
+    // direct x/y/w/h
+    val d = Seq((1, Seq((1.0, 2.0, 3.0, 4.0, "cat")))).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), b => struct(
+        b.getField("_1").as("x"), b.getField("_2").as("y"),
+        b.getField("_3").as("w"), b.getField("_4").as("h"),
+        b.getField("_5").as("category"))).as("bounding_boxes_2d"))
+    val dn = RawSources.normalizeBoxes2d(d).select(explode(col("bounding_boxes_2d"))).select("col.*").collect().head
+    assert(dn.getAs[Double]("w") == 3.0 && dn.getAs[Double]("area") == 12.0 && dn.getAs[String]("category") == "cat")
+  }
+
   test("withPathPartitions extracts partition columns from paths (S12)") {
     val dir = tmp()
     val sub = dir.resolve("kv1/NYU0001")
