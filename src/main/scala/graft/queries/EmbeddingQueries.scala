@@ -190,15 +190,18 @@ object EmbeddingQueries extends QueryModule {
     QueryDef(
       "v5_label_centroids",
       (s, d) => {
-        // IVF-style coarse quantizer: exact integer centroid sums per label.
-        // All arithmetic is integer (commutative-exact), so no ordering
-        // ceremony is needed anywhere.
+        // IVF-style coarse quantizer: exact integer centroid sums per label
+        // via the LongVecSum Aggregator — one shuffle with map-side partial
+        // vectors instead of a 64× explode blowup. Integer math is
+        // commutative-exact, so any merge order gives identical results.
         quantized(s, d)
-          .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy(col("label"), col("pos"))
-          .agg(sum(col("v")).as("sv"))
           .groupBy(col("label"))
-          .agg(count(lit(1)).as("dim"), sum(col("sv") * col("sv")).as("norm2_scaled"))
+          .agg(graft.functions.LongVecSum.column(col("q")).as("sv"))
+          .select(
+            col("label"),
+            size(col("sv")).cast("long").as("dim"),
+            graft.functions.longDot(col("sv"), col("sv")).as("norm2_scaled")
+          )
       },
       Some(s"""SELECT label, count(*) AS dim,
              |  CAST(sum(sv * sv) AS BIGINT) AS norm2_scaled
