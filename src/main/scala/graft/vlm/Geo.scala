@@ -248,4 +248,51 @@ object Geo {
       if (xMax <= xMin || yMax <= yMin) None else Some((xMin, yMin, xMax, yMax))
     }
   }
+
+  /** Pinhole inverse: pixel (u, v) at depth d → camera-frame point.
+    * Ref: taskonomy_processor.py:110-145 (G15 core).
+    */
+  def unprojectPoint(u: Double, v: Double, depth: Double,
+                     fx: Double, fy: Double, cx: Double, cy: Double): Vec3 =
+    Array((u - cx) * depth / fx, (v - cy) * depth / fy, depth)
+
+  /** Extrinsics (camera-to-world 4×4) from camera position + Euler angles
+    * in degrees. Ref: taskonomy_processor.py:83-107 (G14).
+    */
+  def extrinsicsFromPositionEuler(
+      px: Double, py: Double, pz: Double,
+      pitchDeg: Double, yawDeg: Double, rollDeg: Double): Mat4 = {
+    val r = rotationMatrix(math.toRadians(pitchDeg), math.toRadians(yawDeg), math.toRadians(rollDeg))
+    Array(
+      Array(r(0)(0), r(0)(1), r(0)(2), px),
+      Array(r(1)(0), r(1)(1), r(1)(2), py),
+      Array(r(2)(0), r(2)(1), r(2)(2), pz),
+      Array(0.0, 0.0, 0.0, 1.0)
+    )
+  }
+
+  /** 2D→3D box lift from ROI depth statistics — the COCO pseudo-3D path
+    * (coco_processor.py:121-232, G19): focal estimated as 0.7·image size,
+    * center unprojected at the median ROI depth, X/Y extents from the
+    * projected corners, depth extent from max(0.8·min(w,h), 2·depth std),
+    * rejected when the median depth or any dimension falls outside sanity
+    * bounds. Returns (center, dims) — zero rotation by construction.
+    */
+  def lift2dTo3d(
+      x: Double, y: Double, w: Double, h: Double,
+      medianDepth: Double, depthStd: Double,
+      imageWidth: Int, imageHeight: Int): Option[(Vec3, Vec3)] = {
+    if (medianDepth < 0.5 || medianDepth > 50.0) return None
+    val fx = imageWidth * 0.7
+    val fy = imageHeight * 0.7
+    val cx = imageWidth / 2.0
+    val cy = imageHeight / 2.0
+    val center = unprojectPoint(x + w / 2.0, y + h / 2.0, medianDepth, fx, fy, cx, cy)
+    val w3 = math.abs((x + w - cx) * medianDepth / fx - (x - cx) * medianDepth / fx)
+    val h3 = math.abs((y + h - cy) * medianDepth / fy - (y - cy) * medianDepth / fy)
+    val d3 = math.max(math.min(w3, h3) * 0.8, depthStd * 2.0)
+    val minSize = 0.05
+    if (w3 < minSize || h3 < minSize || d3 < minSize) None
+    else Some((center, Array(w3, h3, d3)))
+  }
 }

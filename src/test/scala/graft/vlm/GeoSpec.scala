@@ -169,4 +169,33 @@ class GeoSpec extends AnyFunSuite {
     // behind-camera box → None
     assert(projectTo2d(bboxVertices(0, 0, -5, 1, 1, 1, 0, 0, 0), 500, 500, 320, 240, 640, 480).isEmpty)
   }
+
+  test("unprojectPoint inverts projection at the principal point (G15)") {
+    val p = unprojectPoint(320, 240, 3.0, 500, 500, 320, 240)
+    assert(approx(p(0), 0) && approx(p(1), 0) && approx(p(2), 3.0))
+    val q = unprojectPoint(420, 240, 5.0, 500, 500, 320, 240)
+    assert(approx(q(0), 1.0)) // (420-320)*5/500
+  }
+
+  test("extrinsicsFromPositionEuler composes rotation + translation (G14)") {
+    val m = extrinsicsFromPositionEuler(1, 2, 3, 0, 0, 0)
+    assert(m(0)(3) == 1.0 && m(1)(3) == 2.0 && m(2)(3) == 3.0)
+    assert(m(0)(0) == 1.0 && m(3).toSeq == Seq(0.0, 0.0, 0.0, 1.0))
+    assert(cameraPosition(m).get.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("lift2dTo3d: center/dims from median ROI depth; sanity rejections (G19, coco_processor.py:121-232)") {
+    // centered 100x100 box at depth 5 in a 640x480 image: fx=448, fy=336
+    val Some((center, dims)) = lift2dTo3d(270, 190, 100, 100, 5.0, 0.1, 640, 480)
+    assert(approx(center(2), 5.0) && approx(center(0), 0.0) && approx(center(1), 0.0))
+    assert(approx(dims(0), 100 * 5.0 / 448) && approx(dims(1), 100 * 5.0 / 336))
+    assert(approx(dims(2), math.min(dims(0), dims(1)) * 0.8)) // std contribution smaller here
+    // depth std dominates when large
+    val Some((_, dims2)) = lift2dTo3d(270, 190, 100, 100, 5.0, 2.0, 640, 480)
+    assert(approx(dims2(2), 4.0))
+    // rejections: unreasonable depth; tiny box
+    assert(lift2dTo3d(270, 190, 100, 100, 0.4, 0.1, 640, 480).isEmpty)
+    assert(lift2dTo3d(270, 190, 100, 100, 60.0, 0.1, 640, 480).isEmpty)
+    assert(lift2dTo3d(318, 238, 2, 2, 5.0, 0.001, 640, 480).isEmpty)
+  }
 }
