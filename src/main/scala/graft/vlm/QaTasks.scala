@@ -33,6 +33,15 @@ object QaTasks {
   val RelPosThreshold = 0.1
   val V1SamplesPerFrame = 2
 
+  /** Skew guard for the J8 pair self-joins (SURVEY §7.4 item 2): a frame
+    * with n boxes emits n² /2 pairs, so one pathological frame (a mislabeled
+    * scene with thousands of instances) would dominate its partition at
+    * corpus scale. Frames keep their first `MaxPairBoxes` boxes (by bbox
+    * index — deterministic) for pair-shaped tasks; reference-scale frames
+    * (≤ tens of boxes) are unaffected.
+    */
+  val MaxPairBoxes = 64
+
   /** All tasks keyed by their reference task name. */
   def all: Map[String, (DataFrame, String) => DataFrame] = Map(
     "object_count" -> objectCount,
@@ -207,7 +216,9 @@ object QaTasks {
     * i<j pair self-join; min 8×8 vertex distance; 0.2–20 m gate).
     */
   def objObjDistance(frames: DataFrame, datasetName: String): DataFrame = {
-    val b = boxes(frames).withColumn("verts", vertsOf(col("bbox")))
+    val b = boxes(frames)
+      .filter(col("bbox_idx") < MaxPairBoxes) // J8 skew guard
+      .withColumn("verts", vertsOf(col("bbox")))
     val a = b.select(
       col("image_id"), col("scene_id"), col("frame_id"), col("_source_file"),
       col("bbox_idx").as("i"), col("bbox").as("b1"), col("verts").as("v1"))
@@ -240,6 +251,7 @@ object QaTasks {
   def objObjRelPos(frames: DataFrame, datasetName: String): DataFrame = {
     val b = boxes(frames)
       .filter(col("camera").getField("extrinsics").isNotNull)
+      .filter(col("bbox_idx") < MaxPairBoxes) // J8 skew guard
       .withColumn("verts", vertsOf(col("bbox")))
       .withColumn("cverts", toCameraFrameUdf(col("verts"), col("camera").getField("extrinsics")))
     val a = b.select(
