@@ -295,6 +295,25 @@ object RelationalQueries extends QueryModule {
       "Conditional success-rate tallies (SURVEY A15; build_enhanced_codebook.py:437-497)."
     ),
     QueryDef(
+      "a_rollup_summary",
+      (s, d) =>
+        // SURVEY §2.5: the reference's two fixed summary levels (per-dataset
+        // and per-task, K4) generalize to one ROLLUP pass — subtotals and
+        // the grand total in a single shuffle instead of two jobs.
+        Tables.documents(s, d)
+          .rollup(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            grouping_id().as("gid")
+          ),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+             |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin),
+      "Multi-level summaries in one pass: ROLLUP over (source, lang) with grouping_id (K4 generalization)."
+    ),
+    QueryDef(
       "a12_collect_sorted",
       (s, d) =>
         Tables.lineitem(s, d)
