@@ -174,17 +174,18 @@ object TextQueries extends QueryModule {
     ),
     QueryDef(
       "t4_fingerprint",
-      (s, d) => {
-        val toks = tokens(col("text"))
-        val sh = shingles(toks, 5)
+      (s, d) =>
         Tables.documents(s, d).select(
           col("doc_id"),
-          // winnowing-style fingerprint: min 60-bit hash over 5-gram shingles
-          array_min(transform(sh, x => h60(x))).as("fingerprint"),
+          // winnowing-style fingerprint: min 60-bit hash over 5-gram
+          // shingles. min-over-distinct == min-over-all, so the fused
+          // ShingleHashes scan computes it directly (the built-in
+          // shingle+transform chain was the worst single query in the
+          // honest noop-sink bench).
+          array_min(graft.functions.shingleHashes(col("text"), 5)).as("fingerprint"),
           // canonical content hash over normalized (lower/alnum-tokenized) text
-          md5(array_join(toks, " ")).as("content_hash")
-        )
-      },
+          md5(array_join(tokens(col("text")), " ")).as("content_hash")
+        ),
       Some(s"""SELECT doc_id,
              |  list_min(list_transform(${shinglesSql("toks", 5)}, x -> ${h60Sql("x")})) AS fingerprint,
              |  md5(array_to_string(toks, ' ')) AS content_hash
