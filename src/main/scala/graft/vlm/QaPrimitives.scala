@@ -24,6 +24,24 @@ object QaPrimitives {
     when(clamped === answer, answer * 1.2).otherwise(clamped)
   }
 
+  /** Contiguous zero-based ids in a stable total order, distributed: range-
+    * partition on the order key, sort within partitions, then assign global
+    * offsets via `zipWithIndex` (one extra count job). A bare
+    * `row_number() over (ORDER BY ...)` would move every row to a single
+    * partition — the one W6 shape that cannot ship at corpus scale. Ids are
+    * identical to the window formulation as long as the order key is
+    * unique.
+    */
+  def withContiguousIds(df: DataFrame, idCol: String, fmt: String, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add("_rn", org.apache.spark.sql.types.LongType)
+    val withIdx = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) },
+      schema)
+    withIdx.withColumn(idCol, format_string(fmt, col("_rn"))).drop("_rn")
+  }
+
   /** Seeded shuffle: sort options by per-position md5 keys
     * (qa_base.py:111-137). Adds `_shuffled` (permuted options) and
     * `_letter` — the *first* position holding the correct value, as in the

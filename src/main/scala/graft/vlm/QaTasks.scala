@@ -83,15 +83,12 @@ object QaTasks {
       b.getField("pitch"), b.getField("yaw"), b.getField("roll"))
 
   /** Contiguous per-task QA ids `{dataset}_{task}_{n:06d}` assigned in a
-    * stable total order (qa_base.py:54-65 / SURVEY W6).
+    * stable total order (qa_base.py:54-65 / SURVEY W6) — distributed via
+    * range-partitioned zipWithIndex, not a single-partition global window.
     */
-  private def assignIds(df: DataFrame, datasetName: String, task: String, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn(
-        "id",
-        format_string(s"${datasetName}_${task}_%06d", row_number().over(w) - 1))
+  private def assignIds(df: DataFrame, datasetName: String, task: String, order: Seq[Column]): DataFrame =
+    QaPrimitives.withContiguousIds(df, "id", s"${datasetName}_${task}_%06d", order)
       .select(col("id"), col("question"), col("answer"), col("answer_type"), col("options"), col("metadata"))
-  }
 
   import QaPrimitives.{distractor, shuffleToLetter}
 

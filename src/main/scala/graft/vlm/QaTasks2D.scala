@@ -54,11 +54,9 @@ object QaTasks2D {
   private def areaOf(b: Column): Column =
     coalesce(b.getField("area"), b.getField("w") * b.getField("h"))
 
-  private def assignIds(df: DataFrame, datasetName: String, task: String, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn("id", format_string(s"${datasetName}_${task}_%06d", row_number().over(w) - 1))
+  private def assignIds(df: DataFrame, datasetName: String, task: String, order: Seq[Column]): DataFrame =
+    QaPrimitives.withContiguousIds(df, "id", s"${datasetName}_${task}_%06d", order)
       .select(col("id"), col("question"), col("answer"), col("answer_type"), col("options"), col("metadata"))
-  }
 
   /** object_count_2d — tasks_2d/object_count_2d_qa.py: per-frame category
     * counts over 2D boxes, `unknown` excluded (F4), numerical answer.
