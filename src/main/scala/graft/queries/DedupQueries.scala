@@ -264,6 +264,75 @@ object DedupQueries extends QueryModule {
              |SELECT doc_id, least(min(nbr), CAST(doc_id AS BIGINT)) AS rep_id, count(*) AS n_neighbors
              |FROM verified GROUP BY doc_id""".stripMargin),
       "Near-dup group representatives: verified-neighbor min-id (deterministic 1-hop single-link)."
+    ),
+    QueryDef(
+      "d7_dup_groups_cc",
+      (s, d) => {
+        // Full connected components over the verified near-dup graph —
+        // transitive closure, where d6 stops at 1 hop. Iterative min-label
+        // propagation (the hash-to-min pattern): each round joins labels
+        // across edges and keeps the minimum; rounds needed = graph
+        // diameter (dup clusters are near-cliques from band collisions, so
+        // 2-3 in practice). Each round is one shuffle join + one
+        // aggregation; the driver loop only reads a 1-row convergence
+        // count.
+        val sets = shingleSets(s, d).cache()
+        val sigs = signatures(sets).select(col("doc_id") +: bandCols: _*)
+        val bands = sigs.select(
+          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
+            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
+        )
+        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
+          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
+        }
+        val cand = bands.as("x")
+          .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+          .filter(col("x.band_idx") === firstSharedBand)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        val verifiedEdges = cand
+          .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+          .select(col("a"), col("b"), size(array_intersect(col("sa.sh"), col("sb.sh"))).as("isect"),
+            size(col("sa.sh")).as("na"), size(col("sb.sh")).as("nb"))
+          .filter(round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6) >= JaccardThreshold)
+          .select(col("a"), col("b"))
+          .cache()
+        val undirected = verifiedEdges.union(verifiedEdges.select(col("b").as("a"), col("a").as("b"))).cache()
+        var labels = undirected.select(col("a").as("v")).distinct()
+          .withColumn("label", col("v")).cache()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 15) {
+          val prop = undirected.join(labels, col("a") === col("v"))
+            .select(col("b").as("v"), col("label"))
+          val next = labels.select(col("v"), col("label")).union(prop)
+            .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
+          val changed = next.as("n")
+            .join(labels.as("o"), col("n.v") === col("o.v"))
+            .filter(col("n.label") =!= col("o.label"))
+            .limit(1).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels.select(col("v").as("doc_id"), col("label").as("group_id"))
+      },
+      Some(s"""WITH RECURSIVE sets AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
+             |verified AS (
+             |  SELECT sa.doc_id AS a, sb.doc_id AS b
+             |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
+             |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
+             |edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+             |reach(v, m) AS (
+             |  SELECT a AS v, a AS m FROM edges
+             |  UNION
+             |  SELECT e.b AS v, r.m FROM edges e JOIN reach r ON r.v = e.a)
+             |SELECT v AS doc_id, min(m) AS group_id FROM reach GROUP BY v""".stripMargin),
+      "Connected-components dup groups: iterative min-label propagation over verified near-dup edges (transitive closure)."
     )
   )
 }
