@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Shared deterministic primitives for the document/embedding pipeline
   * operators. Everything is built on md5 — the one hash both Spark and the
@@ -203,6 +204,47 @@ object TextQueries extends QueryModule {
              |FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
              |GROUP BY token""".stripMargin),
       "Corpus vocabulary stats via token explode → groupBy (generator/UDTF shape, SURVEY §2.9)."
+    ),
+    QueryDef(
+      "t6_salient_terms",
+      (s, d) => {
+        // TF-IDF-style salient terms, rational variant: score = tf · N / df.
+        // A log idf would rank identically per document (log is monotone in
+        // N/df and tf multiplies both) but `ln` is not bit-identical across
+        // engines, while integer ratios divide exactly once in IEEE —
+        // deterministic cross-engine. Shapes: one explode+groupBy for term
+        // frequencies, a vocabulary aggregate for document frequencies
+        // joined back on the token key (AQE picks the strategy; the vocab
+        // side is NOT force-broadcast — it grows with corpus size), a
+        // per-document window for top-3.
+        val docs = Tables.documents(s, d)
+        val n = docs.count() // corpus size: metadata-scale driver value
+        val terms = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        terms.join(dfreq, Seq("token"))
+          .withColumn("score", round(col("tf") * lit(n).cast("double") / col("df"), 6))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))
+      },
+      Some(s"""WITH terms AS (
+             |  SELECT doc_id, token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+             |  GROUP BY doc_id, token),
+             |dfreq AS (SELECT token, count(*) AS df FROM terms GROUP BY token),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, rk, token, tf, df, score FROM (
+             |  SELECT t.doc_id, t.token, t.tf, f.df,
+             |    round(t.tf * CAST((SELECT n FROM n) AS DOUBLE) / f.df, 6) AS score,
+             |    row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY round(t.tf * CAST((SELECT n FROM n) AS DOUBLE) / f.df, 6) DESC, t.token ASC) AS rk
+             |  FROM terms t JOIN dfreq f ON t.token = f.token)
+             |WHERE rk <= 3""".stripMargin),
+      "Salient terms per document: tf·N/df scoring (rational tf-idf), vocabulary join-back, top-3 window."
     )
   )
 }
