@@ -314,6 +314,31 @@ object RelationalQueries extends QueryModule {
       "Multi-level summaries in one pass: ROLLUP over (source, lang) with grouping_id (K4 generalization)."
     ),
     QueryDef(
+      "a_approx_distinct",
+      (s, d) =>
+        // SURVEY §2.5: the reference only ever counts exactly; at 100 TB the
+        // sketch path is mandatory (bounded memory, one pass, mergeable
+        // across executors). Each engine's HLL yields different estimates,
+        // so the cross-engine contract is the exact count plus a
+        // bounded-relative-error flag — the property that actually matters.
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id")).as("approx_users")
+          )
+          .select(
+            col("event_type"),
+            col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.15).as("approx_within_15pct")
+          ),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) AS DOUBLE)
+             |    / count(DISTINCT user_id) <= 0.15 AS approx_within_15pct
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Sketch-based distinct counting: HLL approx vs exact with a bounded-error contract (100 TB scale path)."
+    ),
+    QueryDef(
       "a12_collect_sorted",
       (s, d) =>
         Tables.lineitem(s, d)
