@@ -300,6 +300,11 @@ object DedupQueries extends QueryModule {
         val undirected = verifiedEdges.union(verifiedEdges.select(col("b").as("a"), col("a").as("b"))).cache()
         var labels = undirected.select(col("a").as("v")).distinct()
           .withColumn("label", col("v")).cache()
+        // labels only ever decrease, so sum(label) is strictly monotone
+        // until fixpoint — a one-row aggregate is the convergence probe
+        // (cheaper than a join-compare of consecutive label sets).
+        def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
+        var prevSum = labelSum()
         var converged = false
         var iter = 0
         while (!converged && iter < 15) {
@@ -307,13 +312,11 @@ object DedupQueries extends QueryModule {
             .select(col("b").as("v"), col("label"))
           val next = labels.select(col("v"), col("label")).union(prop)
             .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
-          val changed = next.as("n")
-            .join(labels.as("o"), col("n.v") === col("o.v"))
-            .filter(col("n.label") =!= col("o.label"))
-            .limit(1).count()
           labels.unpersist()
           labels = next
-          converged = changed == 0
+          val s = labelSum()
+          converged = s == prevSum
+          prevSum = s
           iter += 1
         }
         labels.select(col("v").as("doc_id"), col("label").as("group_id"))

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins — the strategy the docs claim for repeated
+  * big-big joins at corpus scale (lineitem ⋈ orders on orderkey): bucketing
+  * both sides on the join key at write time removes the per-query shuffle
+  * entirely. This spec proves the property end-to-end on real testdata.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("joining two tables bucketed on the join key plans no shuffle exchange") {
+    val s = spark
+    // tables land in the default ./spark-warehouse (gitignored)
+    s.sql("DROP TABLE IF EXISTS li_b")
+    s.sql("DROP TABLE IF EXISTS ord_b")
+
+    val d = "/root/testdata/sf0.001"
+    s.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    s.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+
+    // disable auto-broadcast so the join would otherwise shuffle both sides
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("li_b")
+        .join(s.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"), first(col("o_totalprice")))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // the join itself must not introduce a shuffle: bucket layout IS the
+      // required partitioning on both sides
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
