@@ -569,6 +569,52 @@ object RelationalQueries extends QueryModule {
              |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
              |FROM events GROUP BY 1, 2""".stripMargin),
       "Tumbling event-time window aggregation (batch form of the streaming path)."
+    ),
+    QueryDef(
+      "e_hopping_window",
+      (s, d) =>
+        // sliding windows: 1 h length hopping every 15 min — each event
+        // lands in 4 windows, produced by a bounded explode (generator, not
+        // a shuffle multiplier beyond the constant hop factor).
+        Tables.events(s, d)
+          .select(col("ts"), col("event_type"), col("value"), explode(sequence(lit(0), lit(3))).as("k"))
+          .groupBy(
+            ((expr("ts div 900000000") - col("k")) * 900).as("window_start"),
+            col("event_type")
+          )
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+          .filter(col("window_start") >= 0),
+      Some("""SELECT window_start, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+             |FROM (SELECT event_type, value,
+             |    ((epoch_us(ts) // 900000000) - unnest([0, 1, 2, 3])) * 900 AS window_start
+             |  FROM events)
+             |WHERE window_start >= 0
+             |GROUP BY 1, 2""".stripMargin),
+      "Hopping event-time windows (1h length, 15min hop) via bounded window-offset explode."
+    ),
+    QueryDef(
+      "j_full_outer_reconcile",
+      (s, d) => {
+        // full-outer reconciliation — absent from the reference (SURVEY
+        // §2.4) but part of any complete join surface: per-user event
+        // activity vs order activity, keeping users present on either side.
+        val ev = Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val ord = Tables.orders(s, d)
+          .filter(col("o_custkey") < 1000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        ev.join(ord, col("user_id") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("o_custkey")).as("id"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders")
+          )
+      },
+      Some("""SELECT coalesce(e.user_id, o.o_custkey) AS id,
+             |  coalesce(e.n_events, 0) AS n_events, coalesce(o.n_orders, 0) AS n_orders
+             |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders WHERE o_custkey < 1000 GROUP BY o_custkey) o
+             |ON e.user_id = o.o_custkey""".stripMargin),
+      "Full-outer reconciliation of two keyed aggregates (join-surface completion beyond the reference)."
     )
   )
 }

@@ -98,6 +98,28 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval self-join: pair each click with the same
+    * user's error events within ±10 minutes of it. Both sides carry
+    * watermarks, and the join condition bounds event-time distance, so each
+    * state store retains at most the watermark+interval horizon — the
+    * stream-stream join shape that stays bounded at any throughput. The
+    * same code runs in batch (watermarks become no-ops, the interval join
+    * is an ordinary range join).
+    */
+  def clickErrorCorrelation(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val errors = events.filter(col("event_type") === "error")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"), col("event_id").as("error_id"))
+    clicks.join(
+      errors,
+      expr("""c_user = e_user AND
+              error_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts + INTERVAL 10 MINUTES""")
+    ).select(col("c_user").as("user_id"), col("click_id"), col("error_id"), col("click_ts"), col("error_ts"))
+  }
+
   /** File-source ingest of an event directory as a stream — the S1
     * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
     * per micro-batch keeps replays deterministic.

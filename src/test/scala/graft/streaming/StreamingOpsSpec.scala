@@ -64,6 +64,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickErrorCorrelation: stream-stream interval join matches the batch range join") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val fx = Seq(
+      Event(10, ts(0), 1, "click", 1.0),
+      Event(11, ts(5), 1, "error", 0.0), // within 10 min of click 10 → paired
+      Event(12, ts(30), 1, "error", 0.0), // 30 min later → unpaired
+      Event(13, ts(31), 2, "click", 1.0),
+      Event(14, ts(28), 2, "error", 0.0), // 3 min before click 13 → paired
+      Event(15, ts(6), 3, "error", 0.0) // different user → unpaired
+    )
+    val batch = StreamingOps.clickErrorCorrelation(fx.toDF())
+      .select("click_id", "error_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.clickErrorCorrelation(mem.toDF())
+      .writeStream.format("memory").queryName("correlated").outputMode("append").start()
+    try {
+      mem.addData(fx: _*)
+      q.processAllAvailable()
+      // advance watermark so all joinable pairs emit
+      mem.addData(Event(99, ts(10000), 9, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = s.table("correlated")
+        .select("click_id", "error_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(batch.toSeq == Seq((10L, 11L), (13L, 14L)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("sessionize emits gap-closed sessions matching batch lag-window semantics") {
     val s = spark
     import s.implicits._
