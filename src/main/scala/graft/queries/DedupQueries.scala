@@ -98,6 +98,59 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"), graft.functions.shingleHashes(col("text"), 1).as("hs"))
       .select(col("doc_id"), graft.functions.simhash56(col("hs")).as("simhash"))
 
+  /** Connected components by iterative min-label propagation (hash-to-min)
+    * over an undirected edge list `(a, b)`. Rounds = graph diameter; the
+    * convergence probe is a one-row sum (labels only decrease). Returns
+    * `(v, label)` for every vertex that appears in an edge.
+    */
+  private def minLabelComponents(undirected: DataFrame): DataFrame = {
+    var labels = undirected.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v")).cache()
+    def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      val prop = undirected.join(labels, col("a") === col("v"))
+        .select(col("b").as("v"), col("label"))
+      val next = labels.select(col("v"), col("label")).union(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
+      labels.unpersist()
+      labels = next
+      val s = labelSum()
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels
+  }
+
+  /** Verified near-dup edge list `(a, b)` with `a < b`, built from the given
+    * shingle sets (band-bucket candidates → first-shared-band dedup → exact
+    * Jaccard verification).
+    */
+  private def verifiedEdges(sets: DataFrame): DataFrame = {
+    val sigs = signatures(sets).select(col("doc_id") +: bandCols: _*)
+    val bands = sigs.select(
+      col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
+        posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
+    )
+    val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
+      when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
+    }
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.band_idx") === firstSharedBand)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    cand
+      .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), size(array_intersect(col("sa.sh"), col("sb.sh"))).as("isect"),
+        size(col("sa.sh")).as("na"), size(col("sb.sh")).as("nb"))
+      .filter(round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6) >= JaccardThreshold)
+      .select(col("a"), col("b"))
+  }
+
   private val simhashSql =
     s"""CAST(list_sum(list_transform(range(0, $SimhashBits), b ->
        |  CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
@@ -277,49 +330,10 @@ object DedupQueries extends QueryModule {
         // aggregation; the driver loop only reads a 1-row convergence
         // count.
         val sets = shingleSets(s, d).cache()
-        val sigs = signatures(sets).select(col("doc_id") +: bandCols: _*)
-        val bands = sigs.select(
-          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
-            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
-        )
-        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
-          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
-        }
-        val cand = bands.as("x")
-          .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-          .filter(col("x.band_idx") === firstSharedBand)
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        val verifiedEdges = cand
-          .join(sets.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sets.as("sb"), col("b") === col("sb.doc_id"))
-          .select(col("a"), col("b"), size(array_intersect(col("sa.sh"), col("sb.sh"))).as("isect"),
-            size(col("sa.sh")).as("na"), size(col("sb.sh")).as("nb"))
-          .filter(round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6) >= JaccardThreshold)
-          .select(col("a"), col("b"))
-          .cache()
-        val undirected = verifiedEdges.union(verifiedEdges.select(col("b").as("a"), col("a").as("b"))).cache()
-        var labels = undirected.select(col("a").as("v")).distinct()
-          .withColumn("label", col("v")).cache()
-        // labels only ever decrease, so sum(label) is strictly monotone
-        // until fixpoint — a one-row aggregate is the convergence probe
-        // (cheaper than a join-compare of consecutive label sets).
-        def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
-        var prevSum = labelSum()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 15) {
-          val prop = undirected.join(labels, col("a") === col("v"))
-            .select(col("b").as("v"), col("label"))
-          val next = labels.select(col("v"), col("label")).union(prop)
-            .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
-          labels.unpersist()
-          labels = next
-          val s = labelSum()
-          converged = s == prevSum
-          prevSum = s
-          iter += 1
-        }
-        labels.select(col("v").as("doc_id"), col("label").as("group_id"))
+        val edges = verifiedEdges(sets).cache()
+        val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+        minLabelComponents(undirected)
+          .select(col("v").as("doc_id"), col("label").as("group_id"))
       },
       Some(s"""WITH RECURSIVE sets AS ($shingleSetSql),
              |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
@@ -336,6 +350,50 @@ object DedupQueries extends QueryModule {
              |  SELECT e.b AS v, r.m FROM edges e JOIN reach r ON r.v = e.a)
              |SELECT v AS doc_id, min(m) AS group_id FROM reach GROUP BY v""".stripMargin),
       "Connected-components dup groups: iterative min-label propagation over verified near-dup edges (transitive closure)."
+    ),
+    QueryDef(
+      "d8_scalable_dedup",
+      (s, d) => {
+        // The production near-dup pipeline shape: collapse EXACT duplicates
+        // to one representative first (identical docs produce identical
+        // shingle sets, so a cluster of k copies would otherwise emit k²/2
+        // trivial pairs — the dominant cost on real corpora), run LSH +
+        // verification + connected components on representatives only, then
+        // broadcast the group assignment back through the content-hash map.
+        // Output: every document with its dedup group id.
+        val docsCh = Tables.documents(s, d)
+          .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
+        val reps = docsCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
+        val repSets = shingleSets(s, d)
+          .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+          .cache()
+        val edges = verifiedEdges(repSets).cache()
+        val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+        val comp = minLabelComponents(undirected)
+        docsCh.join(reps, Seq("ch"))
+          .join(comp, col("rep") === col("v"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("rep")).as("group_id"))
+      },
+      Some(s"""WITH RECURSIVE ch AS (
+             |  SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS ch FROM documents),
+             |reps AS (SELECT ch, min(doc_id) AS rep FROM ch GROUP BY ch),
+             |sets AS (SELECT * FROM ($shingleSetSql) WHERE doc_id IN (SELECT rep FROM reps)),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
+             |verified AS (
+             |  SELECT sa.doc_id AS a, sb.doc_id AS b
+             |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
+             |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
+             |edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+             |reach(v, m) AS (
+             |  SELECT a AS v, a AS m FROM edges
+             |  UNION
+             |  SELECT e.b AS v, r.m FROM edges e JOIN reach r ON r.v = e.a),
+             |comp AS (SELECT v, min(m) AS label FROM reach GROUP BY v)
+             |SELECT c.doc_id, coalesce(p.label, r.rep) AS group_id
+             |FROM ch c JOIN reps r ON c.ch = r.ch LEFT JOIN comp p ON p.v = r.rep""".stripMargin),
+      "Scalable dedup: exact-dup collapse -> LSH near-dup CC on representatives -> group expansion (every doc labeled)."
     )
   )
 }
