@@ -615,6 +615,33 @@ object RelationalQueries extends QueryModule {
              |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders WHERE o_custkey < 1000 GROUP BY o_custkey) o
              |ON e.user_id = o.o_custkey""".stripMargin),
       "Full-outer reconciliation of two keyed aggregates (join-surface completion beyond the reference)."
+    ),
+    QueryDef(
+      "m5_json_extract",
+      (s, d) =>
+        // semi-structured extraction: the events `props` column is a JSON
+        // string; parse with an explicit schema (from_json, codegen'd) —
+        // never schema inference at query time — and aggregate the typed
+        // field. The reference's metadata maps (M5) round-trip the same
+        // way.
+        Tables.events(s, d)
+          .select(
+            col("event_type"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))).getField("k").as("k")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k")
+          ),
+      Some("""SELECT event_type, count(k) AS n_with_k,
+             |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+             |GROUP BY event_type""".stripMargin),
+      "Semi-structured JSON field extraction with a declared schema + typed aggregation (M5 metadata shape)."
     )
   )
 }
