@@ -21,4 +21,12 @@ package object functions {
   /** Eight 32-bit-slice minhash values from an array of 60-bit hashes. */
   def minhash8(hashes: Column): Column =
     shims.column(MinHash8(shims.expression(hashes)))
+
+  /** 8 oriented-box vertices from a length-9 array (x..roll). */
+  def boxVertices(fields: Column): Column =
+    shims.column(BoxVertices(shims.expression(fields)))
+
+  /** Min pairwise vertex distance between two 8-vertex boxes. */
+  def minBoxDistance(a: Column, b: Column): Column =
+    shims.column(MinBoxDistance(shims.expression(a), shims.expression(b)))
 }

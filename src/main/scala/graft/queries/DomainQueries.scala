@@ -71,7 +71,7 @@ object DomainQueries extends QueryModule {
         // vertex distance via the production UDF over axis-aligned vertices
         val b = syntheticBoxes(s, d).withColumn(
           "verts",
-          GeoFunctions.bboxVerticesUdf(
+          GeoFunctions.bboxVerticesCol(
             col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
             lit(0.0), lit(0.0), lit(0.0)))
         val a = b.select(col("frame_id"), col("idx").as("i"), col("verts").as("v1"))
@@ -79,7 +79,7 @@ object DomainQueries extends QueryModule {
         a.join(c, col("frame_id") === col("frame_id2") && col("i") < col("j"))
           .select(
             col("frame_id"), col("i"), col("j"),
-            round(GeoFunctions.minBoxDistanceUdf(col("v1"), col("v2")), 6).as("min_dist"))
+            round(GeoFunctions.minBoxDistanceCol(col("v1"), col("v2")), 6).as("min_dist"))
       },
       Some(s"""WITH b AS ($syntheticBoxesSql)
              |SELECT a.frame_id, a.idx AS i, c.idx AS j,
@@ -113,7 +113,7 @@ object DomainQueries extends QueryModule {
         val b = syntheticBoxes(s, d).withColumn(
           "verts",
           GeoFunctions.toCameraFrameUdf(
-            GeoFunctions.bboxVerticesUdf(
+            GeoFunctions.bboxVerticesCol(
               col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
               lit(0.0), lit(0.0), lit(0.0)),
             idExtr))

@@ -70,19 +70,23 @@ object GeoFunctions {
     )
   }
 
-  // ------------------------------------------------------------------ UDFs
-  /** 8 oriented-box vertices (geometry.py:60-95). */
-  val bboxVerticesUdf = udf {
-    (x: Double, y: Double, z: Double, xl: Double, yl: Double, zl: Double,
-     pitch: Double, yaw: Double, roll: Double) =>
-      Geo.bboxVertices(x, y, z, xl, yl, zl, pitch, yaw, roll).map(_.toSeq).toSeq
-  }
+  // ------------------------------------------- native geometry expressions
+  /** 8 oriented-box vertices (geometry.py:60-95) — native expression; the
+    * UDF form paid nested-Seq conversion per row (see
+    * [[graft.functions.BoxVertices]]).
+    */
+  def bboxVerticesCol(
+      x: Column, y: Column, z: Column, xl: Column, yl: Column, zl: Column,
+      pitch: Column, yaw: Column, roll: Column): Column =
+    graft.functions.boxVertices(array(x, y, z, xl, yl, zl, pitch, yaw, roll))
 
-  /** Min 8×8 vertex distance between two boxes (geometry.py:98-118). */
-  val minBoxDistanceUdf = udf {
-    (a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
-      Geo.minDistanceBetweenBoxes(a.map(_.toArray).toArray, b.map(_.toArray).toArray)
-  }
+  /** Min 8×8 vertex distance between two boxes (geometry.py:98-118) —
+    * native expression ([[graft.functions.MinBoxDistance]]).
+    */
+  def minBoxDistanceCol(a: Column, b: Column): Column =
+    graft.functions.minBoxDistance(a, b)
+
+  // ------------------------------------------------------------------ UDFs
 
   /** Min camera→vertex distance from an explicit camera position
     * (geometry.py:165-189).

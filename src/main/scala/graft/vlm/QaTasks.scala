@@ -77,7 +77,7 @@ object QaTasks {
       )
 
   private def vertsOf(b: Column): Column =
-    bboxVerticesUdf(
+    bboxVerticesCol(
       b.getField("x"), b.getField("y"), b.getField("z"),
       b.getField("xl"), b.getField("yl"), b.getField("zl"),
       b.getField("pitch"), b.getField("yaw"), b.getField("roll"))
@@ -222,7 +222,7 @@ object QaTasks {
     val c = b.select(col("image_id").as("image_id2"), col("bbox_idx").as("j"), col("bbox").as("b2"), col("verts").as("v2"))
     val q = a
       .join(c, col("image_id") === col("image_id2") && col("i") < col("j"))
-      .withColumn("dist", minBoxDistanceUdf(col("v1"), col("v2")))
+      .withColumn("dist", minBoxDistanceCol(col("v1"), col("v2")))
       .filter(col("dist") >= ObjObjMinDistance && col("dist") <= ObjObjMaxDistance)
       .withColumn("question",
         format_string("What is the distance between the %s and the %s in meters?",
@@ -257,7 +257,7 @@ object QaTasks {
     val c = b.select(col("image_id").as("image_id2"), col("bbox_idx").as("j"), col("bbox").as("b2"), col("verts").as("w2"), col("cverts").as("v2"))
     val rel = a
       .join(c, col("image_id") === col("image_id2") && col("i") < col("j"))
-      .withColumn("min_dist", minBoxDistanceUdf(col("w1"), col("w2")))
+      .withColumn("min_dist", minBoxDistanceCol(col("w1"), col("w2")))
       .withColumn("rp", relativePositionUdf(col("v1"), col("v2"), col("min_dist")))
       .withColumn("r1", parseClassCategoryCol(col("b1").getField("category")))
       .withColumn("r2", parseClassCategoryCol(col("b2").getField("category")))
