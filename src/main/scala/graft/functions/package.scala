@@ -29,4 +29,12 @@ package object functions {
   /** Min pairwise vertex distance between two 8-vertex boxes. */
   def minBoxDistance(a: Column, b: Column): Column =
     shims.column(MinBoxDistance(shims.expression(a), shims.expression(b)))
+
+  /** Min camera-to-vertex distance. */
+  def cameraToBoxDistance(cam: Column, verts: Column): Column =
+    shims.column(CameraToBoxDistance(shims.expression(cam), shims.expression(verts)))
+
+  /** World-to-camera transform of vertex arrays via inverted 4x4 extrinsics. */
+  def toCameraFrame(verts: Column, extrinsics: Column): Column =
+    shims.column(ToCameraFrame(shims.expression(verts), shims.expression(extrinsics)))
 }

@@ -112,7 +112,7 @@ object DomainQueries extends QueryModule {
           array(lit(0.0), lit(0.0), lit(0.0), lit(1.0)))
         val b = syntheticBoxes(s, d).withColumn(
           "verts",
-          GeoFunctions.toCameraFrameUdf(
+          GeoFunctions.toCameraFrameCol(
             GeoFunctions.bboxVerticesCol(
               col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
               lit(0.0), lit(0.0), lit(0.0)),

@@ -86,15 +86,19 @@ object GeoFunctions {
   def minBoxDistanceCol(a: Column, b: Column): Column =
     graft.functions.minBoxDistance(a, b)
 
-  // ------------------------------------------------------------------ UDFs
-
   /** Min camera→vertex distance from an explicit camera position
-    * (geometry.py:165-189).
+    * (geometry.py:165-189) — native expression.
     */
-  val cameraToBoxDistanceUdf = udf {
-    (cam: Seq[Double], vertices: Seq[Seq[Double]]) =>
-      Geo.distanceCameraToBox(cam.toArray, vertices.map(_.toArray).toArray)
-  }
+  def cameraToBoxDistanceCol(cam: Column, vertices: Column): Column =
+    graft.functions.cameraToBoxDistance(cam, vertices)
+
+  /** World→camera transform of box vertices: inv(extrinsics) applied to the
+    * 8 vertices (geometry.py:192-219) — native expression.
+    */
+  def toCameraFrameCol(vertices: Column, extrinsics: Column): Column =
+    graft.functions.toCameraFrame(vertices, extrinsics)
+
+  // ------------------------------------------------------------------ UDFs
 
   /** Camera position from 4×4 extrinsics, null-safe (geometry.py:135-162). */
   val cameraPositionUdf = udf {
@@ -111,15 +115,6 @@ object GeoFunctions {
       val (d, h, v, cd) = Geo.enhancedRelativePosition(
         a.map(_.toArray).toArray, b.map(_.toArray).toArray, minDist)
       (d, h, v, cd)
-  }
-
-  /** World→camera transform of box vertices: inv(extrinsics) applied to the
-    * 8 vertices (geometry.py:192-219 `transform_bbox_to_camera_frame`).
-    */
-  val toCameraFrameUdf = udf {
-    (vertices: Seq[Seq[Double]], extrinsics: Seq[Seq[Double]]) =>
-      val inv = Geo.invertRigid(extrinsics.map(_.toArray).toArray)
-      Geo.transformPoints(inv, vertices.map(_.toArray).toArray).map(_.toSeq).toSeq
   }
 
   /** Quaternion (x,y,z,w) → normalized Euler angles struct — the 9-DoF

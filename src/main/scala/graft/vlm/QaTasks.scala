@@ -250,7 +250,7 @@ object QaTasks {
       .filter(col("camera").getField("extrinsics").isNotNull)
       .filter(col("bbox_idx") < MaxPairBoxes) // J8 skew guard
       .withColumn("verts", vertsOf(col("bbox")))
-      .withColumn("cverts", toCameraFrameUdf(col("verts"), col("camera").getField("extrinsics")))
+      .withColumn("cverts", toCameraFrameCol(col("verts"), col("camera").getField("extrinsics")))
     val a = b.select(
       col("image_id"), col("scene_id"), col("frame_id"), col("_source_file"),
       col("bbox_idx").as("i"), col("bbox").as("b1"), col("verts").as("w1"), col("cverts").as("v1"))
@@ -312,7 +312,7 @@ object QaTasks {
       .withColumn("cam_pos", cameraPositionUdf(col("camera").getField("extrinsics")))
       .filter(col("cam_pos").isNotNull)
       .withColumn("verts", vertsOf(col("bbox")))
-      .withColumn("dist", cameraToBoxDistanceUdf(col("cam_pos"), col("verts")))
+      .withColumn("dist", cameraToBoxDistanceCol(col("cam_pos"), col("verts")))
     val perFrame = withCam
       .groupBy(col("image_id"))
       .agg(
