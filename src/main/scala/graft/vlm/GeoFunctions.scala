@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Column-level API over the [[Geo]] kernels.
   *
   * Split per SURVEY.md §7.3: anything expressible as built-in column math
-  * stays a native (codegen'd) expression — normalize-angle, center distance,
-  * max dimension, seeded randomness; only the genuinely matrix-shaped
-  * kernels (vertices, 8×8 min distance, relative position) are Scala UDFs
-  * over small fixed arrays. UDF inputs/outputs are primitives and
-  * `Array[Double]`-shaped — no Row juggling in the hot path.
+  * is plain column composition (normalize-angle, center distance, max
+  * dimension, seeded randomness, depth stats); the matrix-shaped hot-path
+  * kernels (vertices, 8×8 min distance, camera distance, frame transform)
+  * are native ArrayData expressions in [[graft.functions]]; only the cold
+  * string-struct-returning kernels (relative position, camera position,
+  * quaternion conversion) remain Scala UDFs.
   */
 object GeoFunctions {
 
