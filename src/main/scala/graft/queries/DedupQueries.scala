@@ -269,7 +269,7 @@ object DedupQueries extends QueryModule {
              |  FROM (SELECT doc_id, list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
              |    FROM (SELECT doc_id, $tokensSql AS toks FROM documents)))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
              |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin),
       "SimHash near-dup pairs: 14-bit chunk buckets (pigeonhole-complete for hamming<=3) + hamming verify."

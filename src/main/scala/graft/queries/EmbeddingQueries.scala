@@ -114,7 +114,7 @@ object EmbeddingQueries extends QueryModule {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
           .filter(col("rk") <= 5)
-          .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+          .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
       },
       Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql))
              |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cos FROM (
@@ -153,7 +153,7 @@ object EmbeddingQueries extends QueryModule {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
           .filter(col("rk") <= 3)
-          .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+          .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
       },
       Some(s"""WITH base AS (
              |  SELECT vec_id, q, ${inorm2Sql("q")} AS n2, $lshBucketSql AS bucket FROM ($quantizedSql))
@@ -247,7 +247,7 @@ object EmbeddingQueries extends QueryModule {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
           .filter(col("rk") <= 3)
-          .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+          .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
       },
       Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
              |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells),

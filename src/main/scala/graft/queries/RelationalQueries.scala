@@ -19,6 +19,13 @@ object RelationalQueries extends QueryModule {
   /** Exact, order-independent aggregation of 2-decimal doubles. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Pin a final decimal aggregate to the type DuckDB lands on. Spark's
+    * sum(DECIMAL(18,2)) yields DECIMAL(28,2) while DuckDB's yields
+    * DECIMAL(38,2); the driver hashes the parquet physical type, so both
+    * engines must emit the same explicit DECIMAL(38,s) (the j7 pattern —
+    * its already-widened sum lands on (38,2) and hash-matches). */
+  private def out38(c: Column, scale: Int = 2): Column = c.cast(s"decimal(38,$scale)")
+
   override val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- scans
     QueryDef(
@@ -28,16 +35,16 @@ object RelationalQueries extends QueryModule {
         li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("sum_disc_price"),
+            out38(sum(dec(col("l_quantity")))).as("sum_qty"),
+            out38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            out38(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))), 4).as("sum_disc_price"),
             count(lit(1)).as("count_order")
           )
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -70,10 +77,10 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("spend"))
+          .agg(count(lit(1)).as("n_orders"), out38(sum(dec(col("o_totalprice")))).as("spend"))
           .filter(col("n_orders") >= 15),
       Some("""SELECT o_custkey, count(*) AS n_orders,
-             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
              |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin),
       "Count-threshold HAVING (SURVEY F4; object_count_qa.py:57-63)."
     ),
@@ -82,8 +89,8 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.lineitem(s, d)
           .filter(col("l_orderkey") % 10 === 0)
-          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty")),
-      Some("""SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          .agg(count(lit(1)).as("n"), out38(sum(dec(col("l_quantity")))).as("qty")),
+      Some("""SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
              |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin),
       "Deterministic every-Nth sampling (SURVEY F12; objectron_processor.py:126-128)."
     ),
@@ -112,10 +119,10 @@ object RelationalQueries extends QueryModule {
         c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"))
-          .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("bal"))
+          .agg(count(lit(1)).as("n_cust"), out38(sum(dec(col("c_acctbal")))).as("bal"))
       },
       Some("""SELECT r_name, count(*) AS n_cust,
-             |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin),
@@ -133,12 +140,12 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
-            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"),
+            out38(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))), 4).as("revenue"),
             count(lit(1)).as("n_items")
           )
       },
       Some("""SELECT n_name,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -201,21 +208,62 @@ object RelationalQueries extends QueryModule {
     QueryDef(
       "j8_selfjoin_pairs",
       (s, d) => {
+        // All-pairs |price gap| statistics WITHOUT materializing the O(n²)
+        // pairs: over a group sorted ascending x₁..xₙ, Σ_{i<j}(xⱼ−xᵢ) =
+        // Σᵢ(2i−n−1)·xᵢ, the min pair gap is the min ADJACENT gap, the max
+        // pair gap is xₙ−x₁, and the pair count is Σᵢ(i−1). One shuffle on
+        // l_orderkey + per-group sort: O(n log n) where the pair join is
+        // O(n²) per group — the plan that survives skewed groups at 100 TB.
+        // (The raw i<j join shape itself stays oracle-validated by
+        // j8b_pair_rows below and the domain pair tasks, QaTasks.scala.)
+        val w = Window.partitionBy(col("l_orderkey")).orderBy(col("p").asc, col("l_linenumber").asc)
+        val grp = Window.partitionBy(col("l_orderkey"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("p"))
+          .withColumn("i", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(grp))
+          .withColumn("adj", col("p") - lag(col("p"), 1).over(w))
+          .withColumn("span", col("p") - first(col("p")).over(w))
+          .agg(
+            sum(col("i") - 1).cast("long").as("n_pairs"),
+            out38(sum((col("i").cast("long") * 2 - col("n") - 1) * col("p"))).as("gap_sum"),
+            min(col("adj")).cast("decimal(18,2)").as("gap_min"),
+            max(col("span")).cast("decimal(18,2)").as("gap_max")
+          )
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_extendedprice, l_linenumber) AS rn
+             |  FROM lineitem)
+             |SELECT count(*) AS n_pairs,
+             |  CAST(sum(gap) AS DECIMAL(38,2)) AS gap_sum, min(gap) AS gap_min, max(gap) AS gap_max
+             |FROM (SELECT abs(a.p - b.p) AS gap
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn)""".stripMargin),
+      "All-unordered-pair statistics per group via the sorted closed form (SURVEY J8; obj_obj_distance_qa.py:36-47) — oracle checks it against the literal O(n²) pair join over per-group row numbers."
+    ),
+    QueryDef(
+      "j8b_pair_rows",
+      (s, d) => {
         val li = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 2000)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         val a = li.alias("a")
         val b = li.alias("b")
         a.join(b, col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_linenumber") < col("b.l_linenumber"))
-          .select(abs(dec(col("a.l_extendedprice")) - dec(col("b.l_extendedprice"))).as("price_gap"))
-          .agg(count(lit(1)).as("n_pairs"), sum(col("price_gap")).as("gap_sum"),
-               min(col("price_gap")).as("gap_min"), max(col("price_gap")).as("gap_max"))
+          .select(
+            col("a.l_orderkey").as("okey"),
+            col("a.l_linenumber").as("ln_a"),
+            col("b.l_linenumber").as("ln_b"),
+            abs(dec(col("a.l_extendedprice")) - dec(col("b.l_extendedprice"))).cast("decimal(18,2)").as("price_gap")
+          )
       },
-      Some("""SELECT count(*) AS n_pairs,
-             |  sum(gap) AS gap_sum, min(gap) AS gap_min, max(gap) AS gap_max
-             |FROM (SELECT abs(CAST(a.l_extendedprice AS DECIMAL(18,2)) - CAST(b.l_extendedprice AS DECIMAL(18,2))) AS gap
-             |  FROM lineitem a JOIN lineitem b
-             |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber)""".stripMargin),
-      "Per-group i<j pair self-join (SURVEY J8; obj_obj_distance_qa.py:36-47). Equi key + theta residual; partition-local after the shuffle on l_orderkey."
+      Some("""SELECT a.l_orderkey AS okey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+             |  abs(CAST(a.l_extendedprice AS DECIMAL(18,2)) - CAST(b.l_extendedprice AS DECIMAL(18,2))) AS price_gap
+             |FROM lineitem a JOIN lineitem b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+             |WHERE a.l_orderkey <= 2000""".stripMargin),
+      "Materialized i<j pair self-join rows (SURVEY J8 join shape: equi key + theta residual, partition-local after one shuffle on l_orderkey; bounded key range keeps the oracle output small)."
     ),
     QueryDef(
       "j6_argmax_per_group",
@@ -253,11 +301,11 @@ object RelationalQueries extends QueryModule {
           countDistinct(col("l_partkey")).as("n_parts"),
           min(col("l_quantity")).as("q_min"),
           max(col("l_quantity")).as("q_max"),
-          sum(dec(col("l_quantity"))).as("q_sum")
+          out38(sum(dec(col("l_quantity")))).as("q_sum")
         ),
       Some("""SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
              |  min(l_quantity) AS q_min, max(l_quantity) AS q_max,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_sum FROM lineitem""".stripMargin),
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q_sum FROM lineitem""".stripMargin),
       "Corpus-level counts (SURVEY A2/A6; data_loader.py:109-129)."
     ),
     QueryDef(
@@ -361,7 +409,7 @@ object RelationalQueries extends QueryModule {
         Tables.orders(s, d)
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
-          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+          .select(col("o_custkey"), col("rk").cast("long").as("rk"), col("o_orderkey"), col("o_totalprice"))
       },
       Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
              |  SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -406,12 +454,12 @@ object RelationalQueries extends QueryModule {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
           .select(col("user_id"), col("event_id"),
-            sum(dec(col("value"))).over(w).as("running_value"))
+            out38(sum(dec(col("value"))).over(w)).as("running_value"))
       },
       Some("""SELECT user_id, event_id,
-             |  sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
              |    ORDER BY ts ASC, event_id ASC
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
              |FROM events""".stripMargin),
       "Running aggregate (beyond-reference extension; decimal keeps prefix sums exact)."
     ),
@@ -467,7 +515,7 @@ object RelationalQueries extends QueryModule {
           .select(
             col("p_partkey"),
             upper(split(col("p_name"), " ").getItem(0)).as("head"),
-            length(col("p_name")).as("name_len"),
+            length(col("p_name")).cast("long").as("name_len"),
             concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
             substring(col("p_type"), 1, 3).as("type3")
           ),
@@ -501,9 +549,9 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total")),
+          .agg(count(lit(1)).as("n"), out38(sum(dec(col("o_totalprice")))).as("total")),
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
-             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
              |FROM orders GROUP BY 1""".stripMargin),
       "Calendar bucketing (SURVEY M4; qa_base.py:145). String-keyed for cross-engine stability."
     ),
@@ -543,10 +591,10 @@ object RelationalQueries extends QueryModule {
             when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000L, 1).otherwise(0))
           .withColumn("session_n", sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("session_n"))
-          .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("session_value"))
+          .agg(count(lit(1)).as("n_events"), out38(sum(dec(col("value")))).as("session_value"))
       },
       Some("""SELECT user_id, session_n, count(*) AS n_events,
-             |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
              |FROM (
              |  SELECT user_id, value,
              |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -564,9 +612,9 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.events(s, d)
           .groupBy((expr("ts div 3600000000") * 3600).as("window_start"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v")),
+          .agg(count(lit(1)).as("n"), out38(sum(dec(col("value")))).as("v")),
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type,
-             |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
              |FROM events GROUP BY 1, 2""".stripMargin),
       "Tumbling event-time window aggregation (batch form of the streaming path)."
     ),
@@ -582,9 +630,9 @@ object RelationalQueries extends QueryModule {
             ((expr("ts div 900000000") - col("k")) * 900).as("window_start"),
             col("event_type")
           )
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+          .agg(count(lit(1)).as("n"), out38(sum(dec(col("value")))).as("v"))
           .filter(col("window_start") >= 0),
-      Some("""SELECT window_start, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+      Some("""SELECT window_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
              |FROM (SELECT event_type, value,
              |    ((epoch_us(ts) // 900000000) - unnest([0, 1, 2, 3])) * 900 AS window_start
              |  FROM events)

@@ -85,9 +85,9 @@ object TextQueries extends QueryModule {
         val toks = tokens(col("text"))
         Tables.documents(s, d).select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
+          size(toks).cast("long").as("n_tokens"),
           // BPE-ish piece count: alpha runs, digit runs, other non-space chars
-          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_pieces"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_pieces"),
           aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("n_alnum_chars"),
           round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks), 6).as("mean_token_len")
         )
@@ -229,7 +229,7 @@ object TextQueries extends QueryModule {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)))
           .filter(col("rk") <= 3)
-          .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))
+          .select(col("doc_id"), col("rk").cast("long").as("rk"), col("token"), col("tf"), col("df"), col("score"))
       },
       Some(s"""WITH terms AS (
              |  SELECT doc_id, token, count(*) AS tf

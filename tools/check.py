@@ -10,6 +10,7 @@ Usage: python3 tools/check.py [sf_dir] [out_dir]
 """
 import json, sys, glob, os
 import duckdb
+import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -28,17 +29,31 @@ for name, sql in sorted(oracles.items()):
     if not glob.glob(f"{res_dir}/*.parquet"):
         fails.append((name, "no spark output")); continue
     try:
-        exp = con.execute(sql).fetchdf()
+        exp_t = con.execute(sql).fetch_arrow_table()
+        exp = exp_t.to_pandas()
     except Exception as e:
         fails.append((name, f"oracle sql error: {e}")); continue
     try:
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+        # Symmetric conversion (arrow → pandas on BOTH sides): decimals stay
+        # Decimal objects on both, so str-compare is apples-to-apples.
+        got_t = pq.read_table(glob.glob(f"{res_dir}/*.parquet"))
+        got = got_t.to_pandas()
     except Exception as e:
         fails.append((name, f"spark result read error: {e}")); continue
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
         fails.append((name, f"schema mismatch: oracle={list(exp.columns)} spark={list(got.columns)}")); continue
+    # The driver hashes values INCLUDING their physical type: a Spark
+    # DECIMAL(28,2) vs DuckDB DECIMAL(38,2) result hash-mismatches even when
+    # the string values are equal (round-1 lesson). Compare arrow-level types
+    # for every column, sorted by name, before comparing values.
+    exp_types = {f.name: str(f.type) for f in exp_t.schema}
+    got_types = {f.name: str(f.type) for f in got_t.schema}
+    type_diffs = {c: (exp_types[c], got_types[c]) for c in exp_types
+                  if exp_types[c] != got_types.get(c)}
+    if type_diffs:
+        fails.append((name, f"TYPE mismatch (oracle, spark): {type_diffs}")); continue
     if len(exp) != len(got):
         fails.append((name, f"row count: oracle={len(exp)} spark={len(got)}")); continue
     exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
