@@ -19,9 +19,12 @@ object LongVecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     if (v == null) buf
     else if (buf.isEmpty) v.toArray
     else {
+      // A ragged (dimension-mismatched) vector is corrupt input; silently
+      // truncating would shrink the sum by encounter order. Fail loudly.
+      require(buf.length == v.length,
+        s"LongVecSum: vector dimension mismatch (${buf.length} vs ${v.length})")
       var i = 0
-      val n = math.min(buf.length, v.length)
-      while (i < n) { buf(i) += v(i); i += 1 }
+      while (i < buf.length) { buf(i) += v(i); i += 1 }
       buf
     }
 
@@ -29,9 +32,10 @@ object LongVecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      require(a.length == b.length,
+        s"LongVecSum: vector dimension mismatch (${a.length} vs ${b.length})")
       var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
 

@@ -103,25 +103,93 @@ object DedupQueries extends QueryModule {
     * convergence probe is a one-row sum (labels only decrease). Returns
     * `(v, label)` for every vertex that appears in an edge.
     */
+  /** Edge-count threshold below which connected components run as a single
+    * partition-local union-find job. After exact-dup collapse + LSH banding
+    * + Jaccard verification, the edge list is orders of magnitude smaller
+    * than the corpus (it holds only confirmed near-dup PAIRS), so even at
+    * 100 TB corpus scale it usually fits one executor; 5e6 edges ≈ 80 MB.
+    * Above the threshold the distributed min-label loop takes over.
+    */
+  private val LocalCcMaxEdges = 5_000_000L
+
   private def minLabelComponents(undirected: DataFrame): DataFrame = {
-    var labels = undirected.select(col("a").as("v")).distinct()
+    // The edge list is typically the output of the whole LSH candidate +
+    // verification pipeline — cache it once or every round re-derives it.
+    val edges = undirected.cache()
+    if (edges.count() <= LocalCcMaxEdges) localUnionFind(edges)
+    else distributedMinLabel(edges)
+  }
+
+  /** Single-job CC: coalesce the (small, verified) edge list to one
+    * partition and run union-find with path compression, attaching the
+    * larger root under the smaller so each component's root is its min
+    * vertex id — identical semantics to min-label propagation, zero
+    * iteration overhead. Executor-side (`mapPartitions`), not a driver
+    * collect.
+    */
+  private[queries] def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        val vs = parent.keys.toArray
+        vs.iterator.map(v => (v, find(v)))
+      }
+      .toDF("v", "label")
+  }
+
+  /** Distributed CC for edge lists too large for one executor: iterative
+    * min-label propagation (hash-to-min); rounds = graph diameter, each one
+    * shuffle join + aggregation, convergence probed by a 1-row label sum.
+    */
+  private[queries] def distributedMinLabel(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("label", col("v")).cache()
-    def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
-    var prevSum = labelSum()
+    def labelSum(df: DataFrame): Long = df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 15) {
-      val prop = undirected.join(labels, col("a") === col("v"))
+    val maxIters = 50 // safety cap only; rounds needed = graph diameter
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, col("a") === col("v"))
         .select(col("b").as("v"), col("label"))
-      val next = labels.select(col("v"), col("label")).union(prop)
-        .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
+      var next = labels.select(col("v"), col("label")).union(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      // Truncate lineage periodically: without this, round i's plan chains
+      // every previous round, and a deep (high-diameter) graph re-plans an
+      // ever-growing DAG even though the data is cached.
+      if ((iter + 1) % 5 == 0) next = next.localCheckpoint(eager = false)
+      next = next.cache()
+      // Materialize `next` (the labelSum action) BEFORE dropping the old
+      // cache — unpersisting first forces `next` to recompute its parent
+      // from scratch, making iteration i pay for the whole chain up to i.
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"minLabelComponents did not converge within $maxIters rounds — " +
+          "component diameter exceeds the cap; raise it or pre-collapse the graph")
     labels
   }
 
@@ -363,6 +431,7 @@ object DedupQueries extends QueryModule {
         // Output: every document with its dedup group id.
         val docsCh = Tables.documents(s, d)
           .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
+          .cache() // read twice: representative election + final group expansion
         val reps = docsCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
         val repSets = shingleSets(s, d)
           .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")

@@ -120,7 +120,7 @@ object DomainQueries extends QueryModule {
         val a = b.select(col("frame_id"), col("idx").as("i"), col("verts").as("v1"))
         val c = b.select(col("frame_id").as("frame_id2"), col("idx").as("j"), col("verts").as("v2"))
         a.join(c, col("frame_id") === col("frame_id2") && col("i") < col("j"))
-          .withColumn("rp", GeoFunctions.relativePositionUdf(col("v1"), col("v2"), lit(0.0)))
+          .withColumn("rp", GeoFunctions.relativePositionUdf(col("v1"), col("v2")))
           .groupBy(col("rp").getField("_1").as("depth_rel"), col("rp").getField("_2").as("horizontal_rel"))
           .agg(count(lit(1)).as("n"))
       },

@@ -112,7 +112,9 @@ object Codebook {
   def applyCodebook(frames: DataFrame, codebook: DataFrame): DataFrame = {
     val frameCols = frames.columns.filterNot(_ == "bounding_boxes_3d").map(col)
     val exploded = frames
-      .withColumn("_frame_key", monotonically_increasing_id())
+      // deterministic frame identity: (_source_file, image_id) is stable
+      // across task retries, unlike monotonically_increasing_id
+      .withColumn("_frame_key", concat_ws("#", col("_source_file"), col("image_id")))
       .select(col("_frame_key") +: frameCols :+ posexplode(col("bounding_boxes_3d")).as(Seq("bbox_idx", "bbox")): _*)
       // ANSI-safe: cast only when the category matches (empty extract would throw)
       .withColumn("instance_id",

@@ -138,16 +138,16 @@ object Geo {
     }
 
   /** Enhanced relative position of box1 w.r.t. box2 in camera frame: center
-    * diffs on each axis with a 0.1 m threshold, plus center/min distances.
+    * diffs on each axis with a 0.1 m threshold, plus the center distance.
     * Ref: QA_generation/utils/geometry.py:424-495.
     *
-    * Returns (depthRel, horizontalRel, verticalRel, centerDistance,
-    * minDistance) with relations in the reference's vocabulary
-    * ("Nearer"/"Farther"/"Same depth", "Left"/"Right"/..., "Above"/"Below"/...).
+    * Returns (depthRel, horizontalRel, verticalRel, centerDistance) with
+    * relations in the reference's vocabulary ("Nearer"/"Farther"/"Same
+    * depth", "Left"/"Right"/..., "Above"/"Below"/...). Callers that need the
+    * min box distance compute it separately ([[MinBoxDistance]]).
     */
   def enhancedRelativePosition(
       v1: Array[Vec3], v2: Array[Vec3],
-      minDistance: Double,
       threshold: Double = 0.1): (String, String, String, Double) = {
     def centerOf(vs: Array[Vec3]): Vec3 = {
       val c = Array(0.0, 0.0, 0.0)

@@ -112,9 +112,9 @@ object GeoFunctions {
     * center_distance) (geometry.py:424-495).
     */
   val relativePositionUdf = udf {
-    (a: Seq[Seq[Double]], b: Seq[Seq[Double]], minDist: Double) =>
+    (a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
       val (d, h, v, cd) = Geo.enhancedRelativePosition(
-        a.map(_.toArray).toArray, b.map(_.toArray).toArray, minDist)
+        a.map(_.toArray).toArray, b.map(_.toArray).toArray)
       (d, h, v, cd)
   }
 

@@ -258,7 +258,7 @@ object QaTasks {
     val rel = a
       .join(c, col("image_id") === col("image_id2") && col("i") < col("j"))
       .withColumn("min_dist", minBoxDistanceCol(col("w1"), col("w2")))
-      .withColumn("rp", relativePositionUdf(col("v1"), col("v2"), col("min_dist")))
+      .withColumn("rp", relativePositionUdf(col("v1"), col("v2")))
       .withColumn("r1", parseClassCategoryCol(col("b1").getField("category")))
       .withColumn("r2", parseClassCategoryCol(col("b2").getField("category")))
     // candidate aspects in the reference's fixed order: depth, horizontal, vertical

@@ -127,7 +127,7 @@ class GeoSpec extends AnyFunSuite {
   test("enhancedRelativePosition thresholds (geometry.py:424-495)") {
     val a = bboxVertices(0, 0, 2, 0.5, 0.5, 0.5, 0, 0, 0)
     val b = bboxVertices(1, -1, 4, 0.5, 0.5, 0.5, 0, 0, 0)
-    val (depth, horiz, vert, _) = enhancedRelativePosition(a, b, 0.0)
+    val (depth, horiz, vert, _) = enhancedRelativePosition(a, b)
     assert(depth == "Nearer") // a center z=2 < b center z=4
     assert(horiz == "Left") // a center x=0 < b center x=1
     assert(vert == "Below") // dy = 0 - (-1) = +1 → Below (+Y is down)
