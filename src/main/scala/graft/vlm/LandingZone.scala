@@ -4,22 +4,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Landing-zone jobs for binary raster/scientific formats (SURVEY §2.1
-  * S7/S11, §7.4 item 1): the Spark side — `binaryFile` scan, partition-local
-  * decode, declared schema, partitioned parquet write — is real; the codec
-  * is an injectable function because HDF5/PNG decoders are deployment
-  * dependencies, not engine code. [[stubDecoder]] is the deterministic
-  * stand-in: 16-bit little-endian millimeter depths, the SUN RGB-D
-  * `depth_png_mm` convention (mm→m scaling, sunrgbd_processor.py:199-200).
+  * S7/S11, §7.4 item 1): `binaryFile` scan, partition-local decode,
+  * declared schema, partitioned parquet write. [[pngDepthDecoder]] is a
+  * real 16-bit PNG depth reader (pure JVM `javax.imageio` — no native
+  * deps), matching the reference's `cv2.imread(..., IMREAD_UNCHANGED)
+  * .astype(float32) / 1000.0` millimeter→meter convention
+  * (sunrgbd_processor.py:195-200). The decoder stays injectable so
+  * deployment codecs (HDF5 for Hypersim, S7) plug into the same job.
   */
 object LandingZone {
 
-  /** Raw raster bytes → depth values in meters. Plug a real PNG/HDF5
-    * reader here in deployment.
-    */
+  /** Raw raster bytes → row-major depth values in meters. */
   type RasterDecoder = Array[Byte] => Array[Double]
 
-  /** STUB: consecutive little-endian uint16 millimeter values. */
-  val stubDecoder: RasterDecoder = bytes => {
+  /** Real decoder: 16-bit (or 8-bit) grayscale PNG of millimeter depths →
+    * meters, row-major like the reference's cv2 read. `javax.imageio`
+    * returns a TYPE_USHORT_GRAY raster for 16-bit grayscale PNG, so sample
+    * values are the raw 0–65535 millimeter codes.
+    */
+  val pngDepthDecoder: RasterDecoder = bytes => {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val raster = img.getRaster
+    val (w, h) = (raster.getWidth, raster.getHeight)
+    val out = new Array[Double](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(i) = raster.getSample(x, y, 0) / 1000.0; i += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Raw little-endian uint16 streams (headerless fixtures / HDF5-extracted
+    * planes whose codec ran upstream): consecutive millimeter values.
+    */
+  val rawU16Decoder: RasterDecoder = bytes => {
     val n = bytes.length / 2
     val out = new Array[Double](n)
     var i = 0
@@ -31,6 +53,9 @@ object LandingZone {
     out
   }
 
+  /** @deprecated naming kept for compatibility; [[rawU16Decoder]] semantics. */
+  val stubDecoder: RasterDecoder = rawU16Decoder
+
   /** One row per raster file: path + a bounded sample of decoded depths.
     * Sampling is a head-take (deterministic); at raster scale the sample
     * bound keeps row sizes inside executor memory budgets.
@@ -38,7 +63,7 @@ object LandingZone {
   def depthSamples(
       spark: SparkSession,
       dir: String,
-      decoder: RasterDecoder = stubDecoder,
+      decoder: RasterDecoder = pngDepthDecoder,
       maxSamples: Int = 4096): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(dir)
@@ -61,7 +86,7 @@ object LandingZone {
 
   /** Full landing job: rasters → depth stats parquet snapshot. */
   def run(spark: SparkSession, rasterDir: String, outDir: String,
-          decoder: RasterDecoder = stubDecoder): Unit =
+          decoder: RasterDecoder = pngDepthDecoder): Unit =
     depthStats(depthSamples(spark, rasterDir, decoder))
       .write.mode("overwrite").parquet(outDir)
 }
