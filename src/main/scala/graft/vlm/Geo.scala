@@ -107,6 +107,27 @@ object Geo {
     if (extrinsics == null || extrinsics.length != 4 || extrinsics.exists(_.length != 4)) None
     else Some(Array(extrinsics(0)(3), extrinsics(1)(3), extrinsics(2)(3)))
 
+  /** G8: camera orientation basis vectors from a 4×4 camera-to-world
+    * extrinsics — the rotation's columns in the OpenCV convention (X right,
+    * Y down, Z forward). Returns (right, down, up, forward, back) world
+    * vectors, None unless 4×4. Ref: QA_generation/utils/geometry.py:367-398.
+    */
+  def cameraOrientation(extrinsics: Array[Array[Double]]): Option[Map[String, Vec3]] =
+    if (extrinsics == null || extrinsics.length != 4 || extrinsics.exists(_.length != 4)) None
+    else {
+      def column(j: Int): Vec3 = Array(extrinsics(0)(j), extrinsics(1)(j), extrinsics(2)(j))
+      val right = column(0)
+      val down = column(1)
+      val forward = column(2)
+      Some(Map(
+        "right" -> right,
+        "down" -> down,
+        "up" -> down.map(-_),
+        "forward" -> forward,
+        "back" -> forward.map(-_)
+      ))
+    }
+
   /** Rigid inverse of a 4×4 homogeneous transform: [Rᵀ | -Rᵀt].
     * The reference uses a general np.linalg.inv (geometry.py:192-219); for
     * valid extrinsics (orthonormal R) the rigid inverse is identical and

@@ -169,6 +169,78 @@ object RawSources {
       )
   }
 
+  // ---- F15: SUN RGB-D end-to-end unified-frame processor -----------------
+
+  /** Compose S4 (intrinsics.txt) + S5 (extrinsics dir) + S6 (polygon
+    * annotations → boxes) + S11 (16-bit PNG depth → A5 stats) into unified
+    * frames, matching sunrgbd_processor.py:130-248. Scene identity is the
+    * scene DIRECTORY; the expected layout is
+    * `root/<sensor>/<dataset>/<scene_id>/` containing `intrinsics.txt`,
+    * `extrinsics/`, `annotation3Dfinal/index.json`, and `depth/` PNGs.
+    *
+    * Gating mirrors the reference: intrinsics and a depth raster are
+    * required (scene skipped otherwise, :144-155), extrinsics and boxes are
+    * optional (:163-164, "continue even if no bboxes"). Image dimensions
+    * fall back to the reference's 640×480 default (:212-215) since image
+    * payloads are not part of the relational landing. Every stage is a
+    * whole-directory scan — one Spark job for all scenes, not a
+    * per-scene loop.
+    */
+  def sunrgbdToFrames(spark: SparkSession, root: String): DataFrame = {
+    def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+    val bbox3dDdl =
+      "array<struct<category:string,x:double,y:double,z:double," +
+        "xl:double,yl:double,zl:double,pitch:double,yaw:double,roll:double>>"
+
+    val intr = readIntrinsics(spark, s"$root/*/*/*/intrinsics.txt")
+      .withColumn("scene_dir", regexp_extract(normPath(col("file")), "^(.*)/intrinsics\\.txt$", 1))
+      .drop("file")
+    val extr = readExtrinsics(spark, s"$root/*/*/*/extrinsics")
+      .withColumn("scene_dir", regexp_extract(normPath(col("scene")), "^(.*)/extrinsics$", 1))
+      .select(col("scene_dir"), col("extrinsics"))
+    val boxes = readSunrgbdAnnotations(spark, s"$root/*/*/*/annotation3Dfinal/index.json")
+      .withColumn("scene_dir",
+        regexp_extract(normPath(col("_source_file")), "^(.*)/annotation3Dfinal/index\\.json$", 1))
+      .groupBy(col("scene_dir"))
+      .agg(sort_array(collect_list(struct(
+        col("obj_idx"),
+        struct(
+          col("category"), col("x"), col("y"), col("z"),
+          col("xl"), col("yl"), col("zl"),
+          col("pitch"), col("yaw"), col("roll")
+        ).as("box")))).as("ordered"))
+      .select(col("scene_dir"), transform(col("ordered"), x => x.getField("box")).as("bounding_boxes_3d"))
+    val depth = LandingZone.depthStats(LandingZone.depthSamples(spark, s"$root/*/*/*/depth/*.png"))
+      .withColumn("scene_dir", regexp_extract(normPath(col("path")), "^(.*)/depth/[^/]+$", 1))
+      .select(col("scene_dir"), normPath(col("path")).as("depth_path"), col("depth_stats"))
+
+    intr
+      .join(depth, Seq("scene_dir"))
+      .join(extr, Seq("scene_dir"), "left")
+      .join(boxes, Seq("scene_dir"), "left")
+      .select(
+        lit("sunrgbd").as("dataset"),
+        concat_ws("_",
+          regexp_extract(col("scene_dir"), "([^/]+)/[^/]+/[^/]+$", 1),
+          regexp_extract(col("scene_dir"), "[^/]+/([^/]+)/[^/]+$", 1)).as("split"),
+        regexp_extract(col("scene_dir"), "([^/]+)$", 1).as("image_id"),
+        col("depth_path"),
+        lit("depth_png_mm").as("depth_type"),
+        struct(
+          col("fx"), col("fy"), col("cx"), col("cy"),
+          lit(640).as("image_width"), lit(480).as("image_height"),
+          array(
+            array(col("fx"), lit(0.0), col("cx")),
+            array(lit(0.0), col("fy"), col("cy")),
+            array(lit(0.0), lit(0.0), lit(1.0))
+          ).as("intrinsics"),
+          col("extrinsics")
+        ).as("camera"),
+        col("depth_stats"),
+        coalesce(col("bounding_boxes_3d"), array().cast(bbox3dDdl)).as("bounding_boxes_3d")
+      )
+  }
+
   // ---- S9: binary sequence file → many rows (generator source) -----------
 
   /** One decoded frame of a binary sequence file. */

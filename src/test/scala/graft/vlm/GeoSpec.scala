@@ -111,6 +111,22 @@ class GeoSpec extends AnyFunSuite {
     assert(cameraPosition(Array(Array(1.0, 0, 0))).isEmpty)
   }
 
+  test("cameraOrientation basis vectors are the rotation columns (G8; geometry.py:367-398)") {
+    // 90° yaw about +Z: camera right = world +Y, down = world -X, forward = +Z
+    val e = Array(
+      Array(0.0, -1.0, 0.0, 5.0),
+      Array(1.0, 0.0, 0.0, 6.0),
+      Array(0.0, 0.0, 1.0, 7.0),
+      Array(0.0, 0.0, 0.0, 1.0))
+    val o = cameraOrientation(e).get
+    assert(o("right").toSeq == Seq(0.0, 1.0, 0.0))
+    assert(o("down").toSeq == Seq(-1.0, 0.0, 0.0))
+    assert(o("up").toSeq == Seq(1.0, -0.0, -0.0))
+    assert(o("forward").toSeq == Seq(0.0, 0.0, 1.0))
+    assert(o("back").toSeq.map(_ + 0.0) == Seq(0.0, 0.0, -1.0))
+    assert(cameraOrientation(Array(Array(1.0))).isEmpty)
+  }
+
   test("invertRigid inverts a rotation+translation transform") {
     val r = rotationMatrix(0.3, -0.5, 1.1)
     val m = Array(

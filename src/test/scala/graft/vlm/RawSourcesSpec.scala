@@ -130,6 +130,54 @@ class RawSourcesSpec extends SparkSpec {
     assert(dn.getAs[Double]("w") == 3.0 && dn.getAs[Double]("area") == 12.0 && dn.getAs[String]("category") == "cat")
   }
 
+  test("sunrgbdToFrames composes S4+S5+S6+S11 into unified frames (F15; sunrgbd_processor.py:130-248)") {
+    val root = tmp()
+    val scene = root.resolve("kv1/NYUdata/scene_0001")
+    Files.createDirectories(scene.resolve("extrinsics"))
+    Files.createDirectories(scene.resolve("annotation3Dfinal"))
+    Files.createDirectories(scene.resolve("depth"))
+    Files.writeString(scene.resolve("intrinsics.txt"),
+      "% camera intrinsics\n520.0 0 320.0\n0 521.0 240.0\n0 0 1\n")
+    Files.writeString(scene.resolve("extrinsics").resolve("20150101.txt"),
+      "1 0 0 2\n0 1 0 3\n0 0 1 4\n")
+    Files.writeString(scene.resolve("annotation3Dfinal").resolve("index.json"),
+      """{"objects": [
+        |  {"name": "bed:occluded", "polygon": [
+        |    {"rectangle": true, "X": [0, 2, 2, 0], "Z": [1, 1, 3, 3], "Ymin": -1, "Ymax": 1}]},
+        |  {"name": "wall", "polygon": [
+        |    {"rectangle": false, "X": [0, 1, 2], "Z": [0, 1, 2], "Ymin": 0, "Ymax": 2}]}]}""".stripMargin)
+    // 16-bit PNG depth: 1000mm, 3000mm
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img.getRaster.setSample(0, 0, 0, 1000)
+    img.getRaster.setSample(1, 0, 0, 3000)
+    javax.imageio.ImageIO.write(img, "png", scene.resolve("depth").resolve("d.png").toFile)
+    // a second scene missing intrinsics: must be skipped by the inner join
+    val bad = root.resolve("kv1/NYUdata/scene_0002")
+    Files.createDirectories(bad.resolve("depth"))
+    javax.imageio.ImageIO.write(img, "png", bad.resolve("depth").resolve("d.png").toFile)
+
+    val frames = RawSources.sunrgbdToFrames(spark, root.toString).collect()
+    assert(frames.length == 1)
+    val f = frames.head
+    assert(f.getAs[String]("dataset") == "sunrgbd")
+    assert(f.getAs[String]("split") == "kv1_NYUdata")
+    assert(f.getAs[String]("image_id") == "scene_0001")
+    assert(f.getAs[String]("depth_type") == "depth_png_mm")
+    val cam = f.getStruct(f.fieldIndex("camera"))
+    assert(cam.getAs[Double]("fx") == 520.0 && cam.getAs[Double]("cy") == 240.0)
+    assert(cam.getAs[Int]("image_width") == 640) // reference 640x480 fallback
+    val ex = cam.getSeq[scala.collection.Seq[Double]](cam.fieldIndex("extrinsics"))
+    assert(ex(0) == Seq(1.0, 0.0, 0.0, 2.0) && ex(3) == Seq(0.0, 0.0, 0.0, 1.0))
+    val ds = f.getStruct(f.fieldIndex("depth_stats"))
+    assert(ds.getAs[Long]("valid_pixels") == 2 && ds.getAs[Double]("mean") == 2.0)
+    val boxes = f.getSeq[org.apache.spark.sql.Row](f.fieldIndex("bounding_boxes_3d"))
+    assert(boxes.length == 1) // non-rectangle polygon dropped (F9)
+    val b = boxes.head
+    assert(b.getAs[String]("category") == "bed") // :occluded stripped
+    assert(b.getAs[Double]("x") == 1.0 && b.getAs[Double]("z") == 2.0 && b.getAs[Double]("y") == 0.0)
+    assert(b.getAs[Double]("xl") == 2.0 && b.getAs[Double]("zl") == 2.0 && b.getAs[Double]("yl") == 2.0)
+  }
+
   test("withPathPartitions extracts partition columns from paths (S12)") {
     val dir = tmp()
     val sub = dir.resolve("kv1/NYU0001")
