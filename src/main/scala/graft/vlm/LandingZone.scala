@@ -56,6 +56,13 @@ object LandingZone {
   /** @deprecated naming kept for compatibility; [[rawU16Decoder]] semantics. */
   val stubDecoder: RasterDecoder = rawU16Decoder
 
+  /** HDF5 landing decoder (S7): reads the Hypersim-style single `"dataset"`
+    * array via the pure-JVM [[Hdf5Lite]] subset reader. Values pass through
+    * unscaled — Hypersim depth is float meters already
+    * (hypersim_processor.py:55-69).
+    */
+  val hdf5Decoder: RasterDecoder = bytes => Hdf5Lite.readDataset(bytes).data
+
   /** One row per raster file: path + a bounded sample of decoded depths.
     * Sampling is a head-take (deterministic); at raster scale the sample
     * bound keeps row sizes inside executor memory budgets.
