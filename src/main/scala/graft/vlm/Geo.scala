@@ -221,6 +221,20 @@ object Geo {
     }
   }
 
+  /** Rotation matrix → (pitch, yaw, roll) in RADIANS, the ZYX extraction
+    * Hypersim's bbox orientations use (hypersim_processor.py:166-186):
+    * pitch = atan2(R₂₁, R₂₂), yaw = atan2(−R₂₀, √(R₀₀²+R₁₀²)),
+    * roll = atan2(R₁₀, R₀₀), with the singular-case fallback.
+    */
+  def matrixToEulerZYXRad(r: Mat3): (Double, Double, Double) = {
+    val sy = math.sqrt(r(0)(0) * r(0)(0) + r(1)(0) * r(1)(0))
+    if (sy >= 1e-6) {
+      (math.atan2(r(2)(1), r(2)(2)), math.atan2(-r(2)(0), sy), math.atan2(r(1)(0), r(0)(0)))
+    } else {
+      (math.atan2(-r(1)(2), r(1)(1)), math.atan2(-r(2)(0), sy), 0.0)
+    }
+  }
+
   /** Quaternion (x, y, z, w) → Euler (pitch, yaw, roll) degrees.
     * Ref: data_processing/utils.py:13-25 (scipy 'xyz').
     */

@@ -109,42 +109,75 @@ object MaskJobs {
     }.toSeq
   }
 
-  /** Whole-directory job: mask PNGs (+ optionally same-stem depth and
-    * semantic PNGs) → per-instance aggregate rows. File pairing is a
-    * metadata-scale join on the filename stem; decode is partition-local.
+  /** View key: filename stem with any `_domain_<domain>` suffix stripped, so
+    * Taskonomy's per-domain files (`point_P_view_V_domain_segment_unsup25d`
+    * vs `..._domain_depth_euclidean`) pair on `point_P_view_V` while plain
+    * same-stem layouts pair on the stem itself.
+    */
+  private[vlm] def viewKey(path: Column): Column =
+    regexp_replace(regexp_extract(path, "([^/]+)\\.[^.]+$", 1), "_domain_.*$", "")
+
+  private def pairedScans(
+      spark: SparkSession,
+      maskDir: String,
+      depthDir: Option[String],
+      semanticDir: Option[String]): DataFrame = {
+    def scan(dir: String): DataFrame =
+      spark.read.format("binaryFile").load(dir)
+        .select(col("path"), viewKey(col("path")).as("view"), col("content"))
+    val masks = scan(maskDir)
+    val withDepth = depthDir match {
+      case Some(dd) => masks.join(
+        scan(dd).select(col("view"), col("content").as("depth_content")), Seq("view"), "left")
+      case None => masks.withColumn("depth_content", lit(null).cast("binary"))
+    }
+    semanticDir match {
+      case Some(sd) => withDepth.join(
+        scan(sd).select(col("view"), col("content").as("sem_content")), Seq("view"), "left")
+      case None => withDepth.withColumn("sem_content", lit(null).cast("binary"))
+    }
+  }
+
+  private def decodePaired(paired: DataFrame): DataFrame = {
+    val spark = paired.sparkSession
+    import spark.implicits._
+    paired
+      .select(col("path"), col("content"), col("depth_content"), col("sem_content"),
+        col("fx"), col("fy"), col("cx"), col("cy"))
+      .as[(String, Array[Byte], Array[Byte], Array[Byte], Double, Double, Double, Double)]
+      .flatMap { case (path, mask, depth, sem, fx, fy, cx, cy) =>
+        aggregateFrame(path, mask, Option(depth), Option(sem), fx, fy, cx, cy)
+      }
+      .toDF()
+  }
+
+  /** Whole-directory job with one shared camera: mask PNGs (+ optionally
+    * paired depth and semantic PNGs) → per-instance aggregate rows. File
+    * pairing is a metadata-scale join on the view key; decode is
+    * partition-local.
     */
   def instanceAggregates(
       spark: SparkSession,
       maskDir: String,
       depthDir: Option[String],
       semanticDir: Option[String],
-      fx: Double, fy: Double, cx: Double, cy: Double): DataFrame = {
-    import spark.implicits._
-    def scan(dir: String): DataFrame =
-      spark.read.format("binaryFile").load(dir)
-        .select(
-          col("path"),
-          regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("stem"),
-          col("content"))
-    val masks = scan(maskDir)
-    val withDepth = depthDir match {
-      case Some(dd) => masks.join(
-        scan(dd).select(col("stem"), col("content").as("depth_content")), Seq("stem"), "left")
-      case None => masks.withColumn("depth_content", lit(null).cast("binary"))
-    }
-    val withSem = semanticDir match {
-      case Some(sd) => withDepth.join(
-        scan(sd).select(col("stem"), col("content").as("sem_content")), Seq("stem"), "left")
-      case None => withDepth.withColumn("sem_content", lit(null).cast("binary"))
-    }
-    withSem
-      .select(col("path"), col("content"), col("depth_content"), col("sem_content"))
-      .as[(String, Array[Byte], Array[Byte], Array[Byte])]
-      .flatMap { case (path, mask, depth, sem) =>
-        aggregateFrame(path, mask, Option(depth), Option(sem), fx, fy, cx, cy)
-      }
-      .toDF()
-  }
+      fx: Double, fy: Double, cx: Double, cy: Double): DataFrame =
+    decodePaired(pairedScans(spark, maskDir, depthDir, semanticDir)
+      .withColumn("fx", lit(fx)).withColumn("fy", lit(fy))
+      .withColumn("cx", lit(cx)).withColumn("cy", lit(cy)))
+
+  /** Per-view camera variant: `intrinsics` provides
+    * `(view, fx, fy, cx, cy)` rows (e.g. from Taskonomy point_info JSONs);
+    * views without intrinsics are dropped by the inner join.
+    */
+  def instanceAggregatesWith(
+      spark: SparkSession,
+      maskDir: String,
+      depthDir: Option[String],
+      semanticDir: Option[String],
+      intrinsics: DataFrame): DataFrame =
+    decodePaired(pairedScans(spark, maskDir, depthDir, semanticDir)
+      .join(intrinsics.select(col("view"), col("fx"), col("fy"), col("cx"), col("cy")), Seq("view")))
 
   /** G17: precise 2D boxes from the pixel extent, with the reference's
     * `w > 5 && h > 5` noise gate (:345-356). x_max/y_max exclusive, like
