@@ -665,6 +665,66 @@ object RelationalQueries extends QueryModule {
       "Full-outer reconciliation of two keyed aggregates (join-surface completion beyond the reference)."
     ),
     QueryDef(
+      "j_asof_recent_purchase",
+      (s, d) => {
+        // As-of join — the operator Spark lacks natively (SURVEY §2.4
+        // extension; the Hypersim nearest-keyframe pose join is the domain
+        // instance). Instead of join + filter + rank over candidate pairs
+        // (quadratic in matches per key), merge both sides into ONE stream,
+        // sort per key, and carry the latest right-side row forward with
+        // last(..., ignoreNulls) — one shuffle on the key, linear work.
+        // events.ts is unique per row, so >= tie-breaks never arise.
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isP = col("event_type") === "purchase"
+        e
+          .withColumn("purchase_ts", last(when(isP, col("ts")), ignoreNulls = true).over(w))
+          .withColumn("purchase_id", last(when(isP, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("purchase_value", last(when(isP, col("value")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click" && col("purchase_ts").isNotNull)
+          .select(
+            col("user_id"),
+            col("event_id").as("click_id"),
+            col("ts").as("click_ts_us"),
+            col("purchase_id"),
+            col("purchase_ts").as("purchase_ts_us"),
+            col("purchase_value")
+          )
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+             |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+             |  p.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin),
+      "As-of join (most recent purchase at or before each click) via merged-stream carry-forward — one shuffle, no pair materialization; DuckDB's native ASOF JOIN is the oracle."
+    ),
+    QueryDef(
+      "j_range_bucket",
+      (s, d) => {
+        // Range (theta) join against a tiny bucket dimension: broadcast the
+        // ranges so the big side stays map-only (BroadcastNestedLoopJoin on
+        // a 4-row table — bounded work per row, no shuffle of events).
+        val ranges = s.createDataFrame(Seq(
+          (0.0, 1.0, "tiny"), (1.0, 5.0, "small"), (5.0, 20.0, "mid"), (20.0, 1e9, "big")
+        )).toDF("lo", "hi", "bucket")
+        Tables.events(s, d)
+          .join(broadcast(ranges), col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), out38(sum(dec(col("value")))).as("v"))
+      },
+      Some("""SELECT bucket, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+             |FROM events JOIN (VALUES
+             |  (0.0, 1.0, 'tiny'), (1.0, 5.0, 'small'), (5.0, 20.0, 'mid'), (20.0, 1e9, 'big')
+             |) r(lo, hi, bucket) ON value >= lo AND value < hi
+             |GROUP BY bucket""".stripMargin),
+      "Range join on a broadcast bucket dimension (SURVEY §2.4 extension): theta predicate, map-only big side."
+    ),
+    QueryDef(
       "m5_json_extract",
       (s, d) =>
         // semi-structured extraction: the events `props` column is a JSON

@@ -67,4 +67,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("d3_lsh_near_dup_pairs")
     assert(p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
+
+  test("j_asof_recent_purchase plans NO join at all (merged-stream carry-forward)") {
+    val p = plan("j_asof_recent_purchase")
+    assert(!p.contains("Join"), p)
+    // exactly one shuffle: the window partitioning on user_id (formatted
+    // explain shows each node once in the tree and once in the details —
+    // count the details headers)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("j_range_bucket broadcasts the bucket dimension (big side map-only)") {
+    val p = plan("j_range_bucket")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
