@@ -387,6 +387,55 @@ object RelationalQueries extends QueryModule {
       "Sketch-based distinct counting: HLL approx vs exact with a bounded-error contract (100 TB scale path)."
     ),
     QueryDef(
+      "a_salted_skew_agg",
+      (s, d) => {
+        // Skew-safe two-phase aggregation: salt the hot key so its partial
+        // aggregates spread over 16 reducers, then merge the partials.
+        // Result is IDENTICAL to the direct groupBy (the oracle computes it
+        // directly) — the salt only reshapes the shuffle. This is the
+        // pattern for power-law keys where one group would otherwise pin a
+        // single reducer at 100 TB; decimal sums keep both phases exact.
+        val salted = Tables.lineitem(s, d)
+          .withColumn("salt", pmod(col("l_partkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(count(lit(1)).as("pn"), sum(dec(col("l_quantity"))).as("pq"))
+        salted
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("pn")).cast("long").as("n"), out38(sum(col("pq"))).as("qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "Salted two-phase aggregation for skewed keys (scale technique; result equals the direct group-by, which is the oracle)."
+    ),
+    QueryDef(
+      "a_approx_quantiles",
+      (s, d) =>
+        // Sketch quantiles with the bounded-error cross-engine contract
+        // (same stance as a_approx_distinct): each engine's sketch differs,
+        // so the checked output is the exact median plus a flag that the
+        // approximate quantile lands within the declared rank error.
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            median(col("value")).as("exact_median"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+            count(lit(1)).as("n")
+          )
+          .select(
+            col("event_type"),
+            col("exact_median"),
+            col("n"),
+            (abs(col("approx_median") - col("exact_median")) <=
+              greatest(abs(col("exact_median")) * 0.05, lit(0.5))).as("approx_within_5pct")
+          ),
+      Some("""SELECT event_type, median(value) AS exact_median, count(*) AS n,
+             |  abs(approx_quantile(value, 0.5) - median(value))
+             |    <= greatest(abs(median(value)) * 0.05, 0.5) AS approx_within_5pct
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Sketch quantiles: approx median vs exact with a bounded-error contract (one-pass mergeable sketch is the 100 TB path)."
+    ),
+    QueryDef(
       "a12_collect_sorted",
       (s, d) =>
         Tables.lineitem(s, d)
