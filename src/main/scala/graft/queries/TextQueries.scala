@@ -223,8 +223,12 @@ object TextQueries extends QueryModule {
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        terms.join(dfreq, Seq("token"))
+        // document frequency as a window over the token partition: one
+        // shuffle on token replaces the groupBy + join-back pair (same
+        // result — each (doc, token) row is one document containing the
+        // token), and the per-doc rank window follows.
+        terms
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
           .withColumn("score", round(col("tf") * lit(n).cast("double") / col("df"), 6))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)))
