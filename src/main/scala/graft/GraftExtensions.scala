@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongDot, ShingleHashes, SimHash56}
+import graft.functions.{LongDot, QuantizeVec, ShingleHashes, SimHash56}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,12 @@ object GraftExtensions {
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "long_dot"),
       (children: Seq[Expression]) => LongDot(children(0), children(1))
+    ),
+    (
+      FunctionIdentifier("quantize_vec"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "quantize_vec"),
+      (children: Seq[Expression]) =>
+        QuantizeVec(children(0), children(1).eval().asInstanceOf[Number].intValue())
     ),
     (
       FunctionIdentifier("shingle_hashes"),

@@ -22,6 +22,10 @@ package object functions {
   def minhash8(hashes: Column): Column =
     shims.column(MinHash8(shims.expression(hashes)))
 
+  /** Quantize an array<float|double> to array<bigint>: round(x·scale). */
+  def quantizeVec(vec: Column, scale: Int): Column =
+    shims.column(QuantizeVec(shims.expression(vec), scale))
+
   /** 8 oriented-box vertices from a length-9 array (x..roll). */
   def boxVertices(fields: Column): Column =
     shims.column(BoxVertices(shims.expression(fields)))

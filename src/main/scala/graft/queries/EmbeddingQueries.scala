@@ -30,9 +30,12 @@ object EmbeddingQueries extends QueryModule {
   private val NumCells = 8 // IVF coarse cells
   private val NumProbe = 2 // IVF cells probed per query
 
-  /** Quantized int vector: round(double(x) * 1000). */
+  /** Quantized int vector: round(double(x) * 1000) — one codegen pass
+    * ([[graft.functions.QuantizeVec]], BigDecimal HALF_UP exactly like the
+    * built-in round) instead of the interpreted transform chain.
+    */
   private def qvec(emb: Column): Column =
-    transform(emb, x => round(x.cast("double") * 1000, 0).cast("long"))
+    graft.functions.quantizeVec(emb, 1000)
 
   private val qvecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
