@@ -38,8 +38,19 @@ object MatterportSources {
       instances: DataFrame,
       categories: DataFrame,
       poses: Option[DataFrame] = None): DataFrame = {
+    // A frame can appear under multiple region sample_idx entries; the
+    // reference's corrections dict is last-assignment-wins per
+    // (scene, frame) (:120-124). Deterministic equivalent: keep the row
+    // with the max sample_idx per frame.
+    val dedupImages = images
+      .groupBy(col("scene_id"), col("frame_id"))
+      .agg(
+        max_by(struct(col("sample_idx"), col("img_path"), col("visible_instance_ids")),
+          col("sample_idx")).as("r"))
+      .select(col("scene_id"), col("frame_id"),
+        col("r.sample_idx"), col("r.img_path"), col("r.visible_instance_ids"))
     // J2: visible ids → instance rows, order-preserving via posexplode
-    val exploded = images.select(
+    val exploded = dedupImages.select(
       col("scene_id"), col("sample_idx"), col("frame_id"),
       posexplode(col("visible_instance_ids")).as(Seq("box_pos", "bbox_id")))
     val labeled = exploded
@@ -69,7 +80,7 @@ object MatterportSources {
       .select(col("scene_id"), col("frame_id"),
         transform(col("ordered"), x => x.getField("box")).as("bounding_boxes_3d"))
 
-    val withBoxes = images
+    val withBoxes = dedupImages
       .select(col("scene_id"), col("frame_id"), col("img_path"))
       .join(boxes, Seq("scene_id", "frame_id"), "left")
     val withPoses = poses match {

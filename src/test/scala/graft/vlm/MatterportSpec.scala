@@ -9,14 +9,16 @@ class MatterportSpec extends SparkSpec {
   private def tables() = {
     import spark.implicits._
     val images = Seq(
-      ("sceneA", "matterport3d/sceneA/region0", "f_i1_0", "matterport3d/sceneA/matterport_color_images/f_i1_0.jpg", Seq(2L, 1L)),
+      // same frame listed under an earlier region: last sample_idx wins
+      ("sceneA", "matterport3d/sceneA/region0", "f_i1_0", "matterport3d/sceneA/matterport_color_images/f_i1_0.jpg", Seq(1L)),
+      ("sceneA", "matterport3d/sceneA/region1", "f_i1_0", "matterport3d/sceneA/matterport_color_images/f_i1_0.jpg", Seq(2L, 1L)),
       ("sceneA", "matterport3d/sceneA/region0", "f_i1_1", "matterport3d/sceneA/matterport_color_images/f_i1_1.jpg", Seq.empty[Long])
     ).toDF("scene_id", "sample_idx", "frame_id", "img_path", "visible_instance_ids")
     val instances = Seq(
-      ("sceneA", "matterport3d/sceneA/region0", 1L, 1.0, 2.0, 3.0, 0.5, 0.6, 0.7, 90.0, 0.0, 0.0, 5L),
-      ("sceneA", "matterport3d/sceneA/region0", 2L, 9.0, 8.0, 7.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 7L),
+      ("sceneA", "matterport3d/sceneA/region1", 1L, 1.0, 2.0, 3.0, 0.5, 0.6, 0.7, 90.0, 0.0, 0.0, 5L),
+      ("sceneA", "matterport3d/sceneA/region1", 2L, 9.0, 8.0, 7.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 7L),
       // instance never visible in any image
-      ("sceneA", "matterport3d/sceneA/region0", 3L, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 5L)
+      ("sceneA", "matterport3d/sceneA/region1", 3L, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 5L)
     ).toDF("scene_id", "sample_idx", "bbox_id", "cx", "cy", "cz", "dx", "dy", "dz", "rx", "ry", "rz", "label_id")
     val categories = Seq((5L, "chair")).toDF("label_id", "name") // 7 unmapped
     (images, instances, categories)
