@@ -62,8 +62,7 @@ case class QuantizeVec(child: Expression, scale: Int) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
          |    double $v = $getter;
-         |    $out[$i] = java.math.BigDecimal.valueOf($v * ${scale}.0D)
-         |      .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |    $out[$i] = graft.functions.QuantizeVec$$.MODULE$$.quantize($v, $scale);
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -75,8 +74,14 @@ case class QuantizeVec(child: Expression, scale: Int) extends UnaryExpression {
 }
 
 object QuantizeVec {
-  /** Mirror of Spark's Round-on-double semantics. */
-  def quantize(v: Double, scale: Int): Long =
+  /** Mirror of Spark's Round-on-double semantics; a non-finite element
+    * fails with a clear error (the replaced round+ANSI-cast chain also
+    * threw, via CAST_INVALID_INPUT).
+    */
+  def quantize(v: Double, scale: Int): Long = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      throw new ArithmeticException(s"quantize_vec: non-finite vector element $v")
     java.math.BigDecimal.valueOf(v * scale)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 }

@@ -113,11 +113,11 @@ object DedupQueries extends QueryModule {
   private val LocalCcMaxEdges = 5_000_000L
 
   private def minLabelComponents(undirected: DataFrame): DataFrame = {
-    // The edge list is typically the output of the whole LSH candidate +
-    // verification pipeline — cache it once or every round re-derives it.
-    val edges = undirected.cache()
-    if (edges.count() <= LocalCcMaxEdges) localUnionFind(edges)
-    else distributedMinLabel(edges)
+    // Callers cache `undirected` (it is the output of the whole LSH
+    // candidate + verification pipeline); the count() both sizes the graph
+    // and materializes that cache before the CC passes reuse it.
+    if (undirected.count() <= LocalCcMaxEdges) localUnionFind(undirected)
+    else distributedMinLabel(undirected)
   }
 
   /** Single-job CC: coalesce the (small, verified) edge list to one

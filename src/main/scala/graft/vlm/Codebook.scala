@@ -110,10 +110,15 @@ object Codebook {
     * the corpus at any scale.
     */
   def applyCodebook(frames: DataFrame, codebook: DataFrame): DataFrame = {
-    val frameCols = frames.columns.filterNot(_ == "bounding_boxes_3d").map(col)
-    val exploded = frames
-      // deterministic frame identity: (_source_file, image_id) is stable
-      // across task retries, unlike monotonically_increasing_id
+    // deterministic frame identity: (_source_file, image_id) is stable
+    // across task retries, unlike monotonically_increasing_id; corpora not
+    // read through Ingest (the per-dataset processors) carry no
+    // _source_file tag, so default it rather than failing analysis
+    val tagged =
+      if (frames.columns.contains("_source_file")) frames
+      else frames.withColumn("_source_file", lit(""))
+    val frameCols = tagged.columns.filterNot(_ == "bounding_boxes_3d").map(col)
+    val exploded = tagged
       .withColumn("_frame_key", concat_ws("#", col("_source_file"), col("image_id")))
       .select(col("_frame_key") +: frameCols :+ posexplode(col("bounding_boxes_3d")).as(Seq("bbox_idx", "bbox")): _*)
       // ANSI-safe: cast only when the category matches (empty extract would throw)

@@ -88,7 +88,7 @@ object Hdf5Lite {
     }
   }
 
-  private def decodeDataset(b: ByteBuffer, bytes: Array[Byte], headerAddr: Long): Dataset = {
+  private def decodeDataset(b: ByteBuffer, headerAddr: Long): Dataset = {
     val msgs = objectHeaderMessages(b, headerAddr)
     // dataspace (0x0001), v1: ver, ndims, flags, 5 reserved, dims
     val space = msgs.find(_.tpe == 0x0001).getOrElse(sys.error("no dataspace message"))
@@ -146,7 +146,7 @@ object Hdf5Lite {
       "expected HEAP")
     val heapDataAddr = u64(b, heapAddr.toInt + 24)
     walkBtree(b, btreeAddr).map { case (nameOff, hdrAddr) =>
-      heapString(b, heapDataAddr, nameOff) -> decodeDataset(b, bytes, hdrAddr)
+      heapString(b, heapDataAddr, nameOff) -> decodeDataset(b, hdrAddr)
     }.toMap
   }
 

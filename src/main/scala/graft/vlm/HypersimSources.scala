@@ -150,17 +150,7 @@ object HypersimSources {
         files.get("depth_meters").map { db =>
           val ds = Hdf5Lite.readDataset(db)
           val (h, w) = (ds.dims(0).toInt, ds.dims(1).toInt)
-          val valid = ds.data.filter(d => d > 0 && !d.isInfinite && !d.isNaN).sorted
-          val stats =
-            if (valid.isEmpty)
-              FrameSchema.DepthStats(present = false, 0L, ds.data.length.toLong, None, None, None, None)
-            else {
-              val n = valid.length
-              val median =
-                if (n % 2 == 1) valid(n / 2) else (valid(n / 2 - 1) + valid(n / 2)) / 2
-              FrameSchema.DepthStats(present = true, n.toLong, ds.data.length.toLong,
-                Some(valid.head), Some(valid.last), Some(median), Some(valid.sum / n))
-            }
+          val stats = LandingZone.statsOf(ds.data)
           val visible = files.get("semantic_instance")
             .map(sb => Hdf5Lite.readDataset(sb).data.map(_.toInt).filter(_ >= 0).distinct.sorted.toSeq)
             .getOrElse(Seq.empty)
@@ -201,6 +191,10 @@ object HypersimSources {
     val boxes = sceneBoxes(spark, root)
     val named = nodeNames(spark, root)
     val visible = posed
+      // box recovery needs the world→camera transform; frames whose camera
+      // has no keyframe pose keep their row (left join below) but
+      // contribute no boxes, instead of NPE-ing inside the transform UDF
+      .filter(col("extrinsics").isNotNull)
       .select(col("scene"), col("cam"), col("frame_id"), col("extrinsics"),
         explode(col("visible_ids")).as("instance_id"))
       .join(boxes, Seq("scene", "instance_id")) // inner: ids without box rows drop (:275-277)

@@ -82,8 +82,44 @@ object LandingZone {
       .toDF("path", "depths")
   }
 
+  /** Exact A5 statistics over a decoded raster, computed where the decode
+    * runs — valid mask is the reference's `d > 0 ∧ finite`
+    * (utils.py:104-105); exact median via sort.
+    */
+  def statsOf(depths: Array[Double]): FrameSchema.DepthStats = {
+    val valid = depths.filter(d => d > 0 && !d.isInfinite && !d.isNaN).sorted
+    if (valid.isEmpty)
+      FrameSchema.DepthStats(present = false, 0L, depths.length.toLong, None, None, None, None)
+    else {
+      val n = valid.length
+      val median = if (n % 2 == 1) valid(n / 2) else (valid(n / 2 - 1) + valid(n / 2)) / 2
+      FrameSchema.DepthStats(present = true, n.toLong, depths.length.toLong,
+        Some(valid.head), Some(valid.last), Some(median), Some(valid.sum / n))
+    }
+  }
+
+  /** FULL-raster per-file depth stats: decode + aggregate inside the task,
+    * so row size is O(1) regardless of raster size (a 640×480 frame emits
+    * one stats row, never a 307k-element sample array). This is the path
+    * the frame processors use; [[depthSamples]] below keeps a bounded
+    * sample when the downstream op wants values, not stats.
+    */
+  def fullDepthStats(
+      spark: SparkSession,
+      dir: String,
+      decoder: RasterDecoder = pngDepthDecoder): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) => (path, statsOf(decoder(bytes))) }
+      .toDF("path", "depth_stats")
+  }
+
   /** Landing output: per-frame depth_stats (A5) ready to join into the
-    * unified frame corpus on the raster path.
+    * unified frame corpus on the raster path. NOTE: stats cover the sample
+    * `depthSamples` kept (its `maxSamples` bound); use [[fullDepthStats]]
+    * for whole-raster statistics.
     */
   def depthStats(samples: DataFrame): DataFrame =
     samples.select(

@@ -112,10 +112,16 @@ object MaskJobs {
   /** View key: filename stem with any `_domain_<domain>` suffix stripped, so
     * Taskonomy's per-domain files (`point_P_view_V_domain_segment_unsup25d`
     * vs `..._domain_depth_euclidean`) pair on `point_P_view_V` while plain
-    * same-stem layouts pair on the stem itself.
+    * same-stem layouts pair on the stem itself. Taskonomy point/view
+    * numbering restarts per location, so paths under `/taskonomy/<loc>/`
+    * get the location prefixed — otherwise a multi-location root would
+    * cross-match `loc_a`'s mask with `loc_b`'s depth.
     */
-  private[vlm] def viewKey(path: Column): Column =
-    regexp_replace(regexp_extract(path, "([^/]+)\\.[^.]+$", 1), "_domain_.*$", "")
+  private[vlm] def viewKey(path: Column): Column = {
+    val stem = regexp_replace(regexp_extract(path, "([^/]+)\\.[^.]+$", 1), "_domain_.*$", "")
+    val loc = regexp_extract(path, "/taskonomy/([^/]+)/", 1)
+    concat_ws("/", when(loc =!= "", loc), stem) // concat_ws skips the null
+  }
 
   private def pairedScans(
       spark: SparkSession,

@@ -210,7 +210,7 @@ object RawSources {
           col("pitch"), col("yaw"), col("roll")
         ).as("box")))).as("ordered"))
       .select(col("scene_dir"), transform(col("ordered"), x => x.getField("box")).as("bounding_boxes_3d"))
-    val depth = LandingZone.depthStats(LandingZone.depthSamples(spark, s"$root/*/*/*/depth/*.png"))
+    val depth = LandingZone.fullDepthStats(spark, s"$root/*/*/*/depth/*.png")
       .withColumn("scene_dir", regexp_extract(normPath(col("path")), "^(.*)/depth/[^/]+$", 1))
       .select(col("scene_dir"), normPath(col("path")).as("depth_path"), col("depth_stats"))
 

@@ -57,6 +57,16 @@ object TaskonomySources {
       .withColumn("extrinsics", extrinsicsUdf(col("camera_location"), col("camera_rotation_final")))
   }
 
+  /** True when the glob matches at least one file — Spark's readers throw
+    * on empty globs, and segment_semantic is an optional domain
+    * (taskonomy_processor.py:255 "semantic is optional").
+    */
+  private def globExists(spark: SparkSession, pattern: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val matches = p.getFileSystem(spark.sessionState.newHadoopConf()).globStatus(p)
+    matches != null && matches.nonEmpty
+  }
+
   def taskonomyFrames(
       spark: SparkSession,
       root: String,
@@ -69,7 +79,7 @@ object TaskonomySources {
       spark,
       s"$root/segment_unsup25d/taskonomy/*/*.png",
       Some(s"$root/depth_euclidean/taskonomy/*/*.png"),
-      Some(s"$root/segment_semantic/taskonomy/*/*.png"),
+      Some(s"$root/segment_semantic/taskonomy/*/*.png").filter(globExists(spark, _)),
       info)
     // reference emits the 2D box only when the 3D box survives its gates
     // (:345-377): inner-join the two derivations per (view, instance)
@@ -96,9 +106,9 @@ object TaskonomySources {
         transform(col("es"), x => x.getField("b2")).as("bounding_boxes_2d"),
         transform(col("es"), x => x.getField("b3")).as("bounding_boxes_3d"))
 
-    // frame-level depth stats from the same mm→m decode (required file, :255)
-    val depth = LandingZone.depthStats(
-      LandingZone.depthSamples(spark, s"$root/depth_euclidean/taskonomy/*/*.png"))
+    // frame-level FULL-raster depth stats from the same mm→m decode
+    // (required file, :255)
+    val depth = LandingZone.fullDepthStats(spark, s"$root/depth_euclidean/taskonomy/*/*.png")
       .withColumn("view", MaskJobs.viewKey(col("path")))
       .select(col("view"), col("depth_stats"))
 
@@ -106,14 +116,17 @@ object TaskonomySources {
       "area:int,instance_id:int,category:string>>"
     val b3Ddl = "array<struct<x:double,y:double,z:double,xl:double,yl:double,zl:double," +
       "pitch:double,yaw:double,roll:double,category:string>>"
+    // the join key carries the location prefix (see MaskJobs.viewKey);
+    // display names use the bare point_P_view_V part
+    val viewName = regexp_replace(col("view"), "^.*/", "")
     info
       .join(depth, Seq("view"))
       .join(boxesPerView, Seq("view"), "left")
       .select(
         lit("taskonomy").as("dataset"),
         col("location").as("split"),
-        concat_ws("_", col("location"), col("view")).as("image_id"),
-        concat(col("view"), lit("_domain_rgb.png")).as("filename"),
+        concat_ws("_", col("location"), viewName).as("image_id"),
+        concat(viewName, lit("_domain_rgb.png")).as("filename"),
         lit("depth_png_encoded").as("depth_type"),
         struct(
           col("fx"), col("fy"), col("cx"), col("cy"),

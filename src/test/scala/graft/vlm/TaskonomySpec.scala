@@ -45,6 +45,31 @@ class TaskonomySpec extends SparkSpec {
     root
   }
 
+  test("multi-location roots do not cross-match same-named views (viewKey carries the location)") {
+    val root = Files.createTempDirectory("graft-taskonomy-multi")
+    val fov = 2 * math.atan(0.1)
+    for ((loc, mm) <- Seq(("loc_a", 1000), ("loc_b", 2000))) {
+      val dirs = Seq("point_info", "segment_unsup25d", "depth_euclidean")
+        .map(d => d -> root.resolve(s"$d/taskonomy/$loc")).toMap
+      dirs.values.foreach(Files.createDirectories(_))
+      Files.writeString(dirs("point_info").resolve("point_0_view_0_domain_point_info.json"),
+        s"""{"resolution": 20, "field_of_view_rads": $fov,
+           |"camera_location": [0.0, 0.0, 0.0],
+           |"camera_rotation_final": [0.0, 0.0, 0.0]}""".stripMargin)
+      writeGray(dirs("segment_unsup25d").resolve("point_0_view_0_domain_segment_unsup25d.png"),
+        20, 20, sixteenBit = false)((u, v) => if (u >= 2 && u <= 11 && v >= 3 && v <= 12) 1 else 0)
+      writeGray(dirs("depth_euclidean").resolve("point_0_view_0_domain_depth_euclidean.png"),
+        20, 20, sixteenBit = true)((_, _) => mm)
+    }
+    val frames = TaskonomySources.taskonomyFrames(spark, root.toString)
+      .orderBy("split").collect()
+    assert(frames.length == 2)
+    assert(frames(0).getAs[String]("image_id") == "loc_a_point_0_view_0")
+    // each frame's depth stats come from its OWN location's raster
+    assert(frames(0).getStruct(frames(0).fieldIndex("depth_stats")).getAs[Double]("mean") == 1.0)
+    assert(frames(1).getStruct(frames(1).fieldIndex("depth_stats")).getAs[Double]("mean") == 2.0)
+  }
+
   test("taskonomyFrames: point_info camera + paired 2D/3D mask boxes (F15; taskonomy_processor.py:239-412)") {
     val root = fixture()
     val frames = TaskonomySources.taskonomyFrames(
