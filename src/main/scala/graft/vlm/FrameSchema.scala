@@ -134,4 +134,40 @@ object FrameSchema {
     StructField("bounding_boxes_3d", ArrayType(bbox3dType)),
     StructField("timestamp", LongType)
   ))
+
+  /** Align any per-dataset processor output to the canonical [[frameType]]:
+    * missing columns become typed nulls, struct fields are matched BY NAME
+    * (recursively, so each processor's camera/box structs may carry extra
+    * fields or a different order), and arrays of structs are element-wise
+    * aligned. The result of every `*ToFrames`/`*Frames` processor conforms
+    * here and then runs through the QA engine unchanged — the F15 contract.
+    */
+  def conform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit, struct, transform}
+
+    def align(src: Column, srcType: DataType, target: DataType): Column =
+      (srcType, target) match {
+        case (s: StructType, t: StructType) =>
+          struct(t.fields.map { f =>
+            s.find(_.name == f.name) match {
+              case Some(sf) => align(src.getField(f.name), sf.dataType, f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }.toIndexedSeq: _*)
+        case (ArrayType(se: StructType, _), ArrayType(te: StructType, _)) =>
+          transform(src, x => align(x, se, te))
+        case _ => src.cast(target)
+      }
+
+    val out = frameType.fields.map { f =>
+      df.schema.find(_.name == f.name) match {
+        case Some(sf) => align(col(f.name), sf.dataType, f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq
+    val extras = df.columns.filterNot(c => frameType.fieldNames.contains(c))
+      .map(col).toIndexedSeq // keep processor-specific columns (e.g. category, _source_file)
+    df.select(out ++ extras: _*)
+  }
 }
