@@ -52,7 +52,7 @@ object HypersimSources {
       .agg(map_from_entries(collect_list(struct(col("kind"), col("content")))).as("files"))
       .as[(String, String, Map[String, Array[Byte]])]
       .flatMap { case (scene, cam, files) =>
-        (for {
+        try (for {
           idx <- files.get("frame_indices")
           pos <- files.get("positions")
           ori <- files.get("orientations")
@@ -69,6 +69,10 @@ object HypersimSources {
             Keyframe(scene, cam, i, indices(i).toLong, ext)
           }
         }).getOrElse(Seq.empty)
+        catch { case e: Exception =>
+          System.err.println(s"[hypersim] skipping keyframes for $scene/$cam: ${e.getMessage}")
+          Seq.empty
+        }
       }
       .toDF()
   }
@@ -89,7 +93,7 @@ object HypersimSources {
       .agg(map_from_entries(collect_list(struct(col("kind"), col("content")))).as("files"))
       .as[(String, Map[String, Array[Byte]])]
       .flatMap { case (scene, files) =>
-        (for {
+        try (for {
           pos <- files.get("positions")
           ext <- files.get("extents")
           ori <- files.get("orientations")
@@ -111,6 +115,10 @@ object HypersimSources {
             }
           }
         }).getOrElse(Seq.empty)
+        catch { case e: Exception =>
+          System.err.println(s"[hypersim] skipping box metadata for $scene: ${e.getMessage}")
+          Seq.empty
+        }
       }
       .toDF()
   }
@@ -147,7 +155,7 @@ object HypersimSources {
       .agg(map_from_entries(collect_list(struct(col("kind"), col("content")))).as("files"))
       .as[(String, String, Long, Map[String, Array[Byte]])]
       .flatMap { case (scene, cam, frameId, files) =>
-        files.get("depth_meters").map { db =>
+        try files.get("depth_meters").map { db =>
           val ds = Hdf5Lite.readDataset(db)
           val (h, w) = (ds.dims(0).toInt, ds.dims(1).toInt)
           val stats = LandingZone.statsOf(ds.data)
@@ -155,6 +163,10 @@ object HypersimSources {
             .map(sb => Hdf5Lite.readDataset(sb).data.map(_.toInt).filter(_ >= 0).distinct.sorted.toSeq)
             .getOrElse(Seq.empty)
           FrameRaster(scene, cam, frameId, w, h, stats, visible)
+        }
+        catch { case e: Exception =>
+          System.err.println(s"[hypersim] skipping frame $scene/$cam/$frameId: ${e.getMessage}")
+          None
         }
       }
       .toDF()

@@ -112,7 +112,15 @@ object LandingZone {
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .map { case (path, bytes) => (path, statsOf(decoder(bytes))) }
+      .flatMap { case (path, bytes) =>
+        // per-file fault isolation (the reference's per-scene try/except,
+        // sunrgbd_processor.py:195-205): a corrupt raster skips that file
+        try Some((path, statsOf(decoder(bytes))))
+        catch { case e: Exception =>
+          System.err.println(s"[landing] skipping undecodable $path: ${e.getMessage}")
+          None
+        }
+      }
       .toDF("path", "depth_stats")
   }
 

@@ -152,7 +152,13 @@ object MaskJobs {
         col("fx"), col("fy"), col("cx"), col("cy"))
       .as[(String, Array[Byte], Array[Byte], Array[Byte], Double, Double, Double, Double)]
       .flatMap { case (path, mask, depth, sem, fx, fy, cx, cy) =>
-        aggregateFrame(path, mask, Option(depth), Option(sem), fx, fy, cx, cy)
+        // per-file fault isolation (the reference's per-view try/except,
+        // taskonomy_processor.py:408-411): a corrupt raster skips the view
+        try aggregateFrame(path, mask, Option(depth), Option(sem), fx, fy, cx, cy)
+        catch { case e: Exception =>
+          System.err.println(s"[mask] skipping undecodable $path: ${e.getMessage}")
+          Seq.empty
+        }
       }
       .toDF()
   }

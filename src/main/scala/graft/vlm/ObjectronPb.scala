@@ -263,7 +263,16 @@ object ObjectronPb {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val videoId = path.split('/').last.stripSuffix(".pbdata")
-        parseSequence(bytes)
+        // per-file fault isolation: a corrupt payload skips that file, the
+        // job continues (objectron_processor.py:100-104 returns [] on
+        // parse errors)
+        val frames =
+          try parseSequence(bytes)
+          catch { case e: Exception =>
+            System.err.println(s"[objectron] skipping undecodable $path: ${e.getMessage}")
+            Seq.empty[Frame]
+          }
+        frames
           .filter(_.objects.nonEmpty)
           .grouped(sampleRate).map(_.head) // frames[::sampleRate]
           .zipWithIndex

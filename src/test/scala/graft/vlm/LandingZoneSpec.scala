@@ -51,6 +51,19 @@ class LandingZoneSpec extends SparkSpec {
     assert(back.select("depth_stats.mean").collect().head.getDouble(0) == 2.0)
   }
 
+  test("fullDepthStats: whole-raster stats; corrupt files skipped per-file") {
+    val dir = Files.createTempDirectory("graft-full-stats")
+    // 4096+ pixels to prove no sample truncation: 100x50 of 2000mm
+    writeDepthPng(dir.resolve("big.png"), Seq.fill(50)(Seq.fill(100)(2000)))
+    Files.write(dir.resolve("corrupt.png"), "not a png".getBytes)
+    val rows = LandingZone.fullDepthStats(spark, dir.toString)
+      .select("path", "depth_stats.*").collect()
+    assert(rows.length == 1) // corrupt file skipped, job survives
+    val r = rows.head
+    assert(r.getAs[Long]("valid_pixels") == 5000) // all pixels, not 4096
+    assert(r.getAs[Double]("mean") == 2.0)
+  }
+
   test("rawU16Decoder: headerless little-endian mm stream (HDF5-extracted planes)") {
     val buf = java.nio.ByteBuffer.allocate(6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Seq(1000, 0, 2500).foreach(v => buf.putShort(v.toShort))

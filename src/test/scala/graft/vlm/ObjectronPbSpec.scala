@@ -114,6 +114,14 @@ class ObjectronPbSpec extends SparkSpec {
     assert(b.pitch == 0.0 && b.yaw == 0.0 && b.roll == 0.0)
   }
 
+  test("a corrupt pbdata file is skipped, not fatal (objectron_processor.py:100-104)") {
+    val dir = Files.createTempDirectory("graft-pbdata-corrupt")
+    Files.write(dir.resolve("good.pbdata"), fixture())
+    Files.write(dir.resolve("bad.pbdata"), Array.fill[Byte](64)(0x7f))
+    val df = ObjectronPb.objectronFrames(spark, dir.toString, "shoe", sampleRate = 1)
+    assert(df.count() == 2) // the good file's two object-frames survive
+  }
+
   test("objectronFrames: binaryFile -> sampled unified frame rows (S9/F12)") {
     val dir = Files.createTempDirectory("graft-pbdata")
     Files.write(dir.resolve("video_01.pbdata"), fixture())
