@@ -311,6 +311,55 @@ object RawSources {
     df.withColumn(boxesCol, transform(col(boxesCol), norm(_)))
   }
 
+  /** G11, row-level variant: a corpus whose box structs MIX the three raw
+    * encodings in one schema (a unified-JSON scan unions the fields; each
+    * row fills only its own encoding). Per-row precedence exactly as
+    * geometry.py:272-296: direct `x/y/w/h` if all present, else the
+    * `bbox_2d` sub-struct, else the 4-element COCO `bbox` list; `area` is
+    * w·h from the picked params, falling back to a direct `area` field
+    * (:317-335). Rows matching no encoding yield a null element — the F1
+    * availability gate downstream drops them. Pure column program, no UDF.
+    */
+  def coalesceBoxes2d(df: DataFrame, boxesCol: String = "bounding_boxes_2d"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val elem = df.schema(boxesCol).dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val names = elem.fieldNames.toSet
+    def norm(b: Column): Column = {
+      // (available?, x, y, w, h) per encoding, in reference precedence order
+      val encodings: Seq[(Column, Column, Column, Column, Column)] = Seq(
+        if (Set("x", "y", "w", "h").subsetOf(names)) Some((
+          b.getField("x").isNotNull && b.getField("y").isNotNull &&
+            b.getField("w").isNotNull && b.getField("h").isNotNull,
+          b.getField("x"), b.getField("y"), b.getField("w"), b.getField("h")))
+        else None,
+        if (names.contains("bbox_2d")) Some {
+          val n = b.getField("bbox_2d")
+          (n.isNotNull && n.getField("x").isNotNull && n.getField("y").isNotNull &&
+            n.getField("width").isNotNull && n.getField("height").isNotNull,
+            n.getField("x"), n.getField("y"), n.getField("width"), n.getField("height"))
+        } else None,
+        if (names.contains("bbox")) Some {
+          val a = b.getField("bbox")
+          (a.isNotNull && size(a) === 4, a(0), a(1), a(2), a(3))
+        } else None
+      ).flatten
+      require(encodings.nonEmpty, s"no known 2D-bbox encoding among ${names.mkString(", ")}")
+      def pick(f: ((Column, Column, Column, Column, Column)) => Column): Column =
+        encodings.foldRight(lit(null).cast("double")) { (e, acc) => when(e._1, f(e).cast("double")).otherwise(acc) }
+      val (x, y, w, h) = (pick(_._2), pick(_._3), pick(_._4), pick(_._5))
+      val anyEncoding = encodings.map(_._1).reduce(_ || _)
+      val area =
+        if (names.contains("area")) when(anyEncoding, w * h).otherwise(b.getField("area").cast("double"))
+        else w * h
+      when(anyEncoding || (area.isNotNull),
+        struct(
+          x.as("x"), y.as("y"), w.as("w"), h.as("h"), area.as("area"),
+          (if (names.contains("category")) coalesce(b.getField("category").cast("string"), lit("unknown"))
+           else lit("unknown")).as("category")))
+    }
+    df.withColumn(boxesCol, transform(col(boxesCol), norm(_)))
+  }
+
   // ---- S12: partition discovery from paths -------------------------------
 
   /** Hive-less partition columns parsed from file paths with regex — the

@@ -178,6 +178,35 @@ class RawSourcesSpec extends SparkSpec {
     assert(b.getAs[Double]("xl") == 2.0 && b.getAs[Double]("zl") == 2.0 && b.getAs[Double]("yl") == 2.0)
   }
 
+  test("coalesceBoxes2d resolves mixed encodings PER ROW with reference precedence (G11; geometry.py:272-296)") {
+    // one corpus, one schema, four rows: direct, sub-dict, COCO list, none
+    val json =
+      """[{"id": 1, "bounding_boxes_2d": [{"x": 1, "y": 2, "w": 3, "h": 4}]},
+        | {"id": 2, "bounding_boxes_2d": [{"bbox_2d": {"x": 5, "y": 6, "width": 7, "height": 8}}]},
+        | {"id": 3, "bounding_boxes_2d": [{"bbox": [9, 10, 11, 12], "category": "cat"}]},
+        | {"id": 4, "bounding_boxes_2d": [{"area": 42.0}]}]""".stripMargin
+    val dir = tmp()
+    Files.writeString(dir.resolve("mixed.json"), json)
+    val df = spark.read.option("multiLine", true).json(dir.resolve("mixed.json").toString)
+    val out = RawSources.coalesceBoxes2d(df)
+      .select(col("id"), explode(col("bounding_boxes_2d")).as("b"))
+      .select("id", "b.*").orderBy("id").collect()
+    assert(out(0).getAs[Double]("x") == 1.0 && out(0).getAs[Double]("area") == 12.0)
+    assert(out(1).getAs[Double]("x") == 5.0 && out(1).getAs[Double]("w") == 7.0)
+    assert(out(2).getAs[Double]("x") == 9.0 && out(2).getAs[Double]("h") == 12.0)
+    assert(out(2).getAs[String]("category") == "cat")
+    // no geometric encoding: area passes through, coords null (:330-333)
+    assert(out(3).isNullAt(out(3).fieldIndex("x")) && out(3).getAs[Double]("area") == 42.0)
+    // direct fields win over the list when BOTH are present in one row
+    val both =
+      """[{"id": 1, "bounding_boxes_2d": [{"x": 1, "y": 1, "w": 1, "h": 1, "bbox": [9, 9, 9, 9]}]}]"""
+    Files.writeString(dir.resolve("both.json"), both)
+    val b = RawSources.coalesceBoxes2d(
+      spark.read.option("multiLine", true).json(dir.resolve("both.json").toString))
+      .select(explode(col("bounding_boxes_2d")).as("b")).select("b.*").collect().head
+    assert(b.getAs[Double]("x") == 1.0)
+  }
+
   test("withPathPartitions extracts partition columns from paths (S12)") {
     val dir = tmp()
     val sub = dir.resolve("kv1/NYU0001")
