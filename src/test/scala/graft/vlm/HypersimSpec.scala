@@ -52,8 +52,10 @@ class HypersimSpec extends SparkSpec {
 
   test("hypersimFrames: keyframe poses, world->camera boxes, depth stats (F15; hypersim_processor.py)") {
     val root = fixture()
-    val frames = HypersimSources.hypersimFrames(spark, root.toString)
-      .orderBy("image_id").collect()
+    val framesDf = HypersimSources.hypersimFrames(spark, root.toString)
+    // F15 contract: conforms to the canonical schema and stays collectable
+    assert(FrameSchema.conform(framesDf).count() == 2)
+    val frames = framesDf.orderBy("image_id").collect()
     assert(frames.length == 2)
 
     val f0 = frames(0)

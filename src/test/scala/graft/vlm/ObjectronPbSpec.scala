@@ -126,6 +126,8 @@ class ObjectronPbSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-pbdata")
     Files.write(dir.resolve("video_01.pbdata"), fixture())
     val df = ObjectronPb.objectronFrames(spark, dir.toString, "shoe", sampleRate = 1)
+    // F15 contract: conforms to the canonical schema and stays collectable
+    assert(FrameSchema.conform(df).count() == 2)
     val rows = df.orderBy("image_id").collect()
     // frame 1 has no surviving objects → dropped; frames 0 and 2 remain
     assert(rows.length == 2)

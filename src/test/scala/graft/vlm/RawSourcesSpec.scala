@@ -156,7 +156,10 @@ class RawSourcesSpec extends SparkSpec {
     Files.createDirectories(bad.resolve("depth"))
     javax.imageio.ImageIO.write(img, "png", bad.resolve("depth").resolve("d.png").toFile)
 
-    val frames = RawSources.sunrgbdToFrames(spark, root.toString).collect()
+    val framesDf = RawSources.sunrgbdToFrames(spark, root.toString)
+    // F15 contract: conforms to the canonical schema and stays collectable
+    assert(FrameSchema.conform(framesDf).count() == 1)
+    val frames = framesDf.collect()
     assert(frames.length == 1)
     val f = frames.head
     assert(f.getAs[String]("dataset") == "sunrgbd")

@@ -72,8 +72,11 @@ class TaskonomySpec extends SparkSpec {
 
   test("taskonomyFrames: point_info camera + paired 2D/3D mask boxes (F15; taskonomy_processor.py:239-412)") {
     val root = fixture()
-    val frames = TaskonomySources.taskonomyFrames(
-      spark, root.toString, semanticClasses = Seq("c0", "c1", "c2", "chair")).collect()
+    val framesDf = TaskonomySources.taskonomyFrames(
+      spark, root.toString, semanticClasses = Seq("c0", "c1", "c2", "chair"))
+    // F15 contract: conforms to the canonical schema and stays collectable
+    assert(FrameSchema.conform(framesDf).count() == 1)
+    val frames = framesDf.collect()
     assert(frames.length == 1)
     val f = frames.head
     assert(f.getAs[String]("dataset") == "taskonomy")
