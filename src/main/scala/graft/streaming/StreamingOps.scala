@@ -120,6 +120,17 @@ object StreamingOps {
     ).select(col("c_user").as("user_id"), col("click_id"), col("error_id"), col("click_ts"), col("error_ts"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (label codebook / category map — the J1/J3 shape lifted to
+    * streaming). The static side is broadcast into every micro-batch, so
+    * the stream stays map-only and STATELESS — no watermark, no state
+    * store; unmatched events keep a `class_<id>`-style fallback like the
+    * batch path (matterport_processor.py:205-208).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .withColumn("label", coalesce(col("label"), concat(lit("type_"), col("event_type"))))
+
   /** File-source ingest of an event directory as a stream — the S1
     * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
     * per micro-batch keeps replays deterministic.

@@ -163,4 +163,27 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamKeyed == batchKeyed)
     } finally q.stop()
   }
+
+  test("enrichWithDim joins a static broadcast dimension into the stream (stateless J1/J3 lift)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val dim = Seq(("view", "page_view"), ("click", "interaction")).toDF("event_type", "label")
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val got = s.table("enriched").select("event_id", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(0L) == "page_view" && got(1L) == "interaction")
+      assert(got(4L) == "type_error") // unmatched type falls back
+      // batch/stream parity
+      val batch = StreamingOps.enrichWithDim(fixture.toDF(), dim)
+        .select("event_id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
