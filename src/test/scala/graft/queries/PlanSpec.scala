@@ -81,4 +81,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("j_range_bucket")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("a_salted_skew_agg runs two aggregation stages (salt spread, then merge)") {
+    val p = plan("a_salted_skew_agg")
+    // partial+final per groupBy × 2 groupBys = at least 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }
