@@ -39,12 +39,20 @@ object Ingest {
   def withUsableBoxes(frames: DataFrame): DataFrame =
     frames.filter(size(col("bounding_boxes_3d")) > 0 || size(col("bounding_boxes_2d")) > 0)
 
-  /** K1: snapshot write partitioned by dataset/split. */
+  /** K1: snapshot write partitioned by dataset/split. Partitioning uses
+    * COPIES of the two columns: `partitionBy` strips its columns from the
+    * payload, and the S1 reader (declared schema + recursive lookup, which
+    * disables partition-column inference) must recover every frame field
+    * from the JSON itself — so the payload keeps dataset/split while the
+    * directory layout still prunes on them.
+    */
   def writeFrames(frames: DataFrame, outDir: String): Unit =
     frames
       .drop("_source_file")
+      .withColumn("dataset_p", col("dataset"))
+      .withColumn("split_p", col("split"))
       .write
       .mode("overwrite")
-      .partitionBy("dataset", "split")
+      .partitionBy("dataset_p", "split_p")
       .json(outDir)
 }

@@ -45,6 +45,21 @@ class ConformSpec extends SparkSpec {
     assert(b.getAs[Int]("label_id") == 5)
   }
 
+  test("processor -> conform -> K1 snapshot -> S1 re-read round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-roundtrip").resolve("corpus")
+    val conformed = FrameSchema.conform(matterportFrames())
+    Ingest.writeFrames(conformed, out.toString)
+    val back = Ingest.readFrames(spark, out.toString)
+    assert(back.count() == conformed.count())
+    val f = back.filter(col("image_id") === "sceneA_f_i1_0").collect().head
+    assert(f.getAs[String]("dataset") == "matterport")
+    val boxes = f.getSeq[Row](f.fieldIndex("bounding_boxes_3d"))
+    assert(boxes.length == 3 && boxes.forall(_.getAs[String]("category") == "chair"))
+    // the re-read corpus feeds the QA engine identically
+    assert(QaTasks.objectCount(back, "matterport").count() ==
+      QaTasks.objectCount(conformed, "matterport").count())
+  }
+
   test("conformed processor output runs the QA engine (object_count end-to-end)") {
     val conformed = FrameSchema.conform(matterportFrames())
     val qa = QaTasks.objectCount(conformed, "matterport").collect()
