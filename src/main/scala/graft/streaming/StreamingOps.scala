@@ -124,8 +124,9 @@ object StreamingOps {
     * dimension (label codebook / category map — the J1/J3 shape lifted to
     * streaming). The static side is broadcast into every micro-batch, so
     * the stream stays map-only and STATELESS — no watermark, no state
-    * store; unmatched events keep a `class_<id>`-style fallback like the
-    * batch path (matterport_processor.py:205-208).
+    * store; unmatched events get a `type_<event_type>` fallback label (the
+    * same coalesce-fallback shape as the batch J3 path,
+    * matterport_processor.py:205-208).
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")

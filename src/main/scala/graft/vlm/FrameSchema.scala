@@ -144,17 +144,21 @@ object FrameSchema {
     */
   def conform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{col, lit, struct, transform}
+    import org.apache.spark.sql.functions.{col, lit, struct, transform, when}
 
     def align(src: Column, srcType: DataType, target: DataType): Column =
       (srcType, target) match {
         case (s: StructType, t: StructType) =>
-          struct(t.fields.map { f =>
+          // struct(...) is never null, so guard: a null source struct must
+          // stay null, not become a non-null struct of all-null fields
+          // (which would break isNotNull coverage checks and non-nullable
+          // encoder fields downstream)
+          when(src.isNotNull, struct(t.fields.map { f =>
             s.find(_.name == f.name) match {
               case Some(sf) => align(src.getField(f.name), sf.dataType, f.dataType).as(f.name)
               case None => lit(null).cast(f.dataType).as(f.name)
             }
-          }.toIndexedSeq: _*)
+          }.toIndexedSeq: _*))
         case (ArrayType(se: StructType, _), ArrayType(te: StructType, _)) =>
           transform(src, x => align(x, se, te))
         case _ => src.cast(target)

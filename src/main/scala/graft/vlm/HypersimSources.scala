@@ -69,7 +69,7 @@ object HypersimSources {
             Keyframe(scene, cam, i, indices(i).toLong, ext)
           }
         }).getOrElse(Seq.empty)
-        catch { case e: Exception =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[hypersim] skipping keyframes for $scene/$cam: ${e.getMessage}")
           Seq.empty
         }
@@ -115,7 +115,7 @@ object HypersimSources {
             }
           }
         }).getOrElse(Seq.empty)
-        catch { case e: Exception =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[hypersim] skipping box metadata for $scene: ${e.getMessage}")
           Seq.empty
         }
@@ -164,7 +164,7 @@ object HypersimSources {
             .getOrElse(Seq.empty)
           FrameRaster(scene, cam, frameId, w, h, stats, visible)
         }
-        catch { case e: Exception =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[hypersim] skipping frame $scene/$cam/$frameId: ${e.getMessage}")
           None
         }

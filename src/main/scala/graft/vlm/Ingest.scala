@@ -40,11 +40,13 @@ object Ingest {
     frames.filter(size(col("bounding_boxes_3d")) > 0 || size(col("bounding_boxes_2d")) > 0)
 
   /** K1: snapshot write partitioned by dataset/split. Partitioning uses
-    * COPIES of the two columns: `partitionBy` strips its columns from the
-    * payload, and the S1 reader (declared schema + recursive lookup, which
-    * disables partition-column inference) must recover every frame field
-    * from the JSON itself — so the payload keeps dataset/split while the
-    * directory layout still prunes on them.
+    * COPIES of the two columns (`dataset_p`/`split_p` directories):
+    * `partitionBy` strips its columns from the payload, and the S1 reader
+    * (declared schema + recursive lookup, which disables partition-column
+    * inference) must recover every frame field from the JSON itself.
+    * Selective reads therefore target partitions by PATH
+    * (`readFrames(spark, s"$dir/dataset_p=coco")`), not by a filter on the
+    * recovered columns.
     */
   def writeFrames(frames: DataFrame, outDir: String): Unit =
     frames

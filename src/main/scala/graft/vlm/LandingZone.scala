@@ -116,7 +116,7 @@ object LandingZone {
         // per-file fault isolation (the reference's per-scene try/except,
         // sunrgbd_processor.py:195-205): a corrupt raster skips that file
         try Some((path, statsOf(decoder(bytes))))
-        catch { case e: Exception =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[landing] skipping undecodable $path: ${e.getMessage}")
           None
         }

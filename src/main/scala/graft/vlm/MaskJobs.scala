@@ -155,7 +155,7 @@ object MaskJobs {
         // per-file fault isolation (the reference's per-view try/except,
         // taskonomy_processor.py:408-411): a corrupt raster skips the view
         try aggregateFrame(path, mask, Option(depth), Option(sem), fx, fy, cx, cy)
-        catch { case e: Exception =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[mask] skipping undecodable $path: ${e.getMessage}")
           Seq.empty
         }

@@ -268,7 +268,7 @@ object ObjectronPb {
         // parse errors)
         val frames =
           try parseSequence(bytes)
-          catch { case e: Exception =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[objectron] skipping undecodable $path: ${e.getMessage}")
             Seq.empty[Frame]
           }

@@ -316,9 +316,13 @@ object RawSources {
     * row fills only its own encoding). Per-row precedence exactly as
     * geometry.py:272-296: direct `x/y/w/h` if all present, else the
     * `bbox_2d` sub-struct, else the 4-element COCO `bbox` list; `area` is
-    * w·h from the picked params, falling back to a direct `area` field
-    * (:317-335). Rows matching no encoding yield a null element — the F1
-    * availability gate downstream drops them. Pure column program, no UDF.
+    * w·h from the picked params, falling back to a direct `area` field —
+    * the QA-time `get_2d_bbox_area` stance (:317-335). NOTE the deliberate
+    * contrast with [[normalizeBoxes2d]], which prefers a STORED area: that
+    * models the reference's ingest stage (coco_processor keeps the
+    * annotation's segmentation area), while this models its QA read stage.
+    * Rows matching no encoding yield a null element — the F1 availability
+    * gate downstream drops them. Pure column program, no UDF.
     */
   def coalesceBoxes2d(df: DataFrame, boxesCol: String = "bounding_boxes_2d"): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StructType}
@@ -340,7 +344,9 @@ object RawSources {
         } else None,
         if (names.contains("bbox")) Some {
           val a = b.getField("bbox")
-          (a.isNotNull && size(a) === 4, a(0), a(1), a(2), a(3))
+          (a.isNotNull && size(a) === 4 &&
+            a(0).isNotNull && a(1).isNotNull && a(2).isNotNull && a(3).isNotNull,
+            a(0), a(1), a(2), a(3))
         } else None
       ).flatten
       require(encodings.nonEmpty, s"no known 2D-bbox encoding among ${names.mkString(", ")}")

@@ -45,6 +45,21 @@ class ConformSpec extends SparkSpec {
     assert(b.getAs[Int]("label_id") == 5)
   }
 
+  test("conform keeps null structs null (no all-null-field struct synthesis)") {
+    import spark.implicits._
+    val df = Seq(("coco", "v", "img1")).toDF("dataset", "split", "image_id")
+    val r = FrameSchema.conform(df).collect().head
+    // camera / depth_stats were absent: must be NULL, not Row(null, null, ...)
+    assert(r.isNullAt(r.fieldIndex("camera")))
+    assert(r.isNullAt(r.fieldIndex("depth_stats")))
+    // a present-but-null struct value also stays null through realignment
+    val withNull = df.withColumn("camera",
+      org.apache.spark.sql.functions.lit(null).cast(
+        "struct<fx:double,fy:double,cx:double,cy:double>"))
+    val r2 = FrameSchema.conform(withNull).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("camera")))
+  }
+
   test("processor -> conform -> K1 snapshot -> S1 re-read round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-roundtrip").resolve("corpus")
     val conformed = FrameSchema.conform(matterportFrames())
