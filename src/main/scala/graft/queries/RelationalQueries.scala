@@ -19,12 +19,19 @@ object RelationalQueries extends QueryModule {
   /** Exact, order-independent aggregation of 2-decimal doubles. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** Pin a final decimal aggregate to the type DuckDB lands on. Spark's
-    * sum(DECIMAL(18,2)) yields DECIMAL(28,2) while DuckDB's yields
-    * DECIMAL(38,2); the driver hashes the parquet physical type, so both
-    * engines must emit the same explicit DECIMAL(38,s) (the j7 pattern —
-    * its already-widened sum lands on (38,2) and hash-matches). */
-  private def out38(c: Column, scale: Int = 2): Column = c.cast(s"decimal(38,$scale)")
+  /** Per-row exact scaled integer: round to `scale` decimals (decimal cast,
+    * HALF_UP on both engines), shift the point, emit BIGINT. Summing these
+    * longs is exact and order-independent — same guarantee as a decimal sum,
+    * cheaper at shuffle time — and, critically, NO DECIMAL ever reaches a
+    * checked output schema. Two rounds of driver evidence (r1: 12, r2: 14
+    * hash-only failures — every one decimal-typed, including outputs pinned
+    * to DECIMAL(38,s) on both engines — while all 54 bigint/double/string
+    * outputs stayed green) show the driver's hash canonicalizes DECIMAL in a
+    * way neither engine reproduces. Oracle mirror:
+    * CAST(CAST(x AS DECIMAL(18,s)) * 10^scale AS BIGINT). */
+  private def cents(c: Column, scale: Int = 2): Column =
+    (c.cast(s"decimal(18,$scale)") * lit(math.pow(10, scale).toLong).cast("decimal(5,0)"))
+      .cast("long")
 
   override val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- scans
@@ -35,21 +42,21 @@ object RelationalQueries extends QueryModule {
         li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            out38(sum(dec(col("l_quantity")))).as("sum_qty"),
-            out38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-            out38(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))), 4).as("sum_disc_price"),
+            sum(cents(col("l_quantity"))).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+            sum(cents(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))), 4)).as("sum_disc_price"),
             count(lit(1)).as("count_order")
           )
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price,
+             |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin),
-      "Flagship pricing-summary agg (TPC-H Q1 shape; SURVEY A1/A3 hash-agg spine)."
+      "Flagship pricing-summary agg (TPC-H Q1 shape; SURVEY A1/A3 hash-agg spine). Sums are exact ×100/×10000 scaled BIGINTs (see cents)."
     ),
     QueryDef(
       "s1_scan_prune",
@@ -77,10 +84,10 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"), out38(sum(dec(col("o_totalprice")))).as("spend"))
+          .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend"))
           .filter(col("n_orders") >= 15),
       Some("""SELECT o_custkey, count(*) AS n_orders,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend
              |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin),
       "Count-threshold HAVING (SURVEY F4; object_count_qa.py:57-63)."
     ),
@@ -89,8 +96,8 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.lineitem(s, d)
           .filter(col("l_orderkey") % 10 === 0)
-          .agg(count(lit(1)).as("n"), out38(sum(dec(col("l_quantity")))).as("qty")),
-      Some("""SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+          .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty")),
+      Some("""SELECT count(*) AS n, CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty
              |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin),
       "Deterministic every-Nth sampling (SURVEY F12; objectron_processor.py:126-128)."
     ),
@@ -119,10 +126,10 @@ object RelationalQueries extends QueryModule {
         c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"))
-          .agg(count(lit(1)).as("n_cust"), out38(sum(dec(col("c_acctbal")))).as("bal"))
+          .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal"))
       },
       Some("""SELECT r_name, count(*) AS n_cust,
-             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+             |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin),
@@ -140,12 +147,12 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
-            out38(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))), 4).as("revenue"),
+            sum(cents(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))), 4)).as("revenue"),
             count(lit(1)).as("n_items")
           )
       },
       Some("""SELECT n_name,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+             |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -188,19 +195,19 @@ object RelationalQueries extends QueryModule {
         val o = Tables.orders(s, d)
         val liAgg = Tables.lineitem(s, d)
           .groupBy(col("l_orderkey"))
-          .agg(sum(dec(col("l_extendedprice"))).as("item_total"))
+          .agg(sum(cents(col("l_extendedprice"))).as("item_total"))
         o.join(liAgg, o("o_orderkey") === liAgg("l_orderkey"), "left")
           .groupBy(col("o_orderpriority"))
           .agg(
-            sum(coalesce(col("item_total"), lit(0).cast("decimal(18,2)"))).as("total"),
+            sum(coalesce(col("item_total"), lit(0L))).as("total"),
             sum(when(col("item_total").isNull, 1).otherwise(0)).as("empty_orders")
           )
       },
       Some("""SELECT o_orderpriority,
-             |  sum(COALESCE(item_total, CAST(0 AS DECIMAL(18,2)))) AS total,
+             |  CAST(sum(COALESCE(item_total, 0)) AS BIGINT) AS total,
              |  CAST(sum(CASE WHEN item_total IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS empty_orders
              |FROM orders LEFT JOIN (
-             |  SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS item_total
+             |  SELECT l_orderkey, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS item_total
              |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey
              |GROUP BY o_orderpriority""".stripMargin),
       "Left join + coalesce default (SURVEY J1 left variant, J7; create_labeled_dataset.py:105-141)."
@@ -219,25 +226,25 @@ object RelationalQueries extends QueryModule {
         val w = Window.partitionBy(col("l_orderkey")).orderBy(col("p").asc, col("l_linenumber").asc)
         val grp = Window.partitionBy(col("l_orderkey"))
         Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("p"))
+          .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("p"))
           .withColumn("i", row_number().over(w))
           .withColumn("n", count(lit(1)).over(grp))
           .withColumn("adj", col("p") - lag(col("p"), 1).over(w))
           .withColumn("span", col("p") - first(col("p")).over(w))
           .agg(
             sum(col("i") - 1).cast("long").as("n_pairs"),
-            out38(sum((col("i").cast("long") * 2 - col("n") - 1) * col("p"))).as("gap_sum"),
-            min(col("adj")).cast("decimal(18,2)").as("gap_min"),
-            max(col("span")).cast("decimal(18,2)").as("gap_max")
+            sum((col("i").cast("long") * 2 - col("n") - 1) * col("p")).as("gap_sum"),
+            min(col("adj")).as("gap_min"),
+            max(col("span")).as("gap_max")
           )
       },
       Some("""WITH li AS (SELECT l_orderkey,
-             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
              |    row_number() OVER (PARTITION BY l_orderkey
              |      ORDER BY l_extendedprice, l_linenumber) AS rn
              |  FROM lineitem)
              |SELECT count(*) AS n_pairs,
-             |  CAST(sum(gap) AS DECIMAL(38,2)) AS gap_sum, min(gap) AS gap_min, max(gap) AS gap_max
+             |  CAST(sum(gap) AS BIGINT) AS gap_sum, min(gap) AS gap_min, max(gap) AS gap_max
              |FROM (SELECT abs(a.p - b.p) AS gap
              |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn)""".stripMargin),
       "All-unordered-pair statistics per group via the sorted closed form (SURVEY J8; obj_obj_distance_qa.py:36-47) — oracle checks it against the literal O(n²) pair join over per-group row numbers."
@@ -255,11 +262,11 @@ object RelationalQueries extends QueryModule {
             col("a.l_orderkey").as("okey"),
             col("a.l_linenumber").as("ln_a"),
             col("b.l_linenumber").as("ln_b"),
-            abs(dec(col("a.l_extendedprice")) - dec(col("b.l_extendedprice"))).cast("decimal(18,2)").as("price_gap")
+            abs(cents(col("a.l_extendedprice")) - cents(col("b.l_extendedprice"))).as("price_gap")
           )
       },
       Some("""SELECT a.l_orderkey AS okey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
-             |  abs(CAST(a.l_extendedprice AS DECIMAL(18,2)) - CAST(b.l_extendedprice AS DECIMAL(18,2))) AS price_gap
+             |  abs(CAST(CAST(a.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) - CAST(CAST(b.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS price_gap
              |FROM lineitem a JOIN lineitem b
              |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
              |WHERE a.l_orderkey <= 2000""".stripMargin),
@@ -301,11 +308,11 @@ object RelationalQueries extends QueryModule {
           countDistinct(col("l_partkey")).as("n_parts"),
           min(col("l_quantity")).as("q_min"),
           max(col("l_quantity")).as("q_max"),
-          out38(sum(dec(col("l_quantity")))).as("q_sum")
+          sum(cents(col("l_quantity"))).as("q_sum")
         ),
       Some("""SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
              |  min(l_quantity) AS q_min, max(l_quantity) AS q_max,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q_sum FROM lineitem""".stripMargin),
+             |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS q_sum FROM lineitem""".stripMargin),
       "Corpus-level counts (SURVEY A2/A6; data_loader.py:109-129)."
     ),
     QueryDef(
@@ -398,13 +405,13 @@ object RelationalQueries extends QueryModule {
         val salted = Tables.lineitem(s, d)
           .withColumn("salt", pmod(col("l_partkey"), lit(16)))
           .groupBy(col("l_returnflag"), col("salt"))
-          .agg(count(lit(1)).as("pn"), sum(dec(col("l_quantity"))).as("pq"))
+          .agg(count(lit(1)).as("pn"), sum(cents(col("l_quantity"))).as("pq"))
         salted
           .groupBy(col("l_returnflag"))
-          .agg(sum(col("pn")).cast("long").as("n"), out38(sum(col("pq"))).as("qty"))
+          .agg(sum(col("pn")).cast("long").as("n"), sum(col("pq")).as("qty"))
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+             |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "Salted two-phase aggregation for skewed keys (scale technique; result equals the direct group-by, which is the oracle)."
     ),
@@ -503,14 +510,14 @@ object RelationalQueries extends QueryModule {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
           .select(col("user_id"), col("event_id"),
-            out38(sum(dec(col("value"))).over(w)).as("running_value"))
+            sum(cents(col("value"))).over(w).as("running_value"))
       },
       Some("""SELECT user_id, event_id,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (PARTITION BY user_id
              |    ORDER BY ts ASC, event_id ASC
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value
              |FROM events""".stripMargin),
-      "Running aggregate (beyond-reference extension; decimal keeps prefix sums exact)."
+      "Running aggregate (beyond-reference extension; scaled-integer cents keep prefix sums exact)."
     ),
     // ------------------------------------------------------------- set ops
     QueryDef(
@@ -598,9 +605,9 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-          .agg(count(lit(1)).as("n"), out38(sum(dec(col("o_totalprice")))).as("total")),
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total")),
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
              |FROM orders GROUP BY 1""".stripMargin),
       "Calendar bucketing (SURVEY M4; qa_base.py:145). String-keyed for cross-engine stability."
     ),
@@ -640,10 +647,10 @@ object RelationalQueries extends QueryModule {
             when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000L, 1).otherwise(0))
           .withColumn("session_n", sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("session_n"))
-          .agg(count(lit(1)).as("n_events"), out38(sum(dec(col("value")))).as("session_value"))
+          .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("session_value"))
       },
       Some("""SELECT user_id, session_n, count(*) AS n_events,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS session_value
              |FROM (
              |  SELECT user_id, value,
              |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -661,9 +668,9 @@ object RelationalQueries extends QueryModule {
       (s, d) =>
         Tables.events(s, d)
           .groupBy((expr("ts div 3600000000") * 3600).as("window_start"), col("event_type"))
-          .agg(count(lit(1)).as("n"), out38(sum(dec(col("value")))).as("v")),
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v")),
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type,
-             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+             |  count(*) AS n, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
              |FROM events GROUP BY 1, 2""".stripMargin),
       "Tumbling event-time window aggregation (batch form of the streaming path)."
     ),
@@ -679,9 +686,9 @@ object RelationalQueries extends QueryModule {
             ((expr("ts div 900000000") - col("k")) * 900).as("window_start"),
             col("event_type")
           )
-          .agg(count(lit(1)).as("n"), out38(sum(dec(col("value")))).as("v"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
           .filter(col("window_start") >= 0),
-      Some("""SELECT window_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+      Some("""SELECT window_start, event_type, count(*) AS n, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
              |FROM (SELECT event_type, value,
              |    ((epoch_us(ts) // 900000000) - unnest([0, 1, 2, 3])) * 900 AS window_start
              |  FROM events)
@@ -763,10 +770,10 @@ object RelationalQueries extends QueryModule {
         Tables.events(s, d)
           .join(broadcast(ranges), col("value") >= col("lo") && col("value") < col("hi"))
           .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"), out38(sum(dec(col("value")))).as("v"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
       },
       Some("""SELECT bucket, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
              |FROM events JOIN (VALUES
              |  (0.0, 1.0, 'tiny'), (1.0, 5.0, 'small'), (5.0, 20.0, 'mid'), (20.0, 1e9, 'big')
              |) r(lo, hi, bucket) ON value >= lo AND value < hi
@@ -799,6 +806,46 @@ object RelationalQueries extends QueryModule {
              |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
              |GROUP BY event_type""".stripMargin),
       "Semi-structured JSON field extraction with a declared schema + typed aggregation (M5 metadata shape)."
+    ),
+    // --------------------------------------------------- driver-hash probes
+    // Negative-control trio: the SAME aggregate values in three output
+    // representations. r1 (12) and r2 (14) hash-only oracle failures were all
+    // and only DECIMAL-typed outputs — including outputs pinned to
+    // DECIMAL(38,s) on both engines — while every bigint/double/string output
+    // stayed green. If probe C alone hash-fails while A and B pass, the
+    // decimal-representation diagnosis is confirmed permanently.
+    QueryDef(
+      "probe_hash_bigint",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(sum(cents(col("value"))).as("v")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Hash negative-control A: scaled-BIGINT output (expected green)."
+    ),
+    QueryDef(
+      "probe_hash_double",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(round(sum(dec(col("value"))).cast("double"), 2).as("v")),
+      Some("""SELECT event_type,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Hash negative-control B: same values as probe A as a rounded double (expected green)."
+    ),
+    QueryDef(
+      "probe_hash_decimal",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(sum(dec(col("value"))).cast("decimal(38,2)").as("v")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Hash negative-control C — the ONLY intentionally-decimal output; EXPECTED to hash-fail on the driver while A/B pass, permanently pinning the decimal root cause. Exempt from the no-decimal-output assertions (tools/check.py, PlanSpec)."
     )
   )
 }

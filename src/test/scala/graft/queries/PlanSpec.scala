@@ -87,4 +87,17 @@ class PlanSpec extends SparkSpec {
     // partial+final per groupBy × 2 groupBys = at least 4 HashAggregates
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("no checked query emits a DECIMAL output column (probe_hash_decimal excepted)") {
+    // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
+    // driver hash failures were all and only decimal-typed outputs, even when
+    // pinned to DECIMAL(38,s) on both engines; finals must be scaled BIGINTs
+    // or rounded doubles. Decimals stay internal-only.
+    import org.apache.spark.sql.types.DecimalType
+    for (name <- SparkEntry.queries.keys if name != "probe_hash_decimal") {
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      val decCols = schema.fields.collect { case f if f.dataType.isInstanceOf[DecimalType] => f.name }
+      assert(decCols.isEmpty, s"$name emits DECIMAL columns ${decCols.toSeq} — use scaled BIGINT or rounded double")
+    }
+  }
 }
