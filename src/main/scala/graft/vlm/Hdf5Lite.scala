@@ -5,13 +5,15 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** Minimal read-only HDF5 decoder (SURVEY S7) for the subset the Hypersim
   * landing files use: superblock version 0, 8-byte offsets/lengths, v1
   * object headers (with continuations), v1 group B-trees + SNOD symbol
-  * nodes, local heaps, and datasets with contiguous or compact layout of
-  * little-endian fixed-point (1/2/4/8-byte) or IEEE float (4/8-byte)
-  * elements. Follows the public HDF5 File Format Specification; chunked or
-  * compressed data is out of scope (Hypersim's
-  * `camera_keyframe_*.hdf5` / `metadata_*_bounding_box_*.hdf5` are small
-  * contiguous arrays read via `f['dataset'][:]`,
-  * hypersim_processor.py:55-69, :128-133).
+  * nodes, local heaps, and datasets with contiguous, compact, or chunked
+  * layout of little-endian fixed-point (1/2/4/8-byte) or IEEE float
+  * (2/4/8-byte) elements. Chunked datasets are indexed by the v1 chunk
+  * B-tree and may carry a filter pipeline of DEFLATE (gzip, id 1) and/or
+  * shuffle (id 2) — the combination libhdf5/h5py write for Hypersim's
+  * raster `depth_meters` arrays (hypersim_processor.py:37-93); the small
+  * `camera_keyframe_*` / `metadata_*_bounding_box_*` files stay on the
+  * contiguous path (hypersim_processor.py:55-69, :128-133). Follows the
+  * public HDF5 File Format Specification.
   */
 object Hdf5Lite {
 
@@ -88,6 +90,155 @@ object Hdf5Lite {
     }
   }
 
+  private def decodeElem(b: ByteBuffer, p: Int, cls: Int, elemSize: Int, signed: Boolean): Double =
+    (cls, elemSize) match {
+      case (0, 1) => if (signed) b.get(p).toDouble else (b.get(p) & 0xff).toDouble
+      case (0, 2) => if (signed) b.getShort(p).toDouble else u16(b, p).toDouble
+      case (0, 4) => if (signed) b.getInt(p).toDouble else u32(b, p).toDouble
+      case (0, 8) => b.getLong(p).toDouble
+      case (1, 2) => halfToDouble(u16(b, p)) // float16 (Hypersim depth rasters)
+      case (1, 4) => b.getFloat(p).toDouble
+      case (1, 8) => b.getDouble(p)
+      case other  => sys.error(s"unsupported (class, size) $other")
+    }
+
+  /** IEEE 754 binary16 → double (1 sign, 5 exponent, 10 mantissa bits). */
+  private def halfToDouble(bits: Int): Double = {
+    val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
+    val exp = (bits >> 10) & 0x1f
+    val man = bits & 0x3ff
+    if (exp == 0x1f) { if (man == 0) sign * Double.PositiveInfinity else Double.NaN }
+    else if (exp == 0) sign * man * math.pow(2, -24) // subnormal
+    else sign * (1024 + man) * math.pow(2, exp - 25)
+  }
+
+  /** Filter-pipeline message (0x000B), v1 or v2: ordered filter ids. */
+  private def parseFilters(b: ByteBuffer, m: Msg): Seq[Int] = {
+    val ver = b.get(m.off).toInt
+    require(ver == 1 || ver == 2, s"unsupported filter pipeline version $ver")
+    val nFilters = b.get(m.off + 1) & 0xff
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = if (ver == 1) m.off + 8 else m.off + 2
+    var k = 0
+    while (k < nFilters) {
+      val id = u16(b, p)
+      val hasName = ver == 1 || id >= 256
+      val nameLen = if (hasName) u16(b, p + 2) else 0
+      val base = if (hasName) p + 4 else p + 2
+      val nClient = u16(b, base + 2)
+      val namePadded = if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen
+      p = base + 4 + namePadded + 4 * nClient
+      if (ver == 1 && nClient % 2 == 1) p += 4 // client data padded to 8
+      ids += id
+      k += 1
+    }
+    ids.toSeq
+  }
+
+  /** Undo the filter pipeline on one chunk: filters apply in reverse
+    * definition order on read; bit i of `mask` set means filter i was
+    * skipped at write time. Supports DEFLATE (1) and shuffle (2). */
+  private def defilter(raw: Array[Byte], filters: Seq[Int], mask: Long,
+                       elemSize: Int, chunkBytes: Int): Array[Byte] = {
+    var data = raw
+    var i = filters.length - 1
+    while (i >= 0) {
+      if ((mask & (1L << i)) == 0) filters(i) match {
+        case 1 => // DEFLATE (zlib stream)
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(data)
+          val out = new Array[Byte](chunkBytes)
+          var off = 0
+          while (!inf.finished() && off < chunkBytes) {
+            val n = inf.inflate(out, off, chunkBytes - off)
+            require(n > 0 || inf.finished(), "truncated DEFLATE chunk")
+            off += n
+          }
+          inf.end()
+          data = out
+        case 2 => // shuffle: stored byte-plane-major; restore element-major
+          val nElems = data.length / elemSize
+          val out = new Array[Byte](data.length)
+          var k = 0
+          while (k < elemSize) {
+            var e = 0
+            while (e < nElems) { out(e * elemSize + k) = data(k * nElems + e); e += 1 }
+            k += 1
+          }
+          data = out
+        case f => sys.error(s"unsupported HDF5 filter id $f")
+      }
+      i -= 1
+    }
+    data
+  }
+
+  /** Walk a v1 chunk B-tree (node type 1): (storedSize, filterMask,
+    * chunkOffsets, dataAddr) per chunk. Keys carry `dimensionality` 8-byte
+    * offsets (the last is the trailing element-size dimension, always 0). */
+  private def walkChunkTree(b: ByteBuffer, addr: Long, dimensionality: Int): Seq[(Int, Long, Array[Long], Long)] = {
+    val p = addr.toInt
+    require(b.getInt(p) == ByteBuffer.wrap("TREE".getBytes).order(ByteOrder.LITTLE_ENDIAN).getInt,
+      "expected TREE node")
+    require(b.get(p + 4) == 1, "expected a raw-data chunk B-tree (node type 1)")
+    val level = b.get(p + 5).toInt
+    val n = u16(b, p + 6)
+    val keySize = 8 + 8 * dimensionality
+    val base = p + 24
+    (0 until n).flatMap { i =>
+      val keyOff = base + i * (keySize + 8)
+      val child = u64(b, keyOff + keySize)
+      if (level > 0) walkChunkTree(b, child, dimensionality)
+      else {
+        val size = u32(b, keyOff).toInt
+        val mask = u32(b, keyOff + 4)
+        val offs = Array.tabulate(dimensionality - 1)(j => u64(b, keyOff + 8 + 8 * j))
+        Seq((size, mask, offs, child))
+      }
+    }
+  }
+
+  /** Assemble a chunked dataset: defilter each chunk and scatter it into the
+    * row-major output, clipping edge chunks that overhang the dataset dims
+    * (HDF5 stores full-extent chunks). */
+  private def readChunked(b: ByteBuffer, btAddr: Long, dims: Seq[Long], chunkDims: Array[Int],
+                          filters: Seq[Int], cls: Int, signed: Boolean, elemSize: Int): Array[Double] = {
+    val ndims = dims.length
+    val out = new Array[Double](dims.product.toInt)
+    val chunkElems = chunkDims.product
+    val chunkBytes = chunkElems * elemSize
+    val strides = new Array[Long](ndims)
+    strides(ndims - 1) = 1L
+    var s = ndims - 2
+    while (s >= 0) { strides(s) = strides(s + 1) * dims(s + 1); s -= 1 }
+    for ((size, mask, offs, addr) <- walkChunkTree(b, btAddr, ndims + 1)) {
+      val raw = java.util.Arrays.copyOfRange(b.array(), addr.toInt, addr.toInt + size)
+      val cb = buf(defilter(raw, filters, mask, elemSize, chunkBytes))
+      val local = new Array[Int](ndims)
+      var li = 0
+      while (li < chunkElems) {
+        var inBounds = true
+        var g = 0L
+        var j = 0
+        while (j < ndims) {
+          val gc = offs(j) + local(j)
+          if (gc >= dims(j)) inBounds = false
+          g += gc * strides(j)
+          j += 1
+        }
+        if (inBounds) out(g.toInt) = decodeElem(cb, li * elemSize, cls, elemSize, signed)
+        var k = ndims - 1 // odometer, last dim fastest (row-major chunk order)
+        var moved = false
+        while (k >= 0 && !moved) {
+          local(k) += 1
+          if (local(k) == chunkDims(k)) { local(k) = 0; k -= 1 } else moved = true
+        }
+        li += 1
+      }
+    }
+    out
+  }
+
   private def decodeDataset(b: ByteBuffer, headerAddr: Long): Dataset = {
     val msgs = objectHeaderMessages(b, headerAddr)
     // dataspace (0x0001), v1: ver, ndims, flags, 5 reserved, dims
@@ -99,34 +250,37 @@ object Hdf5Lite {
     val cls = b.get(dt.off) & 0x0f
     val signed = (b.get(dt.off + 1) & 0x08) != 0
     val elemSize = u32(b, dt.off + 4).toInt
-    // layout (0x0008) v3: class 0 compact (size2 + inline) or 1 contiguous
+    // layout (0x0008) v3: class 0 compact, 1 contiguous, 2 chunked
     val lay = msgs.find(_.tpe == 0x0008).getOrElse(sys.error("no layout message"))
     require(b.get(lay.off) == 3, s"unsupported layout version ${b.get(lay.off)}")
     val n = dims.product.toInt
-    val dataOff = b.get(lay.off + 1).toInt match {
-      case 0 => lay.off + 4 // compact: size(2) then raw data
-      case 1 =>
-        val a = u64(b, lay.off + 2)
-        require(a != Undef, "contiguous dataset with undefined address")
-        a.toInt
-      case c => sys.error(s"unsupported layout class $c (chunked/compressed not in the landing subset)")
+    b.get(lay.off + 1).toInt match {
+      case 2 =>
+        val dimensionality = b.get(lay.off + 2) & 0xff
+        require(dimensionality == ndims + 1,
+          s"chunk dimensionality $dimensionality != rank+1 ${ndims + 1}")
+        val btAddr = u64(b, lay.off + 3)
+        require(btAddr != Undef, "chunked dataset with undefined B-tree address")
+        val chunkDims = Array.tabulate(ndims)(i => u32(b, lay.off + 11 + 4 * i).toInt)
+        val filters = msgs.find(_.tpe == 0x000B).map(parseFilters(b, _)).getOrElse(Seq.empty)
+        Dataset(dims, readChunked(b, btAddr, dims, chunkDims, filters, cls, signed, elemSize))
+      case c =>
+        val dataOff = c match {
+          case 0 => lay.off + 4 // compact: size(2) then raw data
+          case 1 =>
+            val a = u64(b, lay.off + 2)
+            require(a != Undef, "contiguous dataset with undefined address")
+            a.toInt
+          case other => sys.error(s"unsupported layout class $other")
+        }
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          out(i) = decodeElem(b, dataOff + i * elemSize, cls, elemSize, signed)
+          i += 1
+        }
+        Dataset(dims, out)
     }
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val p = dataOff + i * elemSize
-      out(i) = (cls, elemSize) match {
-        case (0, 1) => if (signed) b.get(p).toDouble else (b.get(p) & 0xff).toDouble
-        case (0, 2) => if (signed) b.getShort(p).toDouble else u16(b, p).toDouble
-        case (0, 4) => if (signed) b.getInt(p).toDouble else u32(b, p).toDouble
-        case (0, 8) => b.getLong(p).toDouble
-        case (1, 4) => b.getFloat(p).toDouble
-        case (1, 8) => b.getDouble(p)
-        case other  => sys.error(s"unsupported (class, size) $other")
-      }
-      i += 1
-    }
-    Dataset(dims, out)
   }
 
   /** All named datasets in the root group. */
