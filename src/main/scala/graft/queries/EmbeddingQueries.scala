@@ -29,6 +29,34 @@ object EmbeddingQueries extends QueryModule {
   private val CosineThreshold = 0.4
   private val NumCells = 8 // IVF coarse cells
   private val NumProbe = 2 // IVF cells probed per query
+  private val TrainIters = 2 // sampled-Lloyd rounds for the IVF codebook
+  private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
+
+  /** DuckDB mirror of [[IvfCentroids.train]]: `TrainIters` unrolled
+    * assign + floor-mean rounds over the deterministic sample, starting from
+    * the first-`NumCells` seed. Requires a `base` CTE with (vec_id, q).
+    * The final centroids are CTE `cent` (cid, cq).
+    */
+  private def centroidTrainSql: String = {
+    def l2Sql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, $Dim + 1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"
+    val init =
+      s"""samp AS (SELECT vec_id, q FROM base WHERE vec_id % $SampleMod = 0),
+         |cent0 AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells)""".stripMargin
+    val rounds = (1 to TrainIters).map { t =>
+      s"""asg$t AS (SELECT cid, q FROM (
+         |    SELECT s.q, c.cid, row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${l2Sql("s.q", "c.cq")} ASC, c.cid ASC) AS crk
+         |    FROM samp s CROSS JOIN cent${t - 1} c) WHERE crk = 1),
+         |mean$t AS (SELECT cid, list(m ORDER BY pos) AS mq FROM (
+         |    SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |    FROM (SELECT cid, unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM asg$t)
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |cent$t AS (SELECT c.cid, COALESCE(m.mq, c.cq) AS cq
+         |  FROM cent${t - 1} c LEFT JOIN mean$t m ON c.cid = m.cid)""".stripMargin
+    }
+    (Seq(init) ++ rounds ++ Seq(s"cent AS (SELECT cid, cq FROM cent$TrainIters)")).mkString(",\n")
+  }
 
   /** Quantized int vector: round(double(x) * 1000) — one codegen pass
     * ([[graft.functions.QuantizeVec]], BigDecimal HALF_UP exactly like the
@@ -217,20 +245,19 @@ object EmbeddingQueries extends QueryModule {
     QueryDef(
       "v6_ivf_ann",
       (s, d) => {
-        // Real IVF probe path: a small deterministic centroid table (the
-        // first NumCells vectors — stand-in for a kmeans codebook, which at
-        // scale is trained offline and loaded as a dim table), broadcast to
-        // (a) assign every vector to its nearest cell map-side and (b) give
-        // each query its nprobe=2 closest cells. Candidates = vectors in
-        // probed cells; exact cosine rerank, top-3. The only shuffle is the
-        // candidate equi-join on cell id.
+        // Real IVF probe path: a sampled-Lloyd-trained centroid codebook
+        // ([[IvfCentroids]] — deterministic integer k-means; at scale it is
+        // its own offline job writing a codebook parquet, IvfCentroids.save/
+        // load), broadcast to (a) assign every vector to its nearest cell
+        // map-side and (b) give each query its nprobe=2 closest cells.
+        // Candidates = vectors in probed cells; exact cosine rerank, top-3.
+        // The only shuffle is the candidate equi-join on cell id.
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
-        val centroids = base.filter(col("vec_id") < NumCells)
-          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val centroids = IvfCentroids.train(
+          quantized(s, d), NumCells, TrainIters, SampleMod)
         // exact-integer identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (no zipped
         // diff array; all three terms are codegen'd LongDot loops)
-        def l2(a: Column, b: Column): Column =
-          graft.functions.longDot(a, a) + graft.functions.longDot(b, b) - lit(2L) * graft.functions.longDot(a, b)
+        def l2(a: Column, b: Column): Column = IvfCentroids.l2(a, b)
         val assigned = base.join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
           .withColumn("crk", row_number().over(
@@ -253,7 +280,7 @@ object EmbeddingQueries extends QueryModule {
           .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
       },
       Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
-             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells),
+             |$centroidTrainSql,
              |assigned AS (
              |  SELECT vec_id, q, n2, cell FROM (
              |    SELECT b.vec_id, b.q, b.n2, c.cid AS cell,
@@ -275,7 +302,7 @@ object EmbeddingQueries extends QueryModule {
              |      ORDER BY ${cosineSql(idotSql("a.q", "p.qq"), "a.n2", "p.qn2")} DESC, a.vec_id ASC) AS rk
              |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id)
              |WHERE rk <= 3""".stripMargin),
-      "IVF ANN: broadcast centroid codebook, map-side cell assignment, nprobe=2 probing, exact cosine rerank top-3."
+      "IVF ANN: sampled-Lloyd-trained centroid codebook (IvfCentroids, deterministic integer k-means), broadcast, map-side cell assignment, nprobe=2 probing, exact cosine rerank top-3."
     )
   )
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Offline IVF centroid trainer: deterministic sampled-Lloyd k-means over
+  * quantized integer vectors.
+  *
+  * Every step is exact integer (or single-IEEE-op) arithmetic, so training
+  * is bit-reproducible across engines, partitionings, and runs — the same
+  * determinism contract as the rest of the embedding stack:
+  *  - init: the k lowest-vec_id vectors (deterministic seed);
+  *  - assign: nearest centroid by exact integer squared L2, ties broken by
+  *    centroid id;
+  *  - update: element-wise floor(sum / n) over the assigned sample (sums and
+  *    counts are exact; the one divide is a single IEEE op on magnitudes far
+  *    inside double exactness); empty cells keep their previous centroid;
+  *  - sample: `vec_id % sampleMod == 0` — deterministic, and at 100 TB the
+  *    sample is what makes Lloyd tractable (full-corpus assignment happens
+  *    once at index-build time, not per iteration).
+  *
+  * At scale this runs as its own job ([[save]]) and the serving path loads
+  * the codebook parquet ([[load]]) as a broadcast dimension; the v6 query
+  * trains inline on the (tiny) sample so the DuckDB oracle can mirror the
+  * unrolled iterations in SQL.
+  */
+object IvfCentroids {
+
+  /** Exact integer squared L2 via ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (three
+    * codegen'd LongDot loops, no per-row zipped array).
+    */
+  def l2(a: Column, b: Column): Column =
+    graft.functions.longDot(a, a) + graft.functions.longDot(b, b) -
+      lit(2L) * graft.functions.longDot(a, b)
+
+  /** Train on `quantized` (`vec_id: long, q: array<long>`): k centroids as
+    * (cid, cq). Plans `iters` unrolled assign+update rounds — iters is a
+    * small constant (Lloyd on a sample converges in a few rounds; the plan
+    * grows linearly with it).
+    */
+  def train(quantized: DataFrame, k: Int, iters: Int, sampleMod: Int): DataFrame = {
+    val sample = quantized.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("q"))
+    var cent = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    for (_ <- 0 until iters) {
+      val assigned = sample.join(broadcast(cent))
+        .withColumn("dist", l2(col("q"), col("cq")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+        .filter(col("crk") === 1)
+        .select(col("cid"), col("q"))
+      val means = assigned.groupBy(col("cid"))
+        .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("sv"), x => floor(x.cast("double") / col("n")).cast("long")).as("mq"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mq"), col("cq")).as("cq"))
+    }
+    cent
+  }
+
+  /** Offline job: train and persist the codebook parquet. */
+  def save(quantized: DataFrame, path: String, k: Int, iters: Int, sampleMod: Int): Unit =
+    train(quantized, k, iters, sampleMod).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Serving path: load a trained codebook (broadcast it at the join site). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("cid"), col("cq"))
+}

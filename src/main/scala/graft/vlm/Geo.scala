@@ -190,6 +190,37 @@ object Geo {
     (depth, horiz, vert, centerDist)
   }
 
+  /** G10 legacy variant: relative position by VERTEX EXTREMES in the camera
+    * frame. Box1 gets a relation on an axis only when its extents are
+    * STRICTLY separated from box2's beyond the threshold — e.g. 'Near' iff
+    * max(z₁) < min(z₂) − t — otherwise the relation is None (overlapping or
+    * touching extents give no answer, unlike the center-diff variant which
+    * always answers). Axes in the camera convention: +X right, +Y down,
+    * +Z forward, so X → Left/Right, Y → Up/Down, Z → Near/Far.
+    * Ref: QA_generation/utils/geometry.py:222-269
+    * (get_relative_position_2d); the reference keeps this alongside the
+    * enhanced center-diff classifier (geometry.py:424-495) that
+    * obj_obj_rel_pos tasks call.
+    */
+  def vertexExtremesRelativePosition(
+      v1: Array[Vec3], v2: Array[Vec3],
+      threshold: Double = 0.1): (Option[String], Option[String], Option[String]) = {
+    def extent(vs: Array[Vec3], axis: Int): (Double, Double) = {
+      var lo = Double.PositiveInfinity
+      var hi = Double.NegativeInfinity
+      vs.foreach { v => if (v(axis) < lo) lo = v(axis); if (v(axis) > hi) hi = v(axis) }
+      (lo, hi)
+    }
+    def relate(a: (Double, Double), b: (Double, Double), neg: String, pos: String): Option[String] =
+      if (a._2 < b._1 - threshold) Some(neg)
+      else if (a._1 > b._2 + threshold) Some(pos)
+      else None
+    val depth = relate(extent(v1, 2), extent(v2, 2), "Near", "Far")
+    val horiz = relate(extent(v1, 0), extent(v2, 0), "Left", "Right")
+    val vert = relate(extent(v1, 1), extent(v2, 1), "Up", "Down") // +Y is down
+    (depth, horiz, vert)
+  }
+
   /** Quaternion (x, y, z, w) → rotation matrix. */
   def quatToMatrix(qx: Double, qy: Double, qz: Double, qw: Double): Mat3 = {
     val n = math.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)

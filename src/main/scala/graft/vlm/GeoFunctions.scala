@@ -118,6 +118,17 @@ object GeoFunctions {
       (d, h, v, cd)
   }
 
+  /** G10 legacy vertex-extremes relative position: struct(depth,
+    * horizontal, vertical) with NULL per axis when extents overlap within
+    * the threshold (geometry.py:222-269).
+    */
+  val vertexExtremesRelPosUdf = udf {
+    (a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
+      val (d, h, v) = Geo.vertexExtremesRelativePosition(
+        a.map(_.toArray).toArray, b.map(_.toArray).toArray)
+      (d.orNull, h.orNull, v.orNull)
+  }
+
   /** Quaternion (x,y,z,w) → normalized Euler angles struct — the 9-DoF
     * conversion chain (data_processing/utils.py:46-90).
     */

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Offline IVF codebook training: determinism, the parquet seam, and that
+  * the trained codebook preserves ANN recall on the fixture corpus.
+  */
+class IvfCentroidsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def quantized = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+
+  private def collectCentroids(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("training is deterministic and round-trips through the codebook parquet") {
+    val a = collectCentroids(IvfCentroids.train(quantized, k = 8, iters = 2, sampleMod = 4))
+    val b = collectCentroids(IvfCentroids.train(quantized, k = 8, iters = 2, sampleMod = 4))
+    assert(a == b)
+    assert(a.size == 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/codebook"
+    IvfCentroids.save(quantized, dir, k = 8, iters = 2, sampleMod = 4)
+    assert(collectCentroids(IvfCentroids.load(spark, dir)) == a)
+    // Lloyd actually moved the centroids off the first-N seed
+    val seed = collectCentroids(quantized.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq")))
+    assert(a.exists { case (cid, cq) => seed(cid) != cq })
+  }
+
+  test("v6 with the trained codebook keeps recall@3 against exact brute force") {
+    val vecs = quantized.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val exact = (0L until 10L).map { qid =>
+      val top = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(v => (-cos(vecs(qid), vecs(v)), v)).take(3).toSet
+      qid -> top
+    }.toMap
+    val ivf = SparkEntry.queries("v6_ivf_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (qid, top) =>
+      ivf.getOrElse(qid, Set.empty[Long]).intersect(top).size / 3.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@3 $mean; per-query ${recalls.toSeq}")
+  }
+}

@@ -149,6 +149,33 @@ class GeoSpec extends AnyFunSuite {
     assert(vert == "Below") // dy = 0 - (-1) = +1 → Below (+Y is down)
   }
 
+  test("vertexExtremesRelativePosition: legacy G10 variant vs enhanced on the same boxes (geometry.py:222-269)") {
+    // Same fixture boxes as the enhanced test: a at (0,0,2), b at (1,-1,4),
+    // both 0.5-cubes → extents separated on every axis.
+    val a = bboxVertices(0, 0, 2, 0.5, 0.5, 0.5, 0, 0, 0)
+    val b = bboxVertices(1, -1, 4, 0.5, 0.5, 0.5, 0, 0, 0)
+    val (d, h, v) = vertexExtremesRelativePosition(a, b)
+    assert(d.contains("Near")) // max z_a = 2.25 < min z_b = 3.75 - 0.1
+    assert(h.contains("Left")) // max x_a = 0.25 < min x_b = 0.75 - 0.1
+    assert(v.contains("Down")) // min y_a = -0.25 > max y_b = -0.75 + 0.1 (+Y down)
+    // Enhanced (center-diff) answers on the same boxes — the two variants
+    // agree on separated boxes up to vocabulary (Near~Nearer, Down~Below).
+    val (ed, eh, ev, _) = enhancedRelativePosition(a, b)
+    assert(ed == "Nearer" && eh == "Left" && ev == "Below")
+    // Divergence case: overlapping extents but offset centers — legacy
+    // refuses to answer (None), enhanced still classifies by center diff.
+    val c = bboxVertices(0.3, 0.2, 2.2, 1.0, 1.0, 1.0, 0, 0, 0)
+    val (d2, h2, v2) = vertexExtremesRelativePosition(a, c)
+    assert(d2.isEmpty && h2.isEmpty && v2.isEmpty)
+    val (ed2, eh2, ev2, _) = enhancedRelativePosition(a, c)
+    assert(ed2 == "Nearer" && eh2 == "Left" && ev2 == "Above")
+    // Threshold boundary: separation exactly at t gives no relation (strict <)
+    val far = bboxVertices(0, 0, 2.6, 0.5, 0.5, 0.5, 0, 0, 0) // gap = 0.1 exactly
+    assert(vertexExtremesRelativePosition(a, far)._1.isEmpty)
+    val farther = bboxVertices(0, 0, 2.61, 0.5, 0.5, 0.5, 0, 0, 0)
+    assert(vertexExtremesRelativePosition(a, farther)._1.contains("Near"))
+  }
+
   test("quaternion round-trip through rotation matrix") {
     // identity quaternion
     val (p0, y0, r0) = quaternionToEulerDeg(0, 0, 0, 1)
