@@ -218,18 +218,21 @@ object TextQueries extends QueryModule {
         // side is NOT force-broadcast — it grows with corpus size), a
         // per-document window for top-3.
         val docs = Tables.documents(s, d)
-        val n = docs.count() // corpus size: metadata-scale driver value
+        // corpus size as a broadcast 1-row aggregate: the plan stays fully
+        // lazy (no driver-side count action before the query even runs)
+        val corpusN = docs.agg(count(lit(1)).cast("double").as("corpus_n"))
         val terms = docs
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
+          .crossJoin(broadcast(corpusN))
         // document frequency as a window over the token partition: one
         // shuffle on token replaces the groupBy + join-back pair (same
         // result — each (doc, token) row is one document containing the
         // token), and the per-doc rank window follows.
         terms
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
-          .withColumn("score", round(col("tf") * lit(n).cast("double") / col("df"), 6))
+          .withColumn("score", round(col("tf") * col("corpus_n") / col("df"), 6))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)))
           .filter(col("rk") <= 3)

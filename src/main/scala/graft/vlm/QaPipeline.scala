@@ -60,9 +60,12 @@ object QaPipeline {
       df.write.mode("overwrite").json(s"$outDir/${datasetName}_${t}_qa")
     }
     combined(perTask).write.mode("overwrite").json(s"$outDir/${datasetName}_all_qa_pairs")
-    summary(perTask, datasetName).write.mode("overwrite").json(s"$outDir/${datasetName}_summary")
-    perTask.map { case (t, df) =>
-      t -> spark.read.json(s"$outDir/${datasetName}_${t}_qa").count()
-    }
+    val sum = summary(perTask, datasetName)
+    sum.write.mode("overwrite").json(s"$outDir/${datasetName}_summary")
+    // per-task counts from the summary aggregate — ONE job for all tasks
+    // (re-reading each task's written JSON costed a listing + scan per task)
+    val counts = sum.select(col("task_type"), col("total_questions")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tasks.map(t => t -> counts.getOrElse(t, 0L)).toMap
   }
 }
