@@ -204,6 +204,41 @@ object DomainQueries extends QueryModule {
              |  CAST(ans AS VARCHAR) AS answer_value
              |FROM shuf""".stripMargin),
       "Full multiple-choice QA assembly (qa_base.py:68-137): seeded distractors + shuffle + letter recovery, replayed in DuckDB."
+    ),
+    QueryDef(
+      "g21_box_iou",
+      (s, d) => {
+        // G21: the generic oriented-box IoU kernel (half-space intersection,
+        // Box3d.iou) over the per-frame i<j pair shape. Boxes here are
+        // axis-aligned, so the oracle is the INDEPENDENT per-axis
+        // overlap-product closed form; rotated configurations are validated
+        // engine-side in Box3dSpec against the seeded sampling estimator
+        // (iou.py:36-70). Round(4) bins are wide relative to the float noise
+        // between the two algorithms; most pairs are exactly 0 on both.
+        val b = syntheticBoxes(s, d).withColumn(
+          "box",
+          array(col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
+            lit(0.0), lit(0.0), lit(0.0)))
+        val a = b.select(col("frame_id"), col("idx").as("i"), col("box").as("b1"))
+        val c = b.select(col("frame_id").as("frame_id2"), col("idx").as("j"), col("box").as("b2"))
+        a.join(c, col("frame_id") === col("frame_id2") && col("i") < col("j"))
+          .select(
+            col("frame_id"), col("i"), col("j"),
+            round(GeoFunctions.boxIouUdf(col("b1"), col("b2")), 4).as("iou"))
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql)
+             |SELECT frame_id, i, j, round(CASE WHEN union_v > 0 THEN inter / union_v ELSE 0 END, 4) AS iou
+             |FROM (
+             |  SELECT a.frame_id, a.idx AS i, c.idx AS j,
+             |    greatest(0, least(a.x + a.xl/2, c.x + c.xl/2) - greatest(a.x - a.xl/2, c.x - c.xl/2)) *
+             |    greatest(0, least(a.y + a.yl/2, c.y + c.yl/2) - greatest(a.y - a.yl/2, c.y - c.yl/2)) *
+             |    greatest(0, least(a.z + a.zl/2, c.z + c.zl/2) - greatest(a.z - a.zl/2, c.z - c.zl/2)) AS inter,
+             |    a.xl * a.yl * a.zl + c.xl * c.yl * c.zl -
+             |    greatest(0, least(a.x + a.xl/2, c.x + c.xl/2) - greatest(a.x - a.xl/2, c.x - c.xl/2)) *
+             |    greatest(0, least(a.y + a.yl/2, c.y + c.yl/2) - greatest(a.y - a.yl/2, c.y - c.yl/2)) *
+             |    greatest(0, least(a.z + a.zl/2, c.z + c.zl/2) - greatest(a.z - a.zl/2, c.z - c.zl/2)) AS union_v
+             |  FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx)""".stripMargin),
+      "Exact oriented-box IoU (G21; iou.py:22-33 via Box3d half-space intersection) validated against the independent axis-aligned overlap-product closed form."
     )
   )
 }

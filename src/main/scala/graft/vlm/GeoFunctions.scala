@@ -129,6 +129,16 @@ object GeoFunctions {
       (d.orNull, h.orNull, v.orNull)
   }
 
+  /** G21 exact oriented-box IoU. Each argument is a 9-DoF box as
+    * [cx, cy, cz, xl, yl, zl, pitch, yaw, roll] (radians).
+    */
+  val boxIouUdf = udf {
+    (a: Seq[Double], b: Seq[Double]) =>
+      Box3d.iou(
+        Box3d.Box.fromCenterDimsEuler(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7), a(8)),
+        Box3d.Box.fromCenterDimsEuler(b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7), b(8)))
+  }
+
   /** Quaternion (x,y,z,w) → normalized Euler angles struct — the 9-DoF
     * conversion chain (data_processing/utils.py:46-90).
     */
