@@ -190,8 +190,30 @@ object Box3d {
     if (union <= 0) 0.0 else inter / union
   }
 
+  /** Conservative world-AABB disjointness test: each box's world-frame
+    * axis-aligned extent is |R·diag(s/2)| summed per row. Disjoint AABBs ⇒
+    * disjoint boxes ⇒ zero intersection — the O(1) reject that skips the
+    * half-space machinery for the (at pair-join scale, dominant) majority
+    * of non-overlapping pairs.
+    */
+  private def aabbDisjoint(a: Box, b: Box): Boolean = {
+    var axis = 0
+    while (axis < 3) {
+      val ra = math.abs(a.rotation(axis)(0)) * a.scale(0) / 2 +
+        math.abs(a.rotation(axis)(1)) * a.scale(1) / 2 +
+        math.abs(a.rotation(axis)(2)) * a.scale(2) / 2
+      val rb = math.abs(b.rotation(axis)(0)) * b.scale(0) / 2 +
+        math.abs(b.rotation(axis)(1)) * b.scale(1) / 2 +
+        math.abs(b.rotation(axis)(2)) * b.scale(2) / 2
+      if (math.abs(a.translation(axis) - b.translation(axis)) > ra + rb) return true
+      axis += 1
+    }
+    false
+  }
+
   /** Exact intersection volume by half-space intersection. */
   def intersectionVolume(a: Box, b: Box): Double = {
+    if (aabbDisjoint(a, b)) return 0.0
     val all = halfSpaces(a) ++ halfSpaces(b)
     val tol = 1e-9 * (1.0 + all.map { case (_, d) => math.abs(d) }.max)
     // drop duplicate oriented planes (identical/shared faces)
