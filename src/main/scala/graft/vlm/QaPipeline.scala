@@ -61,11 +61,14 @@ object QaPipeline {
     }
     combined(perTask).write.mode("overwrite").json(s"$outDir/${datasetName}_all_qa_pairs")
     val sum = summary(perTask, datasetName)
-    sum.write.mode("overwrite").json(s"$outDir/${datasetName}_summary")
-    // per-task counts from the summary aggregate — ONE job for all tasks
-    // (re-reading each task's written JSON costed a listing + scan per task)
-    val counts = sum.select(col("task_type"), col("total_questions")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // run the summary aggregation ONCE (it re-aggregates the whole combined
+    // union): collect the handful of per-task rows, then write those rows —
+    // this also replaces the old per-task re-read of the written JSON
+    val rows = sum.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sum.schema)
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/${datasetName}_summary")
+    val counts = rows.map(r =>
+      r.getAs[String]("task_type") -> r.getAs[Long]("total_questions")).toMap
     tasks.map(t => t -> counts.getOrElse(t, 0L)).toMap
   }
 }
