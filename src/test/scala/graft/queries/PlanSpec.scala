@@ -88,6 +88,12 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("v6_ivf_ann broadcasts the trained codebook and the probe set (no corpus-side shuffle joins beyond the cell join)") {
+    val p = plan("v6_ivf_ann")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no checked query emits a DECIMAL output column (probe_hash_decimal excepted)") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when

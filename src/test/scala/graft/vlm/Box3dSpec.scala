@@ -83,6 +83,26 @@ class Box3dSpec extends AnyFunSuite {
     assert(math.abs(exact - sampled) < 0.01, s"exact=$exact sampled=$sampled")
   }
 
+  test("property: random pairs — bounds, symmetry, sampling agreement") {
+    val rng = new scala.util.Random(1234)
+    def randBox(): Box = Box.fromCenterDimsEuler(
+      rng.nextDouble() * 2 - 1, rng.nextDouble() * 2 - 1, rng.nextDouble() * 2 - 1,
+      0.3 + rng.nextDouble() * 1.5, 0.3 + rng.nextDouble() * 1.5, 0.3 + rng.nextDouble() * 1.5,
+      (rng.nextDouble() - 0.5) * 2, (rng.nextDouble() - 0.5) * 2, (rng.nextDouble() - 0.5) * 2)
+    (0 until 20).foreach { i =>
+      val a = randBox(); val b = randBox()
+      val x = iou(a, b)
+      assert(x >= 0 && x <= 1 + 1e-12, s"case $i: iou=$x out of range")
+      assert(approx(iou(b, a), x, 1e-9), s"case $i: asymmetric")
+      assert(approx(iou(a, a), 1.0, 1e-9))
+      val sampled = iouSampling(a, b, numSamples = 50000, seed = 1000 + i)
+      assert(math.abs(x - sampled) < 0.02, s"case $i: exact=$x sampled=$sampled")
+      // intersection can't exceed either volume
+      val inter = intersectionVolume(a, b)
+      assert(inter <= math.min(a.volume, b.volume) + 1e-9, s"case $i: inter=$inter")
+    }
+  }
+
   test("groundPlane picks the lower gravity-aligned face (box.py:236-287)") {
     val b = Box.fromCenterDimsEuler(0, 5, 0, 2, 4, 2, 0, 0, 0)
     val (center, normal) = b.groundPlane(gravityAxis = 1)
