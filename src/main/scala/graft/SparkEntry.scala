@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     TextQueries,
+    CurationQueries,
     DedupQueries,
     EmbeddingQueries,
     MultimodalQueries,

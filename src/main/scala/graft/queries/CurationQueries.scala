@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators a production LLM training-data pipeline runs
+  * between raw ingest and tokenization — the stages the reference stops
+  * short of but a 100 TB run cannot skip:
+  *
+  *  - repetition-based quality filtering (the Gopher/C4 rule family:
+  *    duplicate-token and top-n-gram mass per document);
+  *  - benchmark decontamination (drop training docs sharing n-grams with an
+  *    eval set — a semi-join on shingles, never a cross comparison);
+  *  - deterministic stratified sampling (per-source rates via seeded
+  *    hashing — the data-mixing knob, reproducible across runs/engines);
+  *  - offset-based sequence packing (concatenate-and-chunk assignment of
+  *    documents to fixed token-budget packs via a per-source prefix sum).
+  *
+  * Scale shapes: filtering and sampling are single-scan column programs;
+  * decontamination shuffles on the shingle key (the benchmark side is tiny
+  * and stays broadcast); packing is one window per source partition.
+  */
+object CurationQueries extends QueryModule {
+  import PipelineFns._
+
+  /** Token budget per pack (t8): the classic 4k context window. */
+  private val PackBudget = 4096L
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t7_repetition_quality",
+      (s, d) => {
+        // Gopher-style repetition signals per document: duplicate-token
+        // fraction and the mass of the single most frequent bigram. The
+        // bigram mode count is the longest run of equal adjacent elements in
+        // the SORTED bigram array — an O(n log n) per-row fold, so the whole
+        // filter is one shuffle-free scan (the explode → groupBy(doc, bg)
+        // alternative shuffles every bigram; the oracle states the semantics
+        // that way, the plan here doesn't pay for it). Both `toks` and the
+        // sorted `bg` are materialized in their own projections so the
+        // optimizer doesn't inline the expensive arrays into every consumer.
+        val runZero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+        def runStep(acc: Column, x: Column): Column = {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"), sort_array(shingles(col("toks"), 2)).as("bg"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
+            aggregate(col("bg"), runZero, runStep).getField("best").as("top_bigram_n"),
+            size(col("bg")).cast("long").as("n_bigrams"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+            col("top_bigram_n"), col("n_bigrams"),
+            round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6).as("dup_token_frac"),
+            round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+            (col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
+              col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2).as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+             |ts AS (SELECT doc_id, len(toks) AS n_tokens,
+             |    len(toks) - len(list_distinct(toks)) AS n_dup_tokens FROM t),
+             |b AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS bg FROM t),
+             |bc AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, max(n) AS top_bigram_n,
+             |    CAST(sum(n) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id)
+             |SELECT ts.doc_id, n_tokens, n_dup_tokens, top_bigram_n, n_bigrams,
+             |  round(CAST(n_dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+             |  round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+             |  CAST(n_dup_tokens AS DOUBLE) / n_tokens <= 0.5 AND
+             |    CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.2 AS keep
+             |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin),
+      "Repetition-based quality filter (Gopher/C4 rule family): duplicate-token fraction + top-bigram mass per doc, explode + two-level agg (no per-row quadratic scan)."
+    ),
+    QueryDef(
+      "d9_decontaminate",
+      (s, d) => {
+        // Benchmark decontamination: any training doc sharing a 5-gram with
+        // the (deterministic) benchmark subset is flagged. The benchmark
+        // shingle set is distinct-projected and — being eval-set-sized,
+        // metadata-scale at any corpus size — broadcast into a left-semi
+        // join; the training side streams map-only.
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        val benchShingles = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(shingles(col("toks"), 5)).as("s")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+        val contaminated = train
+          .select(col("doc_id"), explode(shingles(col("toks"), 5)).as("s"))
+          .join(broadcast(benchShingles), Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct()
+        train.join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+             |bench AS (SELECT DISTINCT unnest(${shinglesSql("toks", 5)}) AS s
+             |  FROM docs WHERE doc_id % 97 = 0),
+             |train AS (SELECT * FROM docs WHERE doc_id % 97 <> 0),
+             |hits AS (SELECT DISTINCT doc_id FROM (
+             |    SELECT doc_id, unnest(${shinglesSql("toks", 5)}) AS s FROM train)
+             |  WHERE s IN (SELECT s FROM bench))
+             |SELECT source, count(*) AS n_train,
+             |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+             |FROM train GROUP BY source""".stripMargin),
+      "Benchmark decontamination: 5-gram overlap against a broadcast eval shingle set as a left-semi join (training side map-only) — the contamination gate every pretraining corpus runs."
+    ),
+    QueryDef(
+      "m6_stratified_sample",
+      (s, d) => {
+        // Deterministic stratified sampling — the data-mixing knob: each
+        // source gets its own keep-rate, membership decided by a seeded
+        // per-doc hash (reproducible across engines, runs, partitionings;
+        // no Bernoulli RNG). Single scan, no shuffle before the audit agg.
+        val docs = Tables.documents(s, d)
+        val bucket = pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L))
+        val rate = when(col("source") === "src1", lit(200L))        // 20%
+          .when(col("source") === "src2", lit(800L))              // 80%
+          .otherwise(lit(500L))                                    // 50%
+        docs.select(col("doc_id"), col("source"), bucket.as("bucket"), rate.as("rate"))
+          .filter(col("bucket") < col("rate"))
+          .select(col("doc_id"), col("source"), col("bucket"))
+      },
+      Some(s"""SELECT doc_id, source, bucket FROM (
+             |  SELECT doc_id, source,
+             |    ${h60Sql("concat('mix1:', CAST(doc_id AS VARCHAR))")} % 1000 AS bucket,
+             |    CASE WHEN source = 'src1' THEN 200
+             |         WHEN source = 'src2' THEN 800 ELSE 500 END AS rate
+             |  FROM documents)
+             |WHERE bucket < rate""".stripMargin),
+      "Deterministic stratified sampling per source (seeded-hash membership, per-source rates) — reproducible data mixing with no RNG state."
+    ),
+    QueryDef(
+      "t8_token_packing",
+      (s, d) => {
+        // Offset-based sequence packing (the concatenate-and-chunk model):
+        // per source, documents are laid out in doc_id order; a document's
+        // pack is its start offset divided by the token budget. One window
+        // per source partition — the prefix sum IS the pack assignment, no
+        // sequential greedy loop.
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(
+            col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
+            (col("start_offset") / PackBudget).cast("long").as("pack_id"))
+      },
+      Some(s"""SELECT doc_id, source, n_tokens, start_offset,
+             |  CAST(floor(start_offset / $PackBudget) AS BIGINT) AS pack_id
+             |FROM (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_offset
+             |  FROM (SELECT doc_id, source, len($tokensSql) AS n_tokens FROM documents))""".stripMargin),
+      "Offset-based sequence packing into fixed token budgets (concatenate-and-chunk): per-source prefix-sum window, pack_id = start_offset div budget."
+    )
+  )
+}
