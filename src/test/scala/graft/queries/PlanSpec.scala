@@ -94,6 +94,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t7_repetition_quality and m6_stratified_sample plan NO shuffle (single-scan column programs)") {
+    for (name <- Seq("t7_repetition_quality", "m6_stratified_sample")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("d9_decontaminate broadcasts the benchmark shingle set into a left-semi join") {
+    val p = plan("d9_decontaminate")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("t8_token_packing plans exactly one exchange (the per-source window partitioning)") {
+    val p = plan("t8_token_packing")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
   test("no checked query emits a DECIMAL output column (probe_hash_decimal excepted)") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when
