@@ -26,6 +26,10 @@ package object functions {
   def quantizeVec(vec: Column, scale: Int): Column =
     shims.column(QuantizeVec(shims.expression(vec), scale))
 
+  /** Count of the most frequent element of an array<string>, one pass. */
+  def topRunCount(arr: Column): Column =
+    shims.column(TopRunCount(shims.expression(arr)))
+
   /** 8 oriented-box vertices from a length-9 array (x..roll). */
   def boxVertices(fields: Column): Column =
     shims.column(BoxVertices(shims.expression(fields)))

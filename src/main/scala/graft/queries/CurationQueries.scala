@@ -34,26 +34,22 @@ object CurationQueries extends QueryModule {
       (s, d) => {
         // Gopher-style repetition signals per document: duplicate-token
         // fraction and the mass of the single most frequent bigram. The
-        // bigram mode count is the longest run of equal adjacent elements in
-        // the SORTED bigram array — an O(n log n) per-row fold, so the whole
-        // filter is one shuffle-free scan (the explode → groupBy(doc, bg)
-        // alternative shuffles every bigram; the oracle states the semantics
-        // that way, the plan here doesn't pay for it). Both `toks` and the
-        // sorted `bg` are materialized in their own projections so the
-        // optimizer doesn't inline the expensive arrays into every consumer.
-        val runZero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-        def runStep(acc: Column, x: Column): Column = {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
-        }
+        // bigram mode count is a single fused codegen pass per row
+        // ([[graft.functions.TopRunCount]]: sort a scratch copy, longest
+        // equal-adjacent run), so the whole filter is one shuffle-free scan
+        // (the explode → groupBy(doc, bg) alternative shuffles every
+        // bigram; the oracle states the semantics that way, the plan here
+        // doesn't pay for it). `toks` and `bg` are materialized in their
+        // own projections so the optimizer doesn't inline the expensive
+        // arrays into every consumer.
         Tables.documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"), sort_array(shingles(col("toks"), 2)).as("bg"))
+          .select(col("doc_id"), col("toks"), shingles(col("toks"), 2).as("bg"))
           .select(
             col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"),
             (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
-            aggregate(col("bg"), runZero, runStep).getField("best").as("top_bigram_n"),
+            graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
             size(col("bg")).cast("long").as("n_bigrams"))
           .select(
             col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
