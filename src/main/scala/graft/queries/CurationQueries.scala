@@ -54,10 +54,18 @@ object CurationQueries extends QueryModule {
           .select(
             col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
             col("top_bigram_n"), col("n_bigrams"),
-            round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6).as("dup_token_frac"),
+            // ANSI mode: guard the token-count divide — a document with no
+            // alphanumeric tokens (emoji/CJK/punctuation-only, routine in a
+            // real corpus) must yield null fracs + keep=false, not a
+            // DIVIDE_BY_ZERO that kills the whole scan. n_bigrams is >= 1
+            // by the shingles floor, so only n_tokens needs the guard.
+            when(col("n_tokens") > 0,
+              round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)).as("dup_token_frac"),
             round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
-            (col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
-              col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2).as("keep"))
+            when(col("n_tokens") > 0,
+              col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
+                col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2)
+              .otherwise(lit(false)).as("keep"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
              |ts AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -67,10 +75,13 @@ object CurationQueries extends QueryModule {
              |bs AS (SELECT doc_id, max(n) AS top_bigram_n,
              |    CAST(sum(n) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id)
              |SELECT ts.doc_id, n_tokens, n_dup_tokens, top_bigram_n, n_bigrams,
-             |  round(CAST(n_dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+             |  CASE WHEN n_tokens > 0
+             |    THEN round(CAST(n_dup_tokens AS DOUBLE) / n_tokens, 6) END AS dup_token_frac,
              |  round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
-             |  CAST(n_dup_tokens AS DOUBLE) / n_tokens <= 0.5 AND
-             |    CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.2 AS keep
+             |  CASE WHEN n_tokens > 0
+             |    THEN CAST(n_dup_tokens AS DOUBLE) / n_tokens <= 0.5 AND
+             |      CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.2
+             |    ELSE false END AS keep
              |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin),
       "Repetition-based quality filter (Gopher/C4 rule family): duplicate-token fraction + top-bigram mass per doc, explode + two-level agg (no per-row quadratic scan)."
     ),

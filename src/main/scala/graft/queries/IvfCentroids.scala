@@ -57,13 +57,12 @@ object IvfCentroids {
           transform(col("sv"), x => floor(x.cast("double") / col("n")).cast("long")).as("mq"))
       cent = cent.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mq"), col("cq")).as("cq"))
-        // k rows; each round's result feeds BOTH the next assignment join's
-        // broadcast and the next update — cache keeps the executed DAG one
-        // round deep instead of re-running every prior round per consumer
-        // (serving-path consumers broadcast it twice more: assignment and
-        // probing)
-        .cache()
     }
+    // No .cache() here: train() runs at query-CONSTRUCTION time for every
+    // build of v6 (Verify, Bench, plan sweeps), so a cache would leak a
+    // CacheManager entry per build; measured benefit was nil (the rounds
+    // are k-row plans). At real scale the codebook is persisted via
+    // [[save]] and served from parquet, not recomputed per query.
     cent
   }
 

@@ -98,6 +98,13 @@ object Box3d {
       * positive-side faces, pick the one whose normal is most
       * gravity-aligned, then of it and its parallel partner return the
       * lower (along the gravity axis) face's (center, normal).
+      *
+      * Fidelity note: the reference compares |gravity × n| on UNNORMALIZED
+      * face normals (and seeds the best-error at 10.0), so face area biases
+      * the selection for strongly non-cubic boxes. This implementation
+      * reproduces that behavior bug-for-bug — matching the reference's
+      * outputs is the contract; normalize `n` before comparing if you want
+      * the doc-string semantics instead.
       */
     def groundPlane(gravityAxis: Int = 1): (Vec3, Vec3) = {
       val gravity = Array(0.0, 0.0, 0.0); gravity(gravityAxis) = 1.0
@@ -215,7 +222,14 @@ object Box3d {
   def intersectionVolume(a: Box, b: Box): Double = {
     if (aabbDisjoint(a, b)) return 0.0
     val all = halfSpaces(a) ++ halfSpaces(b)
-    val tol = 1e-9 * (1.0 + all.map { case (_, d) => math.abs(d) }.max)
+    // Geometric tolerance scales with box EXTENT (the size of the polytope
+    // being assembled) plus a small |d|-relative term absorbing the
+    // precision loss of n·p for boxes far from the origin — never with |d|
+    // alone, which would collapse sub-extent intersections of translated
+    // boxes to a point.
+    val maxExtent = (a.scale ++ b.scale).max
+    val maxAbsD = all.map { case (_, d) => math.abs(d) }.max
+    val tol = 1e-9 * (1.0 + maxExtent) + 1e-12 * maxAbsD
     // drop duplicate oriented planes (identical/shared faces)
     val planes = all.foldLeft(Vector.empty[(Vec3, Double)]) { case (acc, (n, d)) =>
       if (acc.exists { case (n2, d2) => dot(n, n2) > 1.0 - 1e-9 && math.abs(d - d2) <= tol }) acc

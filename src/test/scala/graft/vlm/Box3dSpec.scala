@@ -83,6 +83,16 @@ class Box3dSpec extends AnyFunSuite {
     assert(math.abs(exact - sampled) < 0.01, s"exact=$exact sampled=$sampled")
   }
 
+  test("IoU is translation-invariant far from the origin (tolerance scales with extent, not |d|)") {
+    val far = 1e6
+    val a = Box.fromCenterDimsEuler(far, far, far, 1, 1, 1, 0, 0, 0)
+    val b = Box.fromCenterDimsEuler(far + 0.5, far, far, 1, 1, 1, 0, 0, 0)
+    assert(math.abs(iou(a, b) - 1.0 / 3) < 1e-6, s"got ${iou(a, b)}")
+    val cFar = Box.fromCenterDimsEuler(far, far, far, 1, 1, 1, 0, 0, math.Pi / 4)
+    val cHome = Box.fromCenterDimsEuler(0, 0, 0, 1, 1, 1, 0, 0, math.Pi / 4)
+    assert(math.abs(iou(a, cFar) - iou(unitCubeAt(0), cHome)) < 1e-6)
+  }
+
   test("property: random pairs — bounds, symmetry, sampling agreement") {
     val rng = new scala.util.Random(1234)
     def randBox(): Box = Box.fromCenterDimsEuler(
