@@ -28,6 +28,32 @@ object CurationQueries extends QueryModule {
   /** Token budget per pack (t8): the classic 4k context window. */
   private val PackBudget = 4096L
 
+  /** The stateless curation stage as one column program over (doc_id, text,
+    * source): repetition signals → keep gate → stratified-sample gate.
+    * Shared by the batch queries and the streaming lift
+    * ([[graft.streaming.StreamingOps.curateDocs]]) — being per-row and
+    * deterministic it needs no watermark or state store, so batch and
+    * micro-batch execution are row-identical.
+    */
+  def curationStage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"), shingles(col("toks"), 2).as("bg"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
+        graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L)).as("bucket"))
+      .filter(
+        col("n_tokens") > 0 &&
+          col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
+          col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2 &&
+          col("bucket") < when(col("source") === "src1", lit(200L))
+            .when(col("source") === "src2", lit(800L)).otherwise(lit(500L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"))
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "t7_repetition_quality",

@@ -132,6 +132,15 @@ object StreamingOps {
     events.join(broadcast(dim), Seq("event_type"), "left")
       .withColumn("label", coalesce(col("label"), concat(lit("type_"), col("event_type"))))
 
+  /** Streaming corpus curation: the stateless repetition-filter +
+    * stratified-sample stage ([[graft.queries.CurationQueries.curationStage]])
+    * applied to a document stream. Per-row, deterministic, no watermark and
+    * no state store — the shape that lets ingest-time curation run on the
+    * live firehose with row-identical batch/stream results.
+    */
+  def curateDocs(docs: DataFrame): DataFrame =
+    graft.queries.CurationQueries.curationStage(docs)
+
   /** File-source ingest of an event directory as a stream — the S1
     * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
     * per micro-batch keeps replays deterministic.

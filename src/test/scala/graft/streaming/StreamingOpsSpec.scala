@@ -186,4 +186,37 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("curateDocs: stateless curation stage is row-identical in batch and streaming") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank", "src1"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam", "src2"), // repetitive
+      (3L, "a compact document with several distinct tokens inside it today", "src2"),
+      (4L, "!!! ???", "src5"), // zero alnum tokens → dropped, not an error
+      (5L, "data pipelines shuffle partition broadcast join window aggregate scan", "src5")
+    )
+    val batch = StreamingOps.curateDocs(docs.toDF("doc_id", "text", "source"))
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.curateDocs(mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = s.table("curated").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // docs 1/3/5 pass the quality gate and their mix1 buckets (171, 48,
+      // 105) land under their source rates — the surviving set is exact
+      assert(streamed.map(_.head) == Set(1L, 3L, 5L))
+      // the repetitive doc is gated out wherever its sample bucket lands
+      assert(!streamed.exists(_.head == 2L))
+      // the zero-token doc is dropped by the guard, not a DIVIDE_BY_ZERO
+      assert(!streamed.exists(_.head == 4L))
+    } finally q.stop()
+  }
 }
