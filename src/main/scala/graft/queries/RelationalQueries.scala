@@ -519,6 +519,33 @@ object RelationalQueries extends QueryModule {
              |FROM events""".stripMargin),
       "Running aggregate (beyond-reference extension; scaled-integer cents keep prefix sums exact)."
     ),
+    QueryDef(
+      "w_lead_lag_ntile",
+      (s, d) => {
+        // Window-function breadth beyond rank/row_number: offset functions
+        // (lag/lead deltas), quartile bucketing (ntile), and relative rank
+        // (percent_rank) in one pass over the per-user event timeline —
+        // one shuffle on user_id, every function shares the same frame.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .filter(col("user_id") < 200)
+          .select(
+            col("user_id"), col("event_id"),
+            (cents(col("value")) - lag(cents(col("value")), 1).over(w)).as("delta_prev"),
+            lead(col("event_id"), 1).over(w).as("next_event_id"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) -
+             |    lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 1)
+             |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta_prev,
+             |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_event_id,
+             |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 6) AS pct_rank
+             |FROM events WHERE user_id < 200""".stripMargin),
+      "Offset/ntile/percent_rank window family over the per-user timeline (SURVEY §2.6 breadth; one shuffle, shared frame)."
+    ),
     // ------------------------------------------------------------- set ops
     QueryDef(
       "u1_union_tagged",
