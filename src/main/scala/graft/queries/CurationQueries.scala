@@ -54,7 +54,48 @@ object CurationQueries extends QueryModule {
             .when(col("source") === "src2", lit(800L)).otherwise(lit(500L)))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"))
 
+  /** GPT-2-style pre-tokenizer regex (t9), lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB) agree: contraction suffixes, space-prefixed
+    * letter runs, space-prefixed digit runs, space-prefixed punctuation
+    * runs. Both engines use leftmost-first alternation.
+    */
+  private val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+  private val BpePatternSql = BpePattern.replace("'", "''")
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t9_bpe_pretokens",
+      (s, d) =>
+        // Token counting the way a tokenizer-budget pass does it: whitespace
+        // tokens (the cheap upper-bound count) and BPE-style pre-tokens (the
+        // unit an actual BPE tokenizer splits further). Total pre-token
+        // chars via one array_join — exact integer, no per-element fold.
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)).as("pt"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
+          .select(
+            col("doc_id"), col("n_ws_tokens"),
+            size(col("pt")).cast("long").as("n_pretokens"),
+            size(array_distinct(col("pt"))).cast("long").as("n_distinct_pretokens"),
+            length(array_join(col("pt"), "")).cast("long").as("n_pretoken_chars"))
+          .withColumn("avg_pretoken_len",
+            when(col("n_pretokens") > 0,
+              round(col("n_pretoken_chars").cast("double") / col("n_pretokens"), 6))),
+      Some(s"""SELECT doc_id, n_ws_tokens, n_pretokens, n_distinct_pretokens, n_pretoken_chars,
+             |  CASE WHEN n_pretokens > 0
+             |    THEN round(CAST(n_pretoken_chars AS DOUBLE) / n_pretokens, 6) END AS avg_pretoken_len
+             |FROM (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+             |    len(pt) AS n_pretokens,
+             |    len(list_distinct(pt)) AS n_distinct_pretokens,
+             |    length(array_to_string(pt, '')) AS n_pretoken_chars
+             |  FROM (SELECT doc_id, text,
+             |      regexp_extract_all(lower(text), '$BpePatternSql') AS pt
+             |    FROM documents))""".stripMargin),
+      "Token counting for tokenizer budgeting: whitespace tokens + GPT-2-style BPE pre-tokens (lookahead-free regex, identical across Java regex and RE2)."
+    ),
     QueryDef(
       "t7_repetition_quality",
       (s, d) => {
