@@ -33,10 +33,29 @@ object Bench {
       // a failed query must not masquerade as a fast timing: emit -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness keeps only the last ~2000 chars of output; a full-name
+    // 9-decimal map for 80+ queries overflows that window and the JSON line
+    // gets decapitated. Emit the shortest unambiguous prefix per query id
+    // (q1_agg -> q1, e_tumbling_window -> e_tumbling) and centisecond
+    // precision so the one line stays well under the window.
+    def shortKeys(names: Seq[String]): Map[String, String] = {
+      def prefix(n: String, toks: Int) = n.split('_').take(toks).mkString("_")
+      names.map { n =>
+        val cand = (1 to n.count(_ == '_') + 1).iterator
+          .map(t => prefix(n, t))
+          .find(p => names.count(m => prefix(m, p.count(_ == '_') + 1) == p) == 1)
+          .getOrElse(n)
+        n -> cand
+      }.toMap
+    }
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val short = shortKeys(results.keys.toSeq)
+    val qs = results.map { case (k, v) =>
+      val rounded = if (v < 0) "-1" else fmt(v)
+      "\"" + short(k) + "\":" + rounded
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

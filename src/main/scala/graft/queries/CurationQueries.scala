@@ -62,7 +62,231 @@ object CurationQueries extends QueryModule {
   private val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
   private val BpePatternSql = BpePattern.replace("'", "''")
 
+  /** Gopher-rule stop list (the reference list trimmed to words the corpus
+    * vocabulary can actually contain).
+    */
+  private val GopherStops = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val GopherStopsSql = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Deny-list vocabulary for the C4-style bad-word scrub (t12); chosen from
+    * words that occur in the corpus so the redaction path is exercised.
+    */
+  private val DenyPattern = "\\b(slow|small|fast)\\b"
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t10_gopher_rules",
+      (s, d) =>
+        // Gopher quality-rule family per document: word-count bounds, mean
+        // word length bounds, alphabetic-word fraction, minimum distinct
+        // stop-word hits. One shuffle-free scan; every signal is exact
+        // integer (or one rounded IEEE divide), so the keep gate is
+        // bit-reproducible. (The line-shape rules — bullet/ellipsis line
+        // fractions — need newline structure this corpus doesn't have; the
+        // word-shape rules are the load-bearing ones.)
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            length(array_join(col("toks"), "")).cast("long").as("n_word_chars"),
+            size(array_intersect(col("toks"), typedLit(GopherStops))).cast("long").as("n_stop_hits"),
+            size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha_words"))
+          .select(
+            col("doc_id"), col("n_words"), col("n_stop_hits"),
+            when(col("n_words") > 0,
+              round(col("n_word_chars").cast("double") / col("n_words"), 6)).as("mean_word_len"),
+            when(col("n_words") > 0,
+              round(col("n_alpha_words").cast("double") / col("n_words"), 6)).as("alpha_frac"))
+          .withColumn("keep",
+            when(col("n_words") > 0,
+              col("n_words").between(50L, 100000L) &&
+                col("mean_word_len").between(3.0, 10.0) &&
+                col("alpha_frac") >= 0.8 && col("n_stop_hits") >= 2L)
+              .otherwise(lit(false))),
+      Some(s"""WITH sig AS (SELECT doc_id,
+             |    len(toks) AS n_words,
+             |    length(array_to_string(toks, '')) AS n_word_chars,
+             |    len(list_intersect(toks, $GopherStopsSql)) AS n_stop_hits,
+             |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words
+             |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+             |SELECT doc_id, n_words, n_stop_hits, mean_word_len, alpha_frac,
+             |  CASE WHEN n_words > 0
+             |    THEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+             |      AND alpha_frac >= 0.8 AND n_stop_hits >= 2
+             |    ELSE false END AS keep
+             |FROM (SELECT doc_id, n_words, n_stop_hits,
+             |    CASE WHEN n_words > 0 THEN round(CAST(n_word_chars AS DOUBLE) / n_words, 6) END AS mean_word_len,
+             |    CASE WHEN n_words > 0 THEN round(CAST(n_alpha_words AS DOUBLE) / n_words, 6) END AS alpha_frac
+             |  FROM sig)""".stripMargin),
+      "Gopher quality rules per doc: word-count + mean-word-length bounds, alphabetic-word fraction, distinct stop-word floor — one shuffle-free scan."
+    ),
+    QueryDef(
+      "t11_span_dedup",
+      (s, d) => {
+        // C4-style repeated-span removal, corpus-wide: any 4-gram appearing
+        // in >= 2 distinct documents is boilerplate; per doc, count how much
+        // of it is boilerplate. Spans travel as 60-bit hashes (8-byte
+        // shuffle keys, never the strings); the span-frequency table is a
+        // grow-with-corpus side, so it joins back by shuffle (AQE may
+        // broadcast it when small) rather than a forced broadcast.
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val spans = docs
+          .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 4))).as("sp"))
+          .select(col("doc_id"), h60(col("sp")).as("h"))
+        val flagged = spans.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("h"), lit(1L).as("hit"))
+        spans.join(flagged, Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_dup_spans"))
+          .select(
+            col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_span_frac"))
+          .withColumn("keep", col("dup_span_frac") <= 0.5)
+      },
+      Some(s"""WITH sp AS (SELECT DISTINCT doc_id, ${h60Sql("s")} AS h FROM (
+             |    SELECT doc_id, unnest(${shinglesSql("toks", 4)}) AS s
+             |    FROM (SELECT doc_id, $tokensSql AS toks FROM documents))),
+             |flagged AS (SELECT h FROM (
+             |    SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h) WHERE nd >= 2)
+             |SELECT doc_id, n_spans, n_dup_spans,
+             |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_span_frac,
+             |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) <= 0.5 AS keep
+             |FROM (
+             |  SELECT doc_id, count(*) AS n_spans,
+             |    CAST(sum(CASE WHEN h IN (SELECT h FROM flagged) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+             |  FROM sp GROUP BY doc_id)""".stripMargin),
+      "Corpus-wide repeated-span (4-gram) boilerplate detection: spans shuffle as 60-bit hashes, per-doc boilerplate fraction + keep gate (the C4 repeated-span rule)."
+    ),
+    QueryDef(
+      "t12_denylist_scrub",
+      (s, d) =>
+        // C4-style deny-list scrub: count deny-word hits per doc and emit
+        // the redacted text as an md5 fingerprint (the full redacted body
+        // would bloat the checked output; the hash pins it exactly).
+        // Single scan, no shuffle; regex is word-boundary alternation that
+        // Java regex and RE2 evaluate identically.
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("source"),
+            size(regexp_extract_all(lower(col("text")), lit(DenyPattern), lit(0)))
+              .cast("long").as("n_hits"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            md5(regexp_replace(lower(col("text")), DenyPattern, "[x]")).as("redacted_md5"),
+            length(regexp_replace(lower(col("text")), DenyPattern, "[x]"))
+              .cast("long").as("redacted_len"))
+          .withColumn("hit_frac",
+            when(col("n_tokens") > 0,
+              round(col("n_hits").cast("double") / col("n_tokens"), 6)))
+          .withColumn("keep", coalesce(col("hit_frac") <= 0.05, lit(false))),
+      Some(s"""SELECT doc_id, source, n_hits, n_tokens, redacted_md5, redacted_len,
+             |  CASE WHEN n_tokens > 0 THEN round(CAST(n_hits AS DOUBLE) / n_tokens, 6) END AS hit_frac,
+             |  coalesce(CASE WHEN n_tokens > 0 THEN round(CAST(n_hits AS DOUBLE) / n_tokens, 6) END <= 0.05, false) AS keep
+             |FROM (
+             |  SELECT doc_id, source,
+             |    len(regexp_extract_all(lower(text), '\\b(slow|small|fast)\\b')) AS n_hits,
+             |    len($tokensSql) AS n_tokens,
+             |    md5(regexp_replace(lower(text), '\\b(slow|small|fast)\\b', '[x]', 'g')) AS redacted_md5,
+             |    length(regexp_replace(lower(text), '\\b(slow|small|fast)\\b', '[x]', 'g')) AS redacted_len
+             |  FROM documents)""".stripMargin),
+      "Deny-list scrub (C4 bad-word shape): per-doc hit counts, hit fraction gate, and an md5 fingerprint of the redacted text — one shuffle-free scan."
+    ),
+    QueryDef(
+      "m7_domain_mix",
+      (s, d) => {
+        // Domain-mixing budgeter: given per-source token supply and a target
+        // mixture (tiered weights), compute each source's token budget,
+        // sampling rate, and epoch count. The heavy part is one groupBy over
+        // the corpus; the mixture math runs on the n_sources-row aggregate
+        // (a metadata-scale window, whatever the corpus size).
+        val perSource = Tables.documents(s, d)
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
+          .withColumn("tier", lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(3L)))
+        val w = Window.partitionBy()
+        perSource
+          .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("total_tier", sum(col("tier")).over(w))
+          // budget = half the corpus tokens, split across sources by tier
+          .withColumn("budget", floor(col("total_tokens").cast("double") / 2).cast("long"))
+          .withColumn("target_tokens",
+            floor(col("budget").cast("double") * col("tier") / col("total_tier")).cast("long"))
+          .select(
+            col("source"), col("n_docs"), col("n_tokens"), col("tier"), col("target_tokens"),
+            round(least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens")), 6).as("sample_rate"),
+            round(col("target_tokens").cast("double") / col("n_tokens"), 6).as("epochs"))
+      },
+      Some(s"""WITH per_source AS (
+             |  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |    1 + (CAST(substring(source, 4) AS BIGINT) % 3) AS tier
+             |  FROM (SELECT source, len($tokensSql) AS nt FROM documents)
+             |  GROUP BY source),
+             |tot AS (SELECT *,
+             |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+             |    CAST(sum(tier) OVER () AS BIGINT) AS total_tier
+             |  FROM per_source),
+             |tgt AS (SELECT *,
+             |    CAST(floor(CAST(floor(CAST(total_tokens AS DOUBLE) / 2) AS DOUBLE) * tier / total_tier) AS BIGINT) AS target_tokens
+             |  FROM tot)
+             |SELECT source, n_docs, n_tokens, tier, target_tokens,
+             |  round(least(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS sample_rate,
+             |  round(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs
+             |FROM tgt""".stripMargin),
+      "Domain-mixing budgeter: per-source token supply -> tiered target budget, sampling rate, epoch count; corpus groupBy + metadata-scale mixture window."
+    ),
+    QueryDef(
+      "d10_hash_decontaminate",
+      (s, d) => {
+        // Decontamination at scale: shingles travel as 60-bit hashes (8-byte
+        // keys instead of ~30-byte strings — the Bloom/prefilter shape
+        // expressed relationally), then hash candidates are verified against
+        // the true shingle strings so the result is exact even under hash
+        // collisions. One broadcast hash-join; the training side stays
+        // map-only.
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(array_distinct(shingles(col("toks"), 5))).as("bs")).distinct()
+          .select(col("bs"), h60(col("bs")).as("h"))
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+        val hits = train
+          .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 5))).as("sp"))
+          .select(col("doc_id"), col("sp"), h60(col("sp")).as("h"))
+          .join(broadcast(bench), Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(
+            max(lit(1L)).as("cand"),
+            max(when(col("sp") === col("bs"), 1L).otherwise(0L)).as("conf"))
+        train.select(col("doc_id"), col("source"))
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(coalesce(col("cand"), lit(0L))).cast("long").as("n_candidate_docs"),
+            sum(coalesce(col("conf"), lit(0L))).cast("long").as("n_confirmed_docs"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+             |bench AS (SELECT bs, ${h60Sql("bs")} AS h FROM (
+             |    SELECT DISTINCT unnest(${shinglesSql("toks", 5)}) AS bs
+             |    FROM docs WHERE doc_id % 97 = 0)),
+             |train AS (SELECT * FROM docs WHERE doc_id % 97 <> 0),
+             |tsh AS (SELECT DISTINCT doc_id, sp, ${h60Sql("sp")} AS h FROM (
+             |    SELECT doc_id, unnest(${shinglesSql("toks", 5)}) AS sp FROM train)),
+             |hits AS (SELECT doc_id, 1 AS cand,
+             |    max(CASE WHEN sp = bs THEN 1 ELSE 0 END) AS conf
+             |  FROM tsh JOIN bench USING (h) GROUP BY doc_id)
+             |SELECT source, count(*) AS n_train,
+             |  CAST(sum(coalesce(cand, 0)) AS BIGINT) AS n_candidate_docs,
+             |  CAST(sum(coalesce(conf, 0)) AS BIGINT) AS n_confirmed_docs
+             |FROM train LEFT JOIN hits USING (doc_id) GROUP BY source""".stripMargin),
+      "Hash-prefilter decontamination: 5-gram shingles join as 60-bit hashes (8-byte broadcast keys, the Bloom shape), exact string verification of candidates — exact result, map-only training side."
+    ),
     QueryDef(
       "t9_bpe_pretokens",
       (s, d) =>

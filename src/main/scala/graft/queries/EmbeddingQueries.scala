@@ -303,6 +303,51 @@ object EmbeddingQueries extends QueryModule {
              |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id)
              |WHERE rk <= 3""".stripMargin),
       "IVF ANN: sampled-Lloyd-trained centroid codebook (IvfCentroids, deterministic integer k-means), broadcast, map-side cell assignment, nprobe=2 probing, exact cosine rerank top-3."
+    ),
+    QueryDef(
+      "v7_semdedup",
+      (s, d) => {
+        // SemDeDup (semantic dedup): cluster the corpus with a broadcast
+        // coarse codebook, then mark as duplicate any vector that has a
+        // LOWER-id cluster-mate with cosine >= threshold (keep-first, the
+        // paper's representative rule — no transitive closure needed). The
+        // quadratic work is confined inside cells; the codebook here is the
+        // deterministic first-k seed so the oracle stays compact (at scale
+        // it is the IvfCentroids.save/load trained parquet, same plan).
+        val theta = 0.35
+        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+        val cent = quantized(s, d).filter(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val assigned = base.join(broadcast(cent))
+          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("q"), col("n2"), col("cid").as("cell"))
+        val dups = assigned.as("a")
+          .join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .filter(cosine(idot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")) >= theta)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        assigned.join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells),
+             |assigned AS (
+             |  SELECT vec_id, q, n2, cell FROM (
+             |    SELECT b.vec_id, b.q, b.n2, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
+             |    FROM base b CROSS JOIN cent c)
+             |  WHERE crk = 1),
+             |dups AS (SELECT DISTINCT b.vec_id FROM assigned a
+             |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE ${cosineSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= 0.35)
+             |SELECT a.vec_id, a.cell, a.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+             |FROM assigned a""".stripMargin),
+      "SemDeDup: broadcast coarse codebook -> cell assignment, within-cell cosine >= 0.35 against any lower-id mate marks a duplicate (keep-first representative rule)."
     )
   )
 }
