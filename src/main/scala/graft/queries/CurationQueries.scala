@@ -135,15 +135,17 @@ object CurationQueries extends QueryModule {
         val spans = docs
           .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 4))).as("sp"))
           .select(col("doc_id"), h60(col("sp")).as("h"))
-        val flagged = spans.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("h"), lit(1L).as("hit"))
-        spans.join(flagged, Seq("h"), "left")
+        // span frequency via a count window on the span-hash partition:
+        // spans are per-doc distinct, so count(*) over h IS the distinct-doc
+        // count — one shuffle on h and a single scan, instead of scanning +
+        // exploding + hashing the corpus twice and joining the frequency
+        // table back (the t6 df-via-window shape).
+        spans
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_spans"),
-            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_dup_spans"))
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_spans"))
           .select(
             col("doc_id"), col("n_spans"), col("n_dup_spans"),
             round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_span_frac"))

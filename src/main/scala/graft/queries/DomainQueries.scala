@@ -239,6 +239,110 @@ object DomainQueries extends QueryModule {
              |    greatest(0, least(a.z + a.zl/2, c.z + c.zl/2) - greatest(a.z - a.zl/2, c.z - c.zl/2)) AS union_v
              |  FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx)""".stripMargin),
       "Exact oriented-box IoU (G21; iou.py:22-33 via Box3d half-space intersection) validated against the independent axis-aligned overlap-product closed form."
+    ),
+    QueryDef(
+      "g5_cam_box_distance",
+      (s, d) => {
+        // A10 (min camera→vertex distance) + the F3-style distance gate,
+        // through the production native expression. Camera position is an
+        // exact rational per frame. Axis-aligned vertices make the oracle
+        // the per-axis min-of-2 factorized closed form — independent math
+        // from the 8-vertex loop in the expression.
+        val cam = array(
+          ((col("frame_id") % 11) - 5) / 3.0,
+          ((col("frame_id") % 7) - 3) / 2.0,
+          lit(-1.0))
+        syntheticBoxes(s, d)
+          .withColumn(
+            "verts",
+            GeoFunctions.bboxVerticesCol(
+              col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
+              lit(0.0), lit(0.0), lit(0.0)))
+          .withColumn("cam_dist",
+            round(GeoFunctions.cameraToBoxDistanceCol(cam, col("verts")), 6))
+          .filter(col("cam_dist").between(0.5, 20.0))
+          .select(col("frame_id"), col("idx"), col("cam_dist"))
+      },
+      Some(s"""SELECT frame_id, idx, cam_dist FROM (
+             |  SELECT frame_id, idx, round(sqrt(
+             |    least((cx - (x - xl/2)) * (cx - (x - xl/2)), (cx - (x + xl/2)) * (cx - (x + xl/2))) +
+             |    least((cy - (y - yl/2)) * (cy - (y - yl/2)), (cy - (y + yl/2)) * (cy - (y + yl/2))) +
+             |    least((cz - (z - zl/2)) * (cz - (z - zl/2)), (cz - (z + zl/2)) * (cz - (z + zl/2)))
+             |  ), 6) AS cam_dist
+             |  FROM (SELECT b.*,
+             |      ((frame_id % 11) - 5) / 3.0 AS cx, ((frame_id % 7) - 3) / 2.0 AS cy, -1.0 AS cz
+             |    FROM ($syntheticBoxesSql) b))
+             |WHERE cam_dist BETWEEN 0.5 AND 20.0""".stripMargin),
+      "Min camera→vertex distance (A10, geometry.py:165-189) + F3 distance gate, verified against the factorized per-axis min-of-2 closed form for axis-aligned corners."
+    ),
+    QueryDef(
+      "g6_orientation_basis",
+      (s, d) => {
+        // G8: camera orientation basis extraction from 4×4 extrinsics —
+        // rotation columns in the OpenCV convention plus derived up/back
+        // negations. Extrinsics entries are exact rationals (no trig), so
+        // the oracle re-derives the columns symbolically.
+        val e = syntheticBoxes(s, d)
+          .filter(col("idx") === 1)
+          .withColumn("extr", array(
+            array(col("x") / 10, col("y") / 10, col("z") / 10, lit(1.0)),
+            array(col("y") / 5, col("z") / 5, col("x") / 5, lit(2.0)),
+            array(col("z") / 2, col("x") / 2, col("y") / 2, lit(3.0)),
+            array(lit(0.0), lit(0.0), lit(0.0), lit(1.0))))
+          .withColumn("basis", GeoFunctions.cameraOrientationUdf(col("extr")))
+        e.select(
+          col("frame_id"),
+          round(col("basis._1")(0), 6).as("right_x"),
+          round(col("basis._2")(1), 6).as("down_y"),
+          // + 0.0 flushes IEEE negative zero (DuckDB's round keeps the
+          // sign of -0.0, Spark's normalizes; adding +0 makes both +0.0)
+          round(col("basis._3")(2) + lit(0.0), 6).as("up_z"),
+          round(col("basis._4")(0), 6).as("fwd_x"),
+          round(col("basis._5")(1) + lit(0.0), 6).as("back_y"))
+      },
+      Some(s"""SELECT frame_id,
+             |  round(x / 10, 6) AS right_x,
+             |  round(z / 5, 6) AS down_y,
+             |  round(-(x / 2) + 0.0, 6) AS up_z,
+             |  round(z / 10, 6) AS fwd_x,
+             |  round(-(x / 5) + 0.0, 6) AS back_y
+             |FROM ($syntheticBoxesSql) WHERE idx = 1""".stripMargin),
+      "Camera orientation basis vectors (G8, geometry.py:367-398): rotation-column extraction + up/back negation, symbolically re-derived in the oracle."
+    ),
+    QueryDef(
+      "g7_vertex_extremes_relpos",
+      (s, d) => {
+        // G10 legacy variant: vertex-EXTREMES relative position (strict
+        // separation beyond threshold; overlapping extents → NULL axis) —
+        // the reference keeps this alongside the enhanced center-diff
+        // classifier that g3 checks.
+        val b = syntheticBoxes(s, d).withColumn(
+          "verts",
+          GeoFunctions.bboxVerticesCol(
+            col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
+            lit(0.0), lit(0.0), lit(0.0)))
+        val a = b.select(col("frame_id"), col("idx").as("i"), col("verts").as("v1"))
+        val c = b.select(col("frame_id").as("frame_id2"), col("idx").as("j"), col("verts").as("v2"))
+        a.join(c, col("frame_id") === col("frame_id2") && col("i") < col("j"))
+          .withColumn("rp", GeoFunctions.vertexExtremesRelPosUdf(col("v1"), col("v2")))
+          .groupBy(
+            col("rp._1").as("depth_rel"),
+            col("rp._2").as("horizontal_rel"),
+            col("rp._3").as("vertical_rel"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql)
+             |SELECT depth_rel, horizontal_rel, vertical_rel, count(*) AS n FROM (
+             |  SELECT
+             |    CASE WHEN a.z + a.zl/2 < c.z - c.zl/2 - 0.1 THEN 'Near'
+             |         WHEN a.z - a.zl/2 > c.z + c.zl/2 + 0.1 THEN 'Far' END AS depth_rel,
+             |    CASE WHEN a.x + a.xl/2 < c.x - c.xl/2 - 0.1 THEN 'Left'
+             |         WHEN a.x - a.xl/2 > c.x + c.xl/2 + 0.1 THEN 'Right' END AS horizontal_rel,
+             |    CASE WHEN a.y + a.yl/2 < c.y - c.yl/2 - 0.1 THEN 'Up'
+             |         WHEN a.y - a.yl/2 > c.y + c.yl/2 + 0.1 THEN 'Down' END AS vertical_rel
+             |  FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx)
+             |GROUP BY depth_rel, horizontal_rel, vertical_rel""".stripMargin),
+      "G10 legacy vertex-extremes classifier (geometry.py:222-269): strict axis separation beyond threshold, NULL on overlap — axis extents reduce to center±half-dim closed forms for axis-aligned boxes."
     )
   )
 }

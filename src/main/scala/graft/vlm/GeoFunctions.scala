@@ -118,6 +118,17 @@ object GeoFunctions {
       (d, h, v, cd)
   }
 
+  /** G8 camera orientation basis vectors from 4×4 extrinsics: struct of
+    * (right, down, up, forward, back) world vectors
+    * (geometry.py:367-398).
+    */
+  val cameraOrientationUdf = udf {
+    (extrinsics: Seq[Seq[Double]]) =>
+      Geo.cameraOrientation(extrinsics.map(_.toArray).toArray).map { m =>
+        (m("right").toSeq, m("down").toSeq, m("up").toSeq, m("forward").toSeq, m("back").toSeq)
+      }
+  }
+
   /** G10 legacy vertex-extremes relative position: struct(depth,
     * horizontal, vertical) with NULL per axis when extents overlap within
     * the threshold (geometry.py:222-269).

@@ -112,6 +112,31 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
   }
 
+  test("t10_gopher_rules and t12_denylist_scrub plan NO shuffle (single-scan column programs)") {
+    for (name <- Seq("t10_gopher_rules", "t12_denylist_scrub")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("m7_domain_mix joins nothing: one corpus groupBy + one metadata-scale mixture window") {
+    val p = plan("m7_domain_mix")
+    assert(!p.contains("Join"), p)
+    // corpus agg exchange + single-partition window exchange, nothing more
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("d10_hash_decontaminate broadcasts the 8-byte bench hash keys (training side map-only)") {
+    val p = plan("d10_hash_decontaminate")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("v7_semdedup broadcasts the codebook; pair work stays inside cells (equi-join on cell)") {
+    val p = plan("v7_semdedup")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no checked query emits a DECIMAL output column (probe_hash_decimal excepted)") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when
