@@ -474,6 +474,28 @@ object RelationalQueries extends QueryModule {
       "Per-partition rank / top-k (SURVEY W1; cam_obj_rel_dist_qa.py:53-59)."
     ),
     QueryDef(
+      "w7_seeded_topk",
+      (s, d) => {
+        // W7/J9: seeded top-k sampling per group — "random" representatives
+        // chosen by ranking on a seeded hash, so the sample is reproducible
+        // across engines, runs, and partitionings (no RNG state, no
+        // shuffle-order luck). One window per group partition.
+        import graft.queries.PipelineFns.h60
+        val w = Window.partitionBy(col("source"))
+          .orderBy(h60(concat(lit("w7:"), col("doc_id"))).asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+      },
+      Some(s"""SELECT source, rk, doc_id FROM (
+             |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             |    ORDER BY ${graft.queries.PipelineFns.h60Sql("concat('w7:', CAST(doc_id AS VARCHAR))")} ASC, doc_id ASC) AS rk
+             |  FROM documents)
+             |WHERE rk <= 3""".stripMargin),
+      "Seeded top-k sampling per group (SURVEY W7/J9): rank on a seeded md5 hash — reproducible sampling with no RNG state."
+    ),
+    QueryDef(
       "w4_first_per_group",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts").asc, col("event_id").asc)
