@@ -141,6 +141,65 @@ object StreamingOps {
   def curateDocs(docs: DataFrame): DataFrame =
     graft.queries.CurationQueries.curationStage(docs)
 
+  /** One incoming document (streaming near-dup input). */
+  final case class Doc(doc_id: Long, text: String)
+
+  /** One doc→LSH-band assignment (stage-1 output of the near-dup guard). */
+  final case class BandRow(band: String, band_idx: Int, doc_id: Long)
+
+  /** A later document colliding with the bucket's first claimant. */
+  final case class BandHit(doc_id: Long, band_idx: Int, rep_doc_id: Long)
+
+  /** Stage 1 of the streaming near-dup guard: doc → 4 LSH band keys, the
+    * SAME signature math as the batch dedup family (3-gram shingle digests →
+    * 8 minhash slices → md5 band pairs; DedupQueries constants) via the
+    * fused codegen expressions — stateless, map-only.
+    */
+  def nearDupBandRows(docs: DataFrame): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    val sigs = docs.select(
+      col("doc_id"),
+      graft.functions.minhash8(graft.functions.shingleHashes(col("text"), 3)).as("mh"))
+    val bands = (0 until 4).map { b =>
+      md5(concat_ws("_",
+        element_at(col("mh"), 2 * b + 1).cast("string"),
+        element_at(col("mh"), 2 * b + 2).cast("string"))).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bands: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")))
+      .select(col("band"), col("band_idx").cast("int").as("band_idx"), col("doc_id"))
+      .as[BandRow]
+  }
+
+  /** Stage 2: keep-first per LSH band bucket. State is one long (the
+    * bucket's first claimant) keyed by (band_idx, band) — identical
+    * candidate semantics to the batch first-shared-band dedup, but incremental:
+    * a document arriving after its bucket was claimed emits a hit record,
+    * and "is near-dup" downstream = any hit across its bands. Within one
+    * trigger, rows fold in doc_id order, so batch execution of the same
+    * function (state starts empty, whole group in one call) reproduces the
+    * stream exactly when arrival order follows doc_id. State size is the
+    * distinct-bucket count — at 100 TB, shard by the band key (even by
+    * construction) and add a processing-time TTL for buckets cold beyond the
+    * replay horizon.
+    */
+  def nearDupHits(rows: Dataset[BandRow]): Dataset[BandHit] = {
+    import rows.sparkSession.implicits._
+    def update(key: String, rs: Iterator[BandRow], state: GroupState[Long]): Iterator[BandHit] = {
+      var rep = state.getOption.getOrElse(Long.MinValue)
+      val hits = Seq.newBuilder[BandHit]
+      rs.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (rep == Long.MinValue) rep = r.doc_id
+        else if (r.doc_id != rep) hits += BandHit(r.doc_id, r.band_idx, rep)
+      }
+      if (rep != Long.MinValue) state.update(rep)
+      hits.result().iterator
+    }
+    rows.groupByKey(r => s"${r.band_idx}:${r.band}")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** File-source ingest of an event directory as a stream — the S1
     * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
     * per micro-batch keeps replays deterministic.

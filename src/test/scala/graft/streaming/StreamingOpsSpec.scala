@@ -219,4 +219,44 @@ class StreamingOpsSpec extends SparkSpec {
       assert(!streamed.exists(_.head == 4L))
     } finally q.stop()
   }
+
+  test("nearDupHits: streaming keep-first LSH dedup matches the batch run of the same stages") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import StreamingOps.{BandHit, Doc}
+
+    // 0 and 2 are exact near-dups (identical shingle sets → all 4 bands
+    // collide); 1 and 3 are distinct; 4 repeats doc 1's text much later.
+    val docs = Seq(
+      Doc(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Doc(1, "one two three four five six seven eight nine ten eleven twelve"),
+      Doc(2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Doc(3, "red green blue yellow purple orange cyan magenta white black"),
+      Doc(4, "one two three four five six seven eight nine ten eleven twelve")
+    )
+
+    def dupPairs(hits: Seq[BandHit]): Set[(Long, Long)] =
+      hits.map(h => (h.doc_id, h.rep_doc_id)).toSet
+
+    val batch = dupPairs(
+      StreamingOps.nearDupHits(StreamingOps.nearDupBandRows(docs.toDF())).collect().toSeq)
+    // keep-first: 2 collapses onto 0, 4 onto 1
+    assert(batch.contains((2L, 0L)) && batch.contains((4L, 1L)), batch)
+    assert(!batch.exists { case (d, _) => d == 3L }, batch)
+
+    val mem = MemoryStream[Doc]
+    val q = StreamingOps.nearDupHits(StreamingOps.nearDupBandRows(mem.toDF()))
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      // arrival order follows doc_id, split across micro-batches so the
+      // keep-first decision for docs 2 and 4 crosses the state store
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2), docs(3), docs(4))
+      q.processAllAvailable()
+      val streamed = dupPairs(s.table("neardup").as[BandHit].collect().toSeq)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
