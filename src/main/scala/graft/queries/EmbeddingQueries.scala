@@ -348,6 +348,56 @@ object EmbeddingQueries extends QueryModule {
              |SELECT a.vec_id, a.cell, a.vec_id IN (SELECT vec_id FROM dups) AS is_dup
              |FROM assigned a""".stripMargin),
       "SemDeDup: broadcast coarse codebook -> cell assignment, within-cell cosine >= 0.35 against any lower-id mate marks a duplicate (keep-first representative rule)."
+    ),
+    QueryDef(
+      "v8_pq_codes",
+      (s, d) => {
+        // Product quantization: 64 dims → 8 subspaces × 8 dims; each
+        // subvector snaps to the nearest of 16 codewords (exact integer L2,
+        // tie by code id), and the 8 nibbles pack into one int64 PQ code —
+        // the 8-byte-per-vector storage format ANN stacks serve from.
+        // The codebook (here the deterministic first-16 seed; trained
+        // per-subspace k-means at scale, the IvfCentroids seam) broadcasts;
+        // the corpus side is one map-side join + one argmin aggregation.
+        val nSub = 8; val subDim = 8; val nCode = 16
+        val shifts = typedLit((0 until nSub).map(sb => 1L << (4 * sb)))
+        val base = quantized(s, d)
+          .select(col("vec_id"), col("q"),
+            posexplode(shifts).as(Seq("sub", "shift")))
+          .select(col("vec_id"), col("sub"), col("shift"),
+            slice(col("q"), col("sub") * subDim + 1, lit(subDim)).as("sq"))
+        val codebook = quantized(s, d).filter(col("vec_id") < nCode)
+          .select(col("vec_id").as("code"), col("q"),
+            posexplode(shifts).as(Seq("csub", "cshift")))
+          .select(col("code"), col("csub"),
+            slice(col("q"), col("csub") * subDim + 1, lit(subDim)).as("cq"))
+        base.join(broadcast(codebook), col("sub") === col("csub"))
+          .withColumn("dist", IvfCentroids.l2(col("sq"), col("cq")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("vec_id"), col("sub"))
+              .orderBy(col("dist").asc, col("code").asc)))
+          .filter(col("crk") === 1)
+          .groupBy(col("vec_id"))
+          .agg(
+            sum(col("code") * col("shift")).cast("long").as("pq_code"),
+            sum(col("dist")).cast("long").as("qerr_scaled"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q FROM ($quantizedSql)),
+             |subs AS (SELECT * FROM (VALUES (0, 1), (1, 16), (2, 256), (3, 4096),
+             |    (4, 65536), (5, 1048576), (6, 16777216), (7, 268435456)) AS v(sub, shift)),
+             |bs AS (SELECT vec_id, sub, shift, q[8*sub+1:8*sub+8] AS sq FROM base CROSS JOIN subs),
+             |cb AS (SELECT vec_id AS code, sub AS csub, q[8*sub+1:8*sub+8] AS cq
+             |  FROM base CROSS JOIN subs WHERE vec_id < 16),
+             |ranked AS (
+             |  SELECT vec_id, sub, shift, code,
+             |    list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) AS dist,
+             |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+             |      list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) ASC, code ASC) AS crk
+             |  FROM bs JOIN cb ON bs.sub = cb.csub)
+             |SELECT vec_id, CAST(sum(code * shift) AS BIGINT) AS pq_code,
+             |  CAST(sum(dist) AS BIGINT) AS qerr_scaled
+             |FROM ranked WHERE crk = 1 GROUP BY vec_id""".stripMargin),
+      "Product quantization: 8×8-dim subspaces, 16 codewords each (broadcast codebook, exact integer L2 argmin), nibbles packed into an int64 PQ code + total quantization error."
     )
   )
 }
