@@ -128,6 +128,63 @@ object EmbeddingQueries extends QueryModule {
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
 
+  /** PQ geometry: 64 dims → `PqSub` subspaces × `PqSubDim` dims, `PqCodes`
+    * codewords per subspace (first-`PqCodes` seed codebook — per-subspace
+    * k-means at scale, the IvfCentroids seam).
+    */
+  private val PqSub = 8
+  private val PqSubDim = 8
+  private val PqCodes = 16
+
+  /** Per-(vector, subspace) nearest-codeword assignment: columns
+    * (vec_id, sub, shift, code, dist). Codebook is broadcast; exact integer
+    * L2, ties to the lowest code id. Shared by v8 (code packing) and v9
+    * (ADC serving).
+    */
+  private def pqShifts = typedLit((0 until PqSub).map(sb => 1L << (4 * sb)))
+
+  /** Per-subspace codebook slices: (code, csub, cq). */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"), col("q"),
+        posexplode(pqShifts).as(Seq("csub", "cshift")))
+      .select(col("code"), col("csub"),
+        slice(col("q"), col("csub") * PqSubDim + 1, lit(PqSubDim)).as("cq"))
+
+  private def pqAssignments(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+      .select(col("vec_id"), col("q"),
+        posexplode(pqShifts).as(Seq("sub", "shift")))
+      .select(col("vec_id"), col("sub"), col("shift"),
+        slice(col("q"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("sq"))
+    base.join(broadcast(pqCodebook(s, d)), col("sub") === col("csub"))
+      .withColumn("dist", IvfCentroids.l2(col("sq"), col("cq")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist").asc, col("code").asc)))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("sub"), col("shift"), col("code"), col("dist"))
+  }
+
+  /** Shared SQL CTEs for the PQ assignment (same columns as
+    * [[pqAssignments]], CTE name `asg`); prefix with WITH at the use site.
+    */
+  // def, not val: interpolates quantizedSql, which is declared later in
+  // this object (a val here would capture null at init time)
+  private def pqAssignSql =
+    s"""pqbase AS (SELECT vec_id, q FROM ($quantizedSql)),
+       |subs AS (SELECT * FROM (VALUES (0, 1), (1, 16), (2, 256), (3, 4096),
+       |    (4, 65536), (5, 1048576), (6, 16777216), (7, 268435456)) AS v(sub, shift)),
+       |bs AS (SELECT vec_id, sub, shift, q[8*sub+1:8*sub+8] AS sq FROM pqbase CROSS JOIN subs),
+       |cb AS (SELECT vec_id AS code, sub AS csub, q[8*sub+1:8*sub+8] AS cq
+       |  FROM pqbase CROSS JOIN subs WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, sub, shift, code, dist FROM (
+       |  SELECT vec_id, sub, shift, code,
+       |    list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) AS dist,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+       |      list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) ASC, code ASC) AS crk
+       |  FROM bs JOIN cb ON bs.sub = cb.csub) WHERE crk = 1)""".stripMargin
+
   private val quantizedSql =
     s"SELECT vec_id, label, $qvecSql AS q FROM embeddings"
 
@@ -359,45 +416,63 @@ object EmbeddingQueries extends QueryModule {
         // The codebook (here the deterministic first-16 seed; trained
         // per-subspace k-means at scale, the IvfCentroids seam) broadcasts;
         // the corpus side is one map-side join + one argmin aggregation.
-        val nSub = 8; val subDim = 8; val nCode = 16
-        val shifts = typedLit((0 until nSub).map(sb => 1L << (4 * sb)))
-        val base = quantized(s, d)
-          .select(col("vec_id"), col("q"),
-            posexplode(shifts).as(Seq("sub", "shift")))
-          .select(col("vec_id"), col("sub"), col("shift"),
-            slice(col("q"), col("sub") * subDim + 1, lit(subDim)).as("sq"))
-        val codebook = quantized(s, d).filter(col("vec_id") < nCode)
-          .select(col("vec_id").as("code"), col("q"),
-            posexplode(shifts).as(Seq("csub", "cshift")))
-          .select(col("code"), col("csub"),
-            slice(col("q"), col("csub") * subDim + 1, lit(subDim)).as("cq"))
-        base.join(broadcast(codebook), col("sub") === col("csub"))
-          .withColumn("dist", IvfCentroids.l2(col("sq"), col("cq")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col("vec_id"), col("sub"))
-              .orderBy(col("dist").asc, col("code").asc)))
-          .filter(col("crk") === 1)
+        pqAssignments(s, d)
           .groupBy(col("vec_id"))
           .agg(
             sum(col("code") * col("shift")).cast("long").as("pq_code"),
             sum(col("dist")).cast("long").as("qerr_scaled"))
       },
-      Some(s"""WITH base AS (SELECT vec_id, q FROM ($quantizedSql)),
-             |subs AS (SELECT * FROM (VALUES (0, 1), (1, 16), (2, 256), (3, 4096),
-             |    (4, 65536), (5, 1048576), (6, 16777216), (7, 268435456)) AS v(sub, shift)),
-             |bs AS (SELECT vec_id, sub, shift, q[8*sub+1:8*sub+8] AS sq FROM base CROSS JOIN subs),
-             |cb AS (SELECT vec_id AS code, sub AS csub, q[8*sub+1:8*sub+8] AS cq
-             |  FROM base CROSS JOIN subs WHERE vec_id < 16),
-             |ranked AS (
-             |  SELECT vec_id, sub, shift, code,
-             |    list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) AS dist,
-             |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY
-             |      list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) ASC, code ASC) AS crk
-             |  FROM bs JOIN cb ON bs.sub = cb.csub)
+      Some(s"""WITH $pqAssignSql
              |SELECT vec_id, CAST(sum(code * shift) AS BIGINT) AS pq_code,
              |  CAST(sum(dist) AS BIGINT) AS qerr_scaled
-             |FROM ranked WHERE crk = 1 GROUP BY vec_id""".stripMargin),
+             |FROM asg GROUP BY vec_id""".stripMargin),
       "Product quantization: 8×8-dim subspaces, 16 codewords each (broadcast codebook, exact integer L2 argmin), nibbles packed into an int64 PQ code + total quantization error."
+    ),
+    QueryDef(
+      "v9_pq_adc",
+      (s, d) => {
+        // PQ serving path — asymmetric distance computation: each query
+        // precomputes its 8×16 codeword distance table (integer L2 to every
+        // codeword, broadcast: 128 longs per query); the corpus is scanned
+        // as PQ code assignments only — the approximate distance is the sum
+        // of 8 table lookups, never a touch of the original vectors. Top-3
+        // per query with the (dist, id) total-order tiebreak. At scale the
+        // codes table is 8 bytes/vector and the scan is map-only into a
+        // partial top-k.
+        val queries = quantized(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q"),
+            posexplode(pqShifts).as(Seq("qsub", "qshift")))
+          .select(col("query_id"), col("qsub"),
+            slice(col("q"), col("qsub") * PqSubDim + 1, lit(PqSubDim)).as("qq"))
+        val dtable = queries.join(broadcast(pqCodebook(s, d)), col("qsub") === col("csub"))
+          .select(col("query_id"), col("qsub").as("sub"), col("code"),
+            IvfCentroids.l2(col("qq"), col("cq")).as("qd"))
+        pqAssignments(s, d).select(col("vec_id"), col("sub"), col("code"))
+          .join(broadcast(dtable), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qd")).cast("long").as("adist"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk").cast("long").as("rk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+      },
+      Some(s"""WITH $pqAssignSql,
+             |qs AS (SELECT vec_id AS query_id, sub AS qsub, q[8*sub+1:8*sub+8] AS qq
+             |  FROM pqbase CROSS JOIN subs WHERE vec_id < 10),
+             |dt AS (SELECT query_id, qsub AS sub, code,
+             |    list_sum(list_transform(range(1, 9), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
+             |  FROM qs JOIN cb ON qs.qsub = cb.csub),
+             |ad AS (SELECT query_id, vec_id, CAST(sum(qd) AS BIGINT) AS adist
+             |  FROM asg JOIN dt ON asg.sub = dt.sub AND asg.code = dt.code
+             |  WHERE vec_id <> query_id GROUP BY query_id, vec_id)
+             |SELECT query_id, rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM ad)
+             |WHERE rk <= 3""".stripMargin),
+      "PQ asymmetric-distance serving: per-query 8×16 distance table (broadcast), corpus scanned as 8-byte PQ codes, approx distance = 8 table lookups, exact-integer top-3."
     )
   )
 }
