@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dev driver for the corpus-curation surface: push a replicated document
+  * corpus through the full pretraining funnel — quality gates → exact-dup
+  * collapse → LSH near-dup keep-first → stratified sampling → sequence
+  * packing — and print the per-stage funnel and docs/s throughput.
+  * (The QA/VLM counterpart is [[PipelineDemo]].)
+  *
+  * Replication note: the input is the driver's testdata replicated
+  * `copies`× with offset doc_ids — a load test of the dedup path (replicas
+  * are exact duplicates by construction, so the exact-collapse stage must
+  * remove all but one of each; survivors are original-corpus-sized).
+  *
+  * Usage: runMain graft.CorpusDemo [sfDir] [copies]
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = GraftSession.getOrCreate()
+    import graft.queries.PipelineFns._
+
+    val t0 = System.nanoTime()
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(sequence(lit(0), lit(copies - 1))).as("copy"))
+      .select((col("doc_id") + col("copy") * 1000000000L).as("doc_id"),
+        col("source"), col("text"))
+
+    // stage signals in ONE pass: quality gates (t7/t10 rules), exact-dup
+    // representative (min doc_id per content hash), near-dup keep-first on
+    // exact representatives (min doc_id per LSH band bucket), stratified
+    // sample membership (m6 rule)
+    val sig = raw
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("text"), col("toks"),
+        shingles(col("toks"), 2).as("bg"))
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
+        graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        md5(array_join(col("toks"), " ")).as("ch"),
+        pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L)).as("bucket"))
+      .withColumn("keep_quality",
+        col("n_tokens") > 0 &&
+          col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
+          col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2)
+      .withColumn("exact_rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+      .withColumn("keep_sample",
+        col("bucket") < when(col("source") === "src1", lit(200L))
+          .when(col("source") === "src2", lit(800L)).otherwise(lit(500L)))
+
+    val reps = sig.filter(col("keep_quality") && col("doc_id") === col("exact_rep"))
+    // near-dup keep-first on exact representatives only (the d8 shape:
+    // replicas never reach the quadratic stage)
+    val hits = graft.streaming.StreamingOps
+      .nearDupHits(graft.streaming.StreamingOps.nearDupBandRows(
+        reps.select(col("doc_id"), col("text"))))
+      .select(col("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+
+    val funnel = sig
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        col("keep_quality"),
+        (col("doc_id") =!= col("exact_rep")).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        col("keep_sample"))
+      .cache()
+
+    val stages = funnel.agg(
+      count(lit(1)).as("input"),
+      sum(when(col("keep_quality"), 1L).otherwise(0L)).as("quality"),
+      sum(when(col("keep_quality") && !col("exact_dup"), 1L).otherwise(0L)).as("exact"),
+      sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup"), 1L).otherwise(0L)).as("near"),
+      sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"), 1L).otherwise(0L)).as("sampled")
+    ).collect()(0)
+
+    // survivors → offset-based sequence packing (t8 shape)
+    val survivors = funnel.filter(
+      col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packs = survivors
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", (col("start_offset") / 4096L).cast("long"))
+      .groupBy(col("source")).agg(countDistinct(col("pack_id")).as("n_packs"))
+      .agg(sum(col("n_packs"))).collect()(0).getLong(0)
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = stages.getLong(0)
+    println(f"[corpus] funnel: input=${n} quality=${stages.getLong(1)} " +
+      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} sampled=${stages.getLong(4)} packs=$packs")
+    println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
+    funnel.unpersist()
+    spark.stop()
+  }
+}
