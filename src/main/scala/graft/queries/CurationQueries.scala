@@ -290,6 +290,40 @@ object CurationQueries extends QueryModule {
       "Hash-prefilter decontamination: 5-gram shingles join as 60-bit hashes (8-byte broadcast keys, the Bloom shape), exact string verification of candidates — exact result, map-only training side."
     ),
     QueryDef(
+      "t13_bpe_merge_candidates",
+      (s, d) => {
+        // The first round of BPE tokenizer training: count adjacent
+        // symbol pairs across every pre-token occurrence in the corpus and
+        // rank the merge candidates. One explode→explode→groupBy — the
+        // shape each merge iteration repeats at scale (pair counts are the
+        // shuffle; the merge table itself is metadata-scale). Top-20 with a
+        // total-order tiebreak.
+        Tables.documents(s, d)
+          .select(explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("pt"))
+          .filter(length(col("pt")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("pt")) - 1),
+            i => col("pt").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("pair").asc)))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("long").as("rk"), col("pair"), col("n"))
+      },
+      Some(s"""SELECT rk, pair, n FROM (
+             |  SELECT pair, count(*) AS n,
+             |    row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rk
+             |  FROM (
+             |    SELECT unnest(list_transform(range(1, length(pt)), i -> substring(pt, i, 2))) AS pair
+             |    FROM (SELECT unnest(regexp_extract_all(lower(text), '$BpePatternSql')) AS pt
+             |      FROM documents)
+             |    WHERE length(pt) >= 2)
+             |  GROUP BY pair)
+             |WHERE rk <= 20""".stripMargin),
+      "BPE merge induction, round 1: corpus-wide adjacent symbol-pair counts over pre-token occurrences, top-20 merge candidates with total-order tiebreak."
+    ),
+    QueryDef(
       "t9_bpe_pretokens",
       (s, d) =>
         // Token counting the way a tokenizer-budget pass does it: whitespace
