@@ -30,30 +30,17 @@ object CorpusDemo {
       .select((col("doc_id") + col("copy") * 1000000000L).as("doc_id"),
         col("source"), col("text"))
 
-    // stage signals in ONE pass: quality gates (t7/t10 rules), exact-dup
-    // representative (min doc_id per content hash), near-dup keep-first on
-    // exact representatives (min doc_id per LSH band bucket), stratified
-    // sample membership (m6 rule)
-    val sig = raw
-      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"), col("text"), col("toks"),
-        shingles(col("toks"), 2).as("bg"))
-      .select(
-        col("doc_id"), col("source"), col("text"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
-        graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
-        size(col("bg")).cast("long").as("n_bigrams"),
-        md5(array_join(col("toks"), " ")).as("ch"),
-        pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L)).as("bucket"))
-      .withColumn("keep_quality",
-        col("n_tokens") > 0 &&
-          col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
-          col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2)
+    // stage signals in ONE pass: quality gates + sample bucket from the
+    // shared curationSignals (single source of truth for thresholds),
+    // exact-dup representative (min doc_id per content hash), near-dup
+    // keep-first on exact representatives (min doc_id per LSH band bucket)
+    import graft.queries.CurationQueries
+    val sig = CurationQueries.curationSignals(raw)
+      .withColumn("ch", md5(col("text")))
+      .withColumn("keep_quality", CurationQueries.qualityGate)
       .withColumn("exact_rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
-      .withColumn("keep_sample",
-        col("bucket") < when(col("source") === "src1", lit(200L))
-          .when(col("source") === "src2", lit(800L)).otherwise(lit(500L)))
+      .withColumn("keep_sample", col("bucket") < CurationQueries.sampleRate)
+      .cache() // branched into reps→nearDupHits AND the funnel join
 
     val reps = sig.filter(col("keep_quality") && col("doc_id") === col("exact_rep"))
     // near-dup keep-first on exact representatives only (the d8 shape:
@@ -74,12 +61,13 @@ object CorpusDemo {
         col("keep_sample"))
       .cache()
 
+    // coalesce: sums over an empty input are null, not 0
     val stages = funnel.agg(
       count(lit(1)).as("input"),
-      sum(when(col("keep_quality"), 1L).otherwise(0L)).as("quality"),
-      sum(when(col("keep_quality") && !col("exact_dup"), 1L).otherwise(0L)).as("exact"),
-      sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup"), 1L).otherwise(0L)).as("near"),
-      sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"), 1L).otherwise(0L)).as("sampled")
+      coalesce(sum(when(col("keep_quality"), 1L).otherwise(0L)), lit(0L)).as("quality"),
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup"), 1L).otherwise(0L)), lit(0L)).as("exact"),
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup"), 1L).otherwise(0L)), lit(0L)).as("near"),
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"), 1L).otherwise(0L)), lit(0L)).as("sampled")
     ).collect()(0)
 
     // survivors → offset-based sequence packing (t8 shape)
@@ -87,11 +75,12 @@ object CorpusDemo {
       col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // coalesce: sum over zero groups is null when every doc was gated out
     val packs = survivors
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", (col("start_offset") / 4096L).cast("long"))
       .groupBy(col("source")).agg(countDistinct(col("pack_id")).as("n_packs"))
-      .agg(sum(col("n_packs"))).collect()(0).getLong(0)
+      .agg(coalesce(sum(col("n_packs")), lit(0L))).collect()(0).getLong(0)
 
     val secs = (System.nanoTime() - t0) / 1e9
     val n = stages.getLong(0)
@@ -99,6 +88,7 @@ object CorpusDemo {
       f"exact=${stages.getLong(2)} near=${stages.getLong(3)} sampled=${stages.getLong(4)} packs=$packs")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     funnel.unpersist()
+    sig.unpersist()
     spark.stop()
   }
 }

@@ -36,23 +36,38 @@ object CurationQueries extends QueryModule {
     * micro-batch execution are row-identical.
     */
   def curationStage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    curationSignals(docs)
+      .filter(qualityGate && col("bucket") < sampleRate)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"))
+
+  /** The per-row curation signals (repetition stats, sample bucket) with
+    * pass-through columns — single source of truth for the gate thresholds
+    * shared by [[curationStage]], the t7/m6 queries' semantics, and
+    * [[graft.CorpusDemo]]'s staged funnel.
+    */
+  def curationSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"), col("toks"), shingles(col("toks"), 2).as("bg"))
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("text"), col("toks"),
+        shingles(col("toks"), 2).as("bg"))
       .select(
-        col("doc_id"), col("source"),
+        col("doc_id"), col("source"), col("text"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
         graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
         size(col("bg")).cast("long").as("n_bigrams"),
         pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L)).as("bucket"))
-      .filter(
-        col("n_tokens") > 0 &&
-          col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
-          col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2 &&
-          col("bucket") < when(col("source") === "src1", lit(200L))
-            .when(col("source") === "src2", lit(800L)).otherwise(lit(500L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"))
+
+  /** Repetition-quality keep gate over [[curationSignals]] columns. */
+  def qualityGate: Column =
+    col("n_tokens") > 0 &&
+      col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
+      col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2
+
+  /** Per-source stratified keep-rate (of 1000 hash buckets). */
+  def sampleRate: Column =
+    when(col("source") === "src1", lit(200L))
+      .when(col("source") === "src2", lit(800L)).otherwise(lit(500L))
 
   /** GPT-2-style pre-tokenizer regex (t9), lookahead-free so Java regex
     * (Spark) and RE2 (DuckDB) agree: contraction suffixes, space-prefixed
@@ -132,9 +147,12 @@ object CurationQueries extends QueryModule {
         // broadcast it when small) rather than a forced broadcast.
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
+        // hash INSIDE the array and distinct the hashes, so an intra-doc
+        // 60-bit collision merges in-row exactly like the oracle's
+        // DISTINCT (doc_id, h) — no extra shuffle
         val spans = docs
-          .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 4))).as("sp"))
-          .select(col("doc_id"), h60(col("sp")).as("h"))
+          .select(col("doc_id"),
+            explode(array_distinct(transform(shingles(col("toks"), 4), sp => h60(sp)))).as("h"))
         // span frequency via a count window on the span-hash partition:
         // spans are per-doc distinct, so count(*) over h IS the distinct-doc
         // count — one shuffle on h and a single scan, instead of scanning +
@@ -210,7 +228,10 @@ object CurationQueries extends QueryModule {
           .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
-          .withColumn("tier", lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(3L)))
+          // unbounded suffix (mirrors the oracle's 2-arg substring); source
+          // ids are 'src<N>' by the documents-table contract
+          .withColumn("tier", lit(1L) +
+            pmod(col("source").substr(lit(4), length(col("source"))).cast("long"), lit(3L)))
         val w = Window.partitionBy()
         perSource
           .withColumn("total_tokens", sum(col("n_tokens")).over(w))
