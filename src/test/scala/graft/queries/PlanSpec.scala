@@ -137,6 +137,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("v8_pq_codes and v9_pq_adc broadcast the codebook / distance table (corpus side map-only into the agg)") {
+    for (name <- Seq("v8_pq_codes", "v9_pq_adc")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastExchange"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("t13_bpe_merge_candidates aggregates pair counts before the metadata-scale rank window") {
+    val p = plan("t13_bpe_merge_candidates")
+    // partial+final aggregation of the pair counts
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("no checked query emits a DECIMAL output column (probe_hash_decimal excepted)") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when
