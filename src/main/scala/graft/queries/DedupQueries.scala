@@ -75,6 +75,51 @@ object DedupQueries extends QueryModule {
       s"md5(concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))) AS band$b"
     }.mkString(", ")
 
+  /** Per-document LSH band rows `(band_idx, band, doc_id)` for an arbitrary
+    * `(doc_id, text)` frame — the band-key math of this module exposed for
+    * the streaming guard ([[graft.streaming.StreamingOps.nearDupBandRows]])
+    * and incremental ingest ([[incrementalNearDup]]).
+    */
+  def docBandRows(docs: DataFrame): DataFrame =
+    signatures(docs.select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh")))
+      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")))
+      .select(col("band_idx").cast("int").as("band_idx"), col("band"), col("doc_id"))
+
+  /** Incremental near-dup ingest against a persisted band-claim store.
+    *
+    * `store` rows are `(band_idx, band, rep)` — the first doc_id ever seen
+    * in each LSH band bucket across prior batches. Returns
+    * `(kept, updatedStore)`: a new doc is kept iff no band bucket of its is
+    * already claimed (by the store, or by a lower-id doc in this batch);
+    * the updated store adds this batch's first-claims. Folding batches
+    * through this function reproduces the streaming keep-first result
+    * ([[graft.streaming.StreamingOps.nearDupHits]]) exactly — spec'd in
+    * IncrementalDedupSpec.
+    *
+    * Scale: the store join shuffles on the band key (even by construction);
+    * at 100 TB the store lives as bucket-partitioned parquet so the join
+    * co-locates without a shuffle, and each ingest batch touches only its
+    * own band buckets.
+    */
+  def incrementalNearDup(newDocs: DataFrame, store: DataFrame): (DataFrame, DataFrame) = {
+    val rows = docBandRows(newDocs)
+    val claims = rows.groupBy(col("band_idx"), col("band")).agg(min(col("doc_id")).as("new_rep"))
+    // effective claimant per touched bucket: earlier batches win, else the
+    // batch's lowest doc_id
+    val merged = claims.join(store, Seq("band_idx", "band"), "left")
+      .select(col("band_idx"), col("band"), coalesce(col("rep"), col("new_rep")).as("rep"))
+    val dups = rows.join(merged, Seq("band_idx", "band"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id")).distinct()
+    val kept = newDocs.join(dups, Seq("doc_id"), "left_anti")
+    val updated = store.union(
+      claims.join(store, Seq("band_idx", "band"), "left_anti")
+        .select(col("band_idx"), col("band"), col("new_rep").as("rep")))
+    (kept, updated)
+  }
+
   /** Jaccard from a pre-computed intersection size — `array_intersect` is
     * the expensive half of verification, so callers compute it exactly once
     * and feed it to both numerator and denominator.

@@ -856,6 +856,36 @@ object RelationalQueries extends QueryModule {
              |GROUP BY event_type""".stripMargin),
       "Semi-structured JSON field extraction with a declared schema + typed aggregation (M5 metadata shape)."
     ),
+    QueryDef(
+      "m8_key_skew_profile",
+      (s, d) => {
+        // Join-key skew diagnostic — the profiling pass you run BEFORE
+        // choosing salting/broadcast strategy: per-key counts, the top-10
+        // hottest keys with their share of total and ratio to the mean key
+        // load. Global top-k is sort+limit (TakeOrdered — no single-
+        // partition window); the totals are a broadcast 1-row aggregate.
+        val perKey = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val totals = perKey.agg(
+          sum(col("n")).cast("long").as("total"),
+          count(lit(1)).cast("long").as("n_keys"))
+        perKey.crossJoin(broadcast(totals))
+          .orderBy(col("n").desc, col("user_id").asc)
+          .limit(10)
+          .select(
+            col("user_id"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"),
+            round(col("n").cast("double") * col("n_keys") / col("total"), 6).as("x_mean"))
+      },
+      Some("""WITH per_key AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM per_key)
+             |SELECT user_id, n,
+             |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+             |  round(CAST(n AS DOUBLE) * n_keys / total, 6) AS x_mean
+             |FROM per_key CROSS JOIN tot
+             |ORDER BY n DESC, user_id ASC LIMIT 10""".stripMargin),
+      "Join-key skew profiling: per-key load, top-10 hottest keys by share and ratio-to-mean — sort+limit global top-k, broadcast 1-row totals."
+    ),
     // --------------------------------------------------- driver-hash probes
     // Negative-control trio: the SAME aggregate values in three output
     // representations. r1 (12) and r2 (14) hash-only oracle failures were all

@@ -157,19 +157,8 @@ object StreamingOps {
     */
   def nearDupBandRows(docs: DataFrame): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
-    val sigs = docs.select(
-      col("doc_id"),
-      graft.functions.minhash8(graft.functions.shingleHashes(col("text"), 3)).as("mh"))
-    val bands = (0 until 4).map { b =>
-      md5(concat_ws("_",
-        element_at(col("mh"), 2 * b + 1).cast("string"),
-        element_at(col("mh"), 2 * b + 2).cast("string"))).as(s"band$b")
-    }
-    sigs.select(col("doc_id") +: bands: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")))
-      .select(col("band"), col("band_idx").cast("int").as("band_idx"), col("doc_id"))
-      .as[BandRow]
+    // single definition of the band math: DedupQueries.docBandRows
+    graft.queries.DedupQueries.docBandRows(docs).as[BandRow]
   }
 
   /** Stage 2: keep-first per LSH band bucket. State is one long (the
