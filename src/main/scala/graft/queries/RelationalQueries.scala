@@ -857,6 +857,27 @@ object RelationalQueries extends QueryModule {
       "Semi-structured JSON field extraction with a declared schema + typed aggregation (M5 metadata shape)."
     ),
     QueryDef(
+      "a_histogram",
+      (s, d) =>
+        // Fixed-bin value histogram per event type: bin id is exact integer
+        // math on the cents-scaled value (no float binning skew), one
+        // partial-aggregable groupBy — the distribution profile you pull
+        // before choosing quantile sketches or bin widths.
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(cents(col("value")).cast("double") / 2500).cast("long").as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("bin"),
+            (col("bin") * 25).as("bin_lo"), col("n")),
+      Some("""SELECT event_type, bin, bin * 25 AS bin_lo, count(*) AS n
+             |FROM (SELECT event_type,
+             |    CAST(floor(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) / 2500) AS BIGINT) AS bin
+             |  FROM events)
+             |GROUP BY event_type, bin""".stripMargin),
+      "Fixed-bin histogram per group: exact integer binning on cents-scaled values, partial-aggregable counts (the profiling pass behind bin-width / sketch choices)."
+    ),
+    QueryDef(
       "m8_key_skew_profile",
       (s, d) => {
         // Join-key skew diagnostic — the profiling pass you run BEFORE
