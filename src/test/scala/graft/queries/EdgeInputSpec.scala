@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.streaming.StreamingOps
+import graft.vlm.SparkSpec
+
+/** Edge-input robustness: null / empty / whitespace / non-ASCII documents
+  * must flow through the reusable per-row stages without ANSI-mode errors
+  * or crashes (real corpora contain all of these; the testdata floor never
+  * exercises them).
+  */
+class EdgeInputSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "normal words here and the thing", "src1"),
+      (2L, null.asInstanceOf[String], "src2"),
+      (3L, "", "src1"),
+      (4L, "émoji 🎉 ünïcode tëxt", "src3"),
+      (5L, " ", "src2")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("curationSignals/curationStage survive null, empty, and non-ASCII text") {
+    val sig = CurationQueries.curationSignals(docs).collect()
+    assert(sig.length == 5)
+    // the stage gates degenerate docs out instead of erroring
+    val kept = CurationQueries.curationStage(docs).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L) && !kept.contains(3L) && !kept.contains(5L), kept)
+  }
+
+  test("docBandRows / nearDup stages survive degenerate text") {
+    val rows = DedupQueries.docBandRows(docs)
+    assert(rows.collect().nonEmpty)
+    val hits = StreamingOps.nearDupHits(StreamingOps.nearDupBandRows(docs))
+    hits.collect() // must not throw
+  }
+}
