@@ -311,6 +311,66 @@ object CurationQueries extends QueryModule {
       "Hash-prefilter decontamination: 5-gram shingles join as 60-bit hashes (8-byte broadcast keys, the Bloom shape), exact string verification of candidates — exact result, map-only training side."
     ),
     QueryDef(
+      "d11_span_scrub",
+      (s, d) => {
+        // Span-LEVEL decontamination: instead of dropping a contaminated
+        // document wholesale (d9/d10), compute exactly which token
+        // positions the benchmark 5-grams cover (union of hit windows) and
+        // how much of the document survives trimming. Window positions ride
+        // the posexplode index; coverage is a distinct position count per
+        // doc. The bench side stays broadcast; position explosion is
+        // bounded by 5× the contaminated-window count, not the corpus.
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(array_distinct(shingles(col("toks"), 5))).as("s")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+        val wins = train
+          .select(col("doc_id"), col("n_tokens"),
+            posexplode(shingles(col("toks"), 5)).as(Seq("p", "sp")))
+          .select(col("doc_id"), col("n_tokens"), (col("p") + 1).cast("long").as("i"), col("sp"))
+        val cont = wins.join(broadcast(bench), col("sp") === col("s"))
+          .filter(col("n_tokens") >= col("i")) // degenerate short-doc guard
+          .select(col("doc_id"), col("n_tokens"), col("i"))
+        val removed = cont
+          .select(col("doc_id"),
+            explode(sequence(col("i"), least(col("i") + 4, col("n_tokens")))).as("pos"))
+          .distinct()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_removed"))
+        train.select(col("doc_id"), col("n_tokens"))
+          .join(removed, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_retained"))
+          .withColumn("retained_frac",
+            when(col("n_tokens") > 0,
+              round(col("n_retained").cast("double") / col("n_tokens"), 6)))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+             |bench AS (SELECT DISTINCT unnest(${shinglesSql("toks", 5)}) AS s
+             |  FROM docs WHERE doc_id % 97 = 0),
+             |train AS (SELECT doc_id, toks, len(toks) AS n_tokens
+             |  FROM docs WHERE doc_id % 97 <> 0),
+             |wins AS (SELECT doc_id, n_tokens, i, array_to_string(toks[i:i+4], ' ') AS sp
+             |  FROM (SELECT doc_id, toks, n_tokens,
+             |      unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i FROM train)),
+             |cont AS (SELECT doc_id, n_tokens, i FROM wins
+             |  WHERE sp IN (SELECT s FROM bench) AND n_tokens >= i),
+             |cov AS (SELECT DISTINCT doc_id, pos FROM (
+             |    SELECT doc_id, unnest(range(i, least(i + 4, n_tokens) + 1)) AS pos FROM cont)),
+             |removed AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |  coalesce(r.n_removed, 0) AS n_removed,
+             |  t.n_tokens - coalesce(r.n_removed, 0) AS n_retained,
+             |  CASE WHEN t.n_tokens > 0 THEN
+             |    round(CAST(t.n_tokens - coalesce(r.n_removed, 0) AS DOUBLE) / t.n_tokens, 6) END AS retained_frac
+             |FROM train t LEFT JOIN removed r ON t.doc_id = r.doc_id""".stripMargin),
+      "Span-level decontamination: exact token-position coverage of benchmark 5-grams per doc (union of hit windows) -> removed/retained counts — the trim variant of the d9/d10 drop gate."
+    ),
+    QueryDef(
       "t13_bpe_merge_candidates",
       (s, d) => {
         // The first round of BPE tokenizer training: count adjacent
