@@ -35,8 +35,11 @@ object CorpusDemo {
     // exact-dup representative (min doc_id per content hash), near-dup
     // keep-first on exact representatives (min doc_id per LSH band bucket)
     import graft.queries.CurationQueries
+    import graft.queries.PipelineFns.tokens
     val sig = CurationQueries.curationSignals(raw)
-      .withColumn("ch", md5(col("text")))
+      // token-NORMALIZED content hash — the d1/d8 exact-dup rule (case/
+      // punctuation/whitespace variants collapse before the quadratic stage)
+      .withColumn("ch", md5(array_join(tokens(col("text")), " ")))
       .withColumn("keep_quality", CurationQueries.qualityGate)
       .withColumn("exact_rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
       .withColumn("keep_sample", col("bucket") < CurationQueries.sampleRate)

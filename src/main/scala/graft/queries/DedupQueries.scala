@@ -104,7 +104,11 @@ object DedupQueries extends QueryModule {
     * own band buckets.
     */
   def incrementalNearDup(newDocs: DataFrame, store: DataFrame): (DataFrame, DataFrame) = {
-    val rows = docBandRows(newDocs)
+    // cache: the shingle→minhash→band pipeline is the dominant per-doc cost
+    // and feeds three consumers (claims, dups, updated store); the cache
+    // lives for the ingest batch — callers running long sessions should
+    // unpersist after materializing both outputs
+    val rows = docBandRows(newDocs).cache()
     val claims = rows.groupBy(col("band_idx"), col("band")).agg(min(col("doc_id")).as("new_rep"))
     // effective claimant per touched bucket: earlier batches win, else the
     // batch's lowest doc_id

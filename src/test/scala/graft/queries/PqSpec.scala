@@ -33,12 +33,15 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  test("v9: ADC self-retrieval — a codeword's nearest neighbor by ADC is its exact dup if present, and distances are non-negative and sorted") {
+  test("v9: per-query top-3 is contiguous, distinct, self-excluded, with adist ascending and non-negative") {
     val rows = SparkEntry.queries("v9_pq_adc")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (q, ns) =>
       val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"query $q: ranks not contiguous")
+      assert(sorted.map(_._3).distinct.length == sorted.length, s"query $q: duplicate neighbors")
+      assert(!sorted.exists(_._3 == q), s"query $q: self in neighbor list")
       assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq, s"query $q: adist not ascending with rank")
       sorted.foreach { case (_, _, _, d) => assert(d >= 0) }
     }
