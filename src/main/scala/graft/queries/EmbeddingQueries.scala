@@ -473,6 +473,83 @@ object EmbeddingQueries extends QueryModule {
              |  FROM ad)
              |WHERE rk <= 3""".stripMargin),
       "PQ asymmetric-distance serving: per-query 8×16 distance table (broadcast), corpus scanned as 8-byte PQ codes, approx distance = 8 table lookups, exact-integer top-3."
+    ),
+    QueryDef(
+      "v10_ivfpq_ann",
+      (s, d) => {
+        // IVF+PQ — the production ANN index shape: a broadcast coarse
+        // codebook routes each query to its nprobe nearest cells, and only
+        // vectors in probed cells are ranked, by PQ asymmetric distance
+        // (8 integer table lookups against the query's broadcast distance
+        // table — original vectors are never touched at serving time).
+        // Corpus-side state per vector: one cell id + one 8-byte PQ code.
+        val base = quantized(s, d)
+        val coarse = base.filter(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val assigned = base.join(broadcast(coarse))
+          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val probes = base.filter(col("vec_id") < 10)
+          .join(broadcast(coarse))
+          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
+          .withColumn("prk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("prk") <= NumProbe)
+          .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q"),
+            posexplode(pqShifts).as(Seq("qsub", "qshift")))
+          .select(col("query_id"), col("qsub"),
+            slice(col("q"), col("qsub") * PqSubDim + 1, lit(PqSubDim)).as("qq"))
+        val dtable = queries.join(broadcast(pqCodebook(s, d)), col("qsub") === col("csub"))
+          .select(col("query_id"), col("qsub").as("sub"), col("code"),
+            IvfCentroids.l2(col("qq"), col("cq")).as("qd"))
+        val candidates = assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+        candidates
+          .join(pqAssignments(s, d).select(col("vec_id"), col("sub"), col("code")), Seq("vec_id"))
+          .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qd")).cast("long").as("adist"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk").cast("long").as("rk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+      },
+      Some(s"""WITH $pqAssignSql,
+             |coarse AS (SELECT vec_id AS cid, q AS cq FROM pqbase WHERE vec_id < $NumCells),
+             |assigned AS (SELECT vec_id, cell FROM (
+             |    SELECT b.vec_id, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
+             |    FROM pqbase b CROSS JOIN coarse c) WHERE crk = 1),
+             |probes AS (SELECT query_id, cell FROM (
+             |    SELECT b.vec_id AS query_id, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS prk
+             |    FROM pqbase b CROSS JOIN coarse c WHERE b.vec_id < 10) WHERE prk <= $NumProbe),
+             |qs AS (SELECT vec_id AS query_id, sub AS qsub, q[8*sub+1:8*sub+8] AS qq
+             |  FROM pqbase CROSS JOIN subs WHERE vec_id < 10),
+             |dt AS (SELECT query_id, qsub AS sub, code,
+             |    list_sum(list_transform(range(1, 9), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
+             |  FROM qs JOIN cb ON qs.qsub = cb.csub),
+             |cand AS (SELECT p.query_id, a.vec_id FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+             |ad AS (SELECT c.query_id, c.vec_id, CAST(sum(dt.qd) AS BIGINT) AS adist
+             |  FROM cand c JOIN asg ON asg.vec_id = c.vec_id
+             |  JOIN dt ON dt.query_id = c.query_id AND dt.sub = asg.sub AND dt.code = asg.code
+             |  GROUP BY c.query_id, c.vec_id)
+             |SELECT query_id, rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM ad)
+             |WHERE rk <= 3""".stripMargin),
+      "IVF+PQ serving (the production ANN index): broadcast coarse codebook routes queries to nprobe=2 cells; candidates ranked by PQ asymmetric distance — per-vector state is one cell id + one 8-byte code."
     )
   )
 }
