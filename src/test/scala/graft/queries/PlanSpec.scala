@@ -145,6 +145,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v10_ivfpq_ann: every lookup side broadcast, no cartesian, candidate work confined to probed cells") {
+    val p = plan("v10_ivfpq_ann")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t13_bpe_merge_candidates aggregates pair counts before the metadata-scale rank window") {
     val p = plan("t13_bpe_merge_candidates")
     // partial+final aggregation of the pair counts
