@@ -189,6 +189,37 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Packing input: a curated document with its token count. */
+  final case class PackIn(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Packing output: the document's pack assignment. */
+  final case class PackOut(doc_id: Long, source: String, n_tokens: Long,
+      start_offset: Long, pack_id: Long)
+
+  /** Streaming sequence packing — the stateful lift of the batch t8 query:
+    * per source, a running token offset lives in the state store and each
+    * arriving document is assigned `pack_id = start_offset / budget`.
+    * Within a trigger, documents fold in doc_id order, so batch execution
+    * of the same function (empty state, whole group in one call) equals the
+    * t8 prefix-sum window exactly when arrival order follows doc_id —
+    * spec'd. State per source is ONE long; sources shard the state store.
+    */
+  def packDocs(docs: Dataset[PackIn], budget: Long = 4096L): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    def update(source: String, rows: Iterator[PackIn], state: GroupState[Long]): Iterator[PackOut] = {
+      var offset = state.getOption.getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        val o = offset
+        offset += r.n_tokens
+        PackOut(r.doc_id, source, r.n_tokens, o, o / budget)
+      }
+      state.update(offset)
+      out.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** File-source ingest of an event directory as a stream — the S1
     * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
     * per micro-batch keeps replays deterministic.

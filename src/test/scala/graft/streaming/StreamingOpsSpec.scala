@@ -259,4 +259,37 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("packDocs: streaming stateful packing matches the t8 prefix-sum window across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import StreamingOps.{PackIn, PackOut}
+
+    val docs = Seq(
+      PackIn(1, "a", 3000), PackIn(2, "a", 2000), PackIn(3, "b", 5000),
+      PackIn(4, "a", 4000), PackIn(5, "b", 100), PackIn(6, "a", 1)
+    )
+    // batch run of the same function == the t8 window formula
+    val batch = StreamingOps.packDocs(docs.toDS(), budget = 4096L)
+      .collect().sortBy(_.doc_id)
+    val expectedOffsets = Map(1L -> 0L, 2L -> 3000L, 4L -> 5000L, 6L -> 9000L, 3L -> 0L, 5L -> 5000L)
+    batch.foreach { p =>
+      assert(p.start_offset == expectedOffsets(p.doc_id), p)
+      assert(p.pack_id == p.start_offset / 4096L, p)
+    }
+
+    val mem = MemoryStream[PackIn]
+    val q = StreamingOps.packDocs(mem.toDS(), budget = 4096L)
+      .writeStream.format("memory").queryName("packed").outputMode("append").start()
+    try {
+      // offsets must carry across the state store between triggers
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = s.table("packed").as[PackOut].collect().sortBy(_.doc_id)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
