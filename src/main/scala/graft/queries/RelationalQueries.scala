@@ -713,6 +713,67 @@ object RelationalQueries extends QueryModule {
       "Gap sessionization via lag + running flag-sum (streaming-adjacent batch op)."
     ),
     QueryDef(
+      "e_session_native",
+      (s, d) =>
+        // The Spark-IDIOMATIC sessionization: the built-in session_window
+        // generator (dynamic gap-merged windows inside the aggregation
+        // operator — the same operator Structured Streaming uses with a
+        // watermark) instead of the lag+flag-sum formulation (e_sessionize;
+        // both are in the catalog deliberately). Boundary semantics: a gap
+        // of EXACTLY 30 min starts a new session (window end is exclusive),
+        // mirrored by >= in the oracle.
+        Tables.events(s, d)
+          .groupBy(col("user_id"),
+            session_window(timestamp_micros(col("ts")), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("session_value"))
+          .select(
+            col("user_id"),
+            unix_micros(col("w.start")).as("session_start"),
+            unix_micros(col("w.end")).as("session_end"),
+            col("n_events"), col("session_value")),
+      Some("""SELECT user_id,
+             |  CAST(min(ts_us) AS BIGINT) AS session_start,
+             |  CAST(max(ts_us) + 1800000000 AS BIGINT) AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS session_value
+             |FROM (
+             |  SELECT user_id, value, ts_us,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+             |  FROM (
+             |    SELECT *, CASE WHEN prev_ts IS NULL
+             |        OR (ts_us - prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |    FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             |        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_ts
+             |      FROM events)))
+             |GROUP BY user_id, session_n""".stripMargin),
+      "Native session_window sessionization (the gap-merged generator Structured Streaming shares) — catalog'd beside the lag+flag-sum formulation; oracle re-derives the merge with exclusive-end boundary semantics."
+    ),
+    QueryDef(
+      "w_moving_avg",
+      (s, d) => {
+        // Trailing moving average over a 5-row frame per user: exact cents
+        // sum + row count in the frame, one rounded IEEE divide — the
+        // rolling-metric window shape (frame-bounded, partial state per
+        // partition, one shuffle on user_id).
+        val w5 = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-4, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("cv"))
+          .withColumn("mavg",
+            round(sum(col("cv")).over(w5).cast("double") /
+              count(lit(1)).over(w5) / 100, 6))
+          .select(col("user_id"), col("event_id"), col("mavg"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  round(CAST(sum(cv) OVER w5 AS DOUBLE) / count(*) OVER w5 / 100, 6) AS mavg
+             |FROM (SELECT user_id, event_id, ts,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv FROM events)
+             |WINDOW w5 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin),
+      "Trailing 5-row moving average per key: exact integer frame sums, one rounded divide (the rolling-metric window shape)."
+    ),
+    QueryDef(
       "e_tumbling_window",
       (s, d) =>
         Tables.events(s, d)
