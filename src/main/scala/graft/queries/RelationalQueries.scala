@@ -939,6 +939,31 @@ object RelationalQueries extends QueryModule {
       "Fixed-bin histogram per group: exact integer binning on cents-scaled values, partial-aggregable counts (the profiling pass behind bin-width / sketch choices)."
     ),
     QueryDef(
+      "a_pivot",
+      (s, d) =>
+        // Long→wide pivot with an EXPLICIT value list (never inferred — an
+        // inference pass is an extra corpus scan and makes the output
+        // schema data-dependent): per-user event counts by type. Plans as
+        // one partial-aggregable groupBy; the oracle states the same thing
+        // as CASE sums.
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("user_id"), col("click").cast("long").as("click"),
+            col("error").cast("long").as("error"), col("purchase").cast("long").as("purchase"),
+            col("signup").cast("long").as("signup"), col("view").cast("long").as("view")),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id""".stripMargin),
+      "Long→wide pivot with an explicit value list (no inference scan): per-key counts by category, one partial-aggregable groupBy."
+    ),
+    QueryDef(
       "m8_key_skew_profile",
       (s, d) => {
         // Join-key skew diagnostic — the profiling pass you run BEFORE
