@@ -964,6 +964,49 @@ object RelationalQueries extends QueryModule {
       "Long→wide pivot with an explicit value list (no inference scan): per-key counts by category, one partial-aggregable groupBy."
     ),
     QueryDef(
+      "a_unpivot",
+      (s, d) =>
+        // Wide→long unpivot (melt) — the inverse surface of a_pivot: the
+        // per-doc quality signals become (doc_id, metric, value) rows, the
+        // shape metric stores and plotting stacks ingest. Generator-only:
+        // no shuffle at all.
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            col("n_chars"),
+            length(col("text")).cast("long").as("n_text_len"),
+            size(split(col("text"), " ")).cast("long").as("n_space_tokens"))
+          .unpivot(
+            Array(col("doc_id")),
+            Array(col("n_chars"), col("n_text_len"), col("n_space_tokens")),
+            "metric", "value"),
+      Some("""SELECT doc_id, metric, value FROM (
+             |  SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'n_text_len', length(text) FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'n_space_tokens', len(string_split(text, ' ')) FROM documents)""".stripMargin),
+      "Wide→long unpivot/melt (inverse of a_pivot): per-doc metrics to (key, metric, value) rows, generator-only plan."
+    ),
+    QueryDef(
+      "a_cube",
+      (s, d) =>
+        // CUBE aggregation with grouping_id: every (lang, source) subtotal
+        // combination in one pass — the OLAP rollup surface beyond
+        // a_rollup's hierarchy. grouping_id disambiguates NULL-as-subtotal
+        // from NULL data on both engines.
+        Tables.documents(s, d)
+          .cube(col("lang"), col("source"))
+          .agg(
+            grouping_id(col("lang"), col("source")).cast("long").as("gid"),
+            count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
+          .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("n_chars")),
+      Some("""SELECT lang, source,
+             |  CAST(grouping(lang, source) AS BIGINT) AS gid,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY CUBE (lang, source)""".stripMargin),
+      "CUBE subtotals with grouping_id over (lang, source) — the full-lattice OLAP aggregate beside a_rollup's hierarchy."
+    ),
+    QueryDef(
       "m8_key_skew_profile",
       (s, d) => {
         // Join-key skew diagnostic — the profiling pass you run BEFORE
