@@ -275,6 +275,55 @@ object DedupQueries extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "d12_edit_distance_verify",
+      (s, d) => {
+        // Edit-distance verification of LSH candidates — the verifier used
+        // for short-text/title dedup where Jaccard on shingles is too
+        // coarse: candidates from any shared band, then exact levenshtein
+        // on the token-normalized strings, similarity = 1 − lev/maxlen.
+        // Quadratic work only inside band buckets, like every dedup stage.
+        val docs = Tables.documents(s, d)
+        val ntext = docs.select(col("doc_id"), array_join(tokens(col("text")), " ").as("nt"))
+        val bandsDf = docBandRows(docs.select(col("doc_id"), col("text")))
+        val cand = bandsDf.as("x")
+          .join(bandsDf.as("y"),
+            col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        cand
+          .join(ntext.select(col("doc_id").as("a"), col("nt").as("ta")), Seq("a"))
+          .join(ntext.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))
+          .select(col("a"), col("b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+            greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+          .withColumn("sim",
+            when(col("max_len") > 0,
+              round(lit(1.0) - col("lev").cast("double") / col("max_len"), 6)).otherwise(1.0))
+          .withColumn("verified", col("sim") >= 0.5)
+          .select(col("a"), col("b"), col("lev"), col("sim"), col("verified"))
+      },
+      Some(s"""WITH nt AS (SELECT doc_id, array_to_string($tokensSql, ' ') AS t FROM documents),
+             |sh AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sh)),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band_idx, band0 AS band FROM sigs UNION ALL
+             |  SELECT doc_id, 1, band1 FROM sigs UNION ALL
+             |  SELECT doc_id, 2, band2 FROM sigs UNION ALL
+             |  SELECT doc_id, 3, band3 FROM sigs),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y
+             |  ON x.band_idx = y.band_idx AND x.band = y.band AND x.doc_id < y.doc_id)
+             |SELECT a, b, CAST(levenshtein(na.t, nb.t) AS BIGINT) AS lev,
+             |  CASE WHEN greatest(length(na.t), length(nb.t)) > 0
+             |    THEN round(1.0 - CAST(levenshtein(na.t, nb.t) AS DOUBLE) / greatest(length(na.t), length(nb.t)), 6)
+             |    ELSE 1.0 END AS sim,
+             |  CASE WHEN greatest(length(na.t), length(nb.t)) > 0
+             |    THEN round(1.0 - CAST(levenshtein(na.t, nb.t) AS DOUBLE) / greatest(length(na.t), length(nb.t)), 6)
+             |    ELSE 1.0 END >= 0.5 AS verified
+             |FROM cand JOIN nt na ON cand.a = na.doc_id JOIN nt nb ON cand.b = nb.doc_id""".stripMargin),
+      "Edit-distance verification of LSH candidates (short-text dedup verifier): exact levenshtein on token-normalized strings, sim = 1 - lev/maxlen, banded candidates only."
+    ),
+    QueryDef(
       "d1_exact_dedup",
       (s, d) => {
         // keep = min doc_id per content hash; scales as one hash-partitioned
