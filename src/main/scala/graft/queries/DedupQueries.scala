@@ -246,8 +246,14 @@ object DedupQueries extends QueryModule {
     * shingle sets (band-bucket candidates → first-shared-band dedup → exact
     * Jaccard verification).
     */
-  private def verifiedEdges(sets: DataFrame): DataFrame = {
-    val sigs = signatures(sets).select(col("doc_id") +: bandCols: _*)
+  /** Candidate pairs `(a, b)` with `a < b` sharing at least one LSH band,
+    * emitted EXACTLY once per pair: the join keeps a pair only at its first
+    * shared band (in-row filter), so no `distinct()` shuffle of the
+    * candidate set is ever paid. Input: wide signature frame
+    * `(doc_id, band0..band{NumBands-1})`. Shared by [[verifiedEdges]] and
+    * the d12 edit-distance verifier.
+    */
+  private def bandCandidatePairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
         posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
@@ -255,10 +261,14 @@ object DedupQueries extends QueryModule {
     val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
       when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
     }
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .filter(col("x.band_idx") === firstSharedBand)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+  }
+
+  private def verifiedEdges(sets: DataFrame): DataFrame = {
+    val cand = bandCandidatePairs(signatures(sets).select(col("doc_id") +: bandCols: _*))
     cand
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))
@@ -279,17 +289,17 @@ object DedupQueries extends QueryModule {
       (s, d) => {
         // Edit-distance verification of LSH candidates — the verifier used
         // for short-text/title dedup where Jaccard on shingles is too
-        // coarse: candidates from any shared band, then exact levenshtein
-        // on the token-normalized strings, similarity = 1 − lev/maxlen.
-        // Quadratic work only inside band buckets, like every dedup stage.
+        // coarse: candidates from any shared band (emitted once per pair
+        // via the first-shared-band in-row filter — no distinct shuffle),
+        // then exact levenshtein on the token-normalized strings,
+        // similarity = 1 − lev/maxlen. Quadratic work only inside band
+        // buckets, like every dedup stage.
         val docs = Tables.documents(s, d)
         val ntext = docs.select(col("doc_id"), array_join(tokens(col("text")), " ").as("nt"))
-        val bandsDf = docBandRows(docs.select(col("doc_id"), col("text")))
-        val cand = bandsDf.as("x")
-          .join(bandsDf.as("y"),
-            col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val cand = bandCandidatePairs(
+          signatures(docs.select(col("doc_id"),
+            graft.functions.shingleHashes(col("text"), 3).as("sh")))
+            .select(col("doc_id") +: bandCols: _*))
         cand
           .join(ntext.select(col("doc_id").as("a"), col("nt").as("ta")), Seq("a"))
           .join(ntext.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))

@@ -151,6 +151,31 @@ object EmbeddingQueries extends QueryModule {
       .select(col("code"), col("csub"),
         slice(col("q"), col("csub") * PqSubDim + 1, lit(PqSubDim)).as("cq"))
 
+  /** Per-query PQ distance table (query_id, sub, code, qd): integer L2 from
+    * each query subvector to every codeword — 8×16 longs per query,
+    * broadcast at the ADC join site. Shared by v9 and v10.
+    */
+  private def pqQueryDtable(s: SparkSession, d: String): DataFrame = {
+    val queries = quantized(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q"),
+        posexplode(pqShifts).as(Seq("qsub", "qshift")))
+      .select(col("query_id"), col("qsub"),
+        slice(col("q"), col("qsub") * PqSubDim + 1, lit(PqSubDim)).as("qq"))
+    queries.join(broadcast(pqCodebook(s, d)), col("qsub") === col("csub"))
+      .select(col("query_id"), col("qsub").as("sub"), col("code"),
+        IvfCentroids.l2(col("qq"), col("cq")).as("qd"))
+  }
+
+  /** SQL mirror of [[pqQueryDtable]] (CTEs `qs` + `dt`); requires the
+    * [[pqAssignSql]] CTEs in scope.
+    */
+  private def pqDtableSql =
+    s"""qs AS (SELECT vec_id AS query_id, sub AS qsub, q[8*sub+1:8*sub+8] AS qq
+       |  FROM pqbase CROSS JOIN subs WHERE vec_id < 10),
+       |dt AS (SELECT query_id, qsub AS sub, code,
+       |    list_sum(list_transform(range(1, 9), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
+       |  FROM qs JOIN cb ON qs.qsub = cb.csub)""".stripMargin
+
   private def pqAssignments(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d)
       .select(col("vec_id"), col("q"),
@@ -439,14 +464,7 @@ object EmbeddingQueries extends QueryModule {
         // per query with the (dist, id) total-order tiebreak. At scale the
         // codes table is 8 bytes/vector and the scan is map-only into a
         // partial top-k.
-        val queries = quantized(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("q"),
-            posexplode(pqShifts).as(Seq("qsub", "qshift")))
-          .select(col("query_id"), col("qsub"),
-            slice(col("q"), col("qsub") * PqSubDim + 1, lit(PqSubDim)).as("qq"))
-        val dtable = queries.join(broadcast(pqCodebook(s, d)), col("qsub") === col("csub"))
-          .select(col("query_id"), col("qsub").as("sub"), col("code"),
-            IvfCentroids.l2(col("qq"), col("cq")).as("qd"))
+        val dtable = pqQueryDtable(s, d)
         pqAssignments(s, d).select(col("vec_id"), col("sub"), col("code"))
           .join(broadcast(dtable), Seq("sub", "code"))
           .filter(col("vec_id") =!= col("query_id"))
@@ -459,11 +477,7 @@ object EmbeddingQueries extends QueryModule {
             col("vec_id").as("neighbor_id"), col("adist"))
       },
       Some(s"""WITH $pqAssignSql,
-             |qs AS (SELECT vec_id AS query_id, sub AS qsub, q[8*sub+1:8*sub+8] AS qq
-             |  FROM pqbase CROSS JOIN subs WHERE vec_id < 10),
-             |dt AS (SELECT query_id, qsub AS sub, code,
-             |    list_sum(list_transform(range(1, 9), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
-             |  FROM qs JOIN cb ON qs.qsub = cb.csub),
+             |$pqDtableSql,
              |ad AS (SELECT query_id, vec_id, CAST(sum(qd) AS BIGINT) AS adist
              |  FROM asg JOIN dt ON asg.sub = dt.sub AND asg.code = dt.code
              |  WHERE vec_id <> query_id GROUP BY query_id, vec_id)
@@ -499,14 +513,7 @@ object EmbeddingQueries extends QueryModule {
             Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
           .filter(col("prk") <= NumProbe)
           .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-        val queries = base.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("q"),
-            posexplode(pqShifts).as(Seq("qsub", "qshift")))
-          .select(col("query_id"), col("qsub"),
-            slice(col("q"), col("qsub") * PqSubDim + 1, lit(PqSubDim)).as("qq"))
-        val dtable = queries.join(broadcast(pqCodebook(s, d)), col("qsub") === col("csub"))
-          .select(col("query_id"), col("qsub").as("sub"), col("code"),
-            IvfCentroids.l2(col("qq"), col("cq")).as("qd"))
+        val dtable = pqQueryDtable(s, d)
         val candidates = assigned.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"))
@@ -533,11 +540,7 @@ object EmbeddingQueries extends QueryModule {
              |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
              |        list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS prk
              |    FROM pqbase b CROSS JOIN coarse c WHERE b.vec_id < 10) WHERE prk <= $NumProbe),
-             |qs AS (SELECT vec_id AS query_id, sub AS qsub, q[8*sub+1:8*sub+8] AS qq
-             |  FROM pqbase CROSS JOIN subs WHERE vec_id < 10),
-             |dt AS (SELECT query_id, qsub AS sub, code,
-             |    list_sum(list_transform(range(1, 9), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
-             |  FROM qs JOIN cb ON qs.qsub = cb.csub),
+             |$pqDtableSql,
              |cand AS (SELECT p.query_id, a.vec_id FROM assigned a
              |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
              |ad AS (SELECT c.query_id, c.vec_id, CAST(sum(dt.qd) AS BIGINT) AS adist

@@ -719,9 +719,10 @@ object RelationalQueries extends QueryModule {
         // generator (dynamic gap-merged windows inside the aggregation
         // operator — the same operator Structured Streaming uses with a
         // watermark) instead of the lag+flag-sum formulation (e_sessionize;
-        // both are in the catalog deliberately). Boundary semantics: a gap
-        // of EXACTLY 30 min starts a new session (window end is exclusive),
-        // mirrored by >= in the oracle.
+        // both are in the catalog deliberately). Boundary semantics
+        // (verified against UpdatingSessionsIterator): an event at EXACTLY
+        // gap distance MERGES into the session — a new session starts only
+        // when the gap EXCEEDS the duration, mirrored by > in the oracle.
         Tables.events(s, d)
           .groupBy(col("user_id"),
             session_window(timestamp_micros(col("ts")), "30 minutes").as("w"))
@@ -742,7 +743,7 @@ object RelationalQueries extends QueryModule {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
              |  FROM (
              |    SELECT *, CASE WHEN prev_ts IS NULL
-             |        OR (ts_us - prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |        OR (ts_us - prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
              |    FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
              |        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_ts
              |      FROM events)))
@@ -950,7 +951,9 @@ object RelationalQueries extends QueryModule {
           .groupBy(col("user_id"))
           .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
           .agg(count(lit(1)))
-          .na.fill(0L)
+          // fill scoped to the pivoted columns only — an unscoped fill
+          // would rewrite a NULL group key to 0 and diverge from the oracle
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
           .select(col("user_id"), col("click").cast("long").as("click"),
             col("error").cast("long").as("error"), col("purchase").cast("long").as("purchase"),
             col("signup").cast("long").as("signup"), col("view").cast("long").as("view")),
