@@ -85,10 +85,21 @@ object CorpusDemo {
       .groupBy(col("source")).agg(countDistinct(col("pack_id")).as("n_packs"))
       .agg(coalesce(sum(col("n_packs")), lit(0L))).collect()(0).getLong(0)
 
+    // export stage: survivors as size-bounded parquet shards (the training
+    // export shape — bounded files regardless of partition skew)
+    val outDir = s"/tmp/graft_corpus_demo/packed"
+    survivors.select(col("doc_id"), col("source"), col("n_tokens"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 500)
+      .parquet(outDir)
+    val nShards = new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+
     val secs = (System.nanoTime() - t0) / 1e9
     val n = stages.getLong(0)
     println(f"[corpus] funnel: input=${n} quality=${stages.getLong(1)} " +
-      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} sampled=${stages.getLong(4)} packs=$packs")
+      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} sampled=${stages.getLong(4)} " +
+      f"packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     funnel.unpersist()
     sig.unpersist()

@@ -54,6 +54,34 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(reps == expected)
   }
 
+  test("property: any batch split folds to the one-shot result (randomized corpora)") {
+    // randomized mini-corpora with a tiny vocabulary to force real band
+    // collisions; every 2-way split of the arrival order must fold to the
+    // same kept set as the one-shot run
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 6 + rnd.nextInt(5)
+      val corpus = (0L until n).map { i =>
+        // ~half the docs reuse an earlier doc's text (near/exact dups)
+        val text =
+          if (i > 0 && rnd.nextBoolean()) null
+          else Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        i -> text
+      }.foldLeft(Vector.empty[(Long, String)]) { case (acc, (i, t)) =>
+        acc :+ (i -> Option(t).getOrElse(acc(rnd.nextInt(acc.size))._2))
+      }
+      val cut = 1 + rnd.nextInt(corpus.size - 1)
+      val (kept1, store1) = DedupQueries.incrementalNearDup(docsDF(corpus.take(cut)), emptyStore)
+      val (kept2, _) = DedupQueries.incrementalNearDup(docsDF(corpus.drop(cut)), store1)
+      val folded = (kept1.select("doc_id").collect() ++ kept2.select("doc_id").collect())
+        .map(_.getLong(0)).toSet
+      val (keptOne, _) = DedupQueries.incrementalNearDup(docsDF(corpus), emptyStore)
+      val oneShot = keptOne.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(folded == oneShot, s"trial $trial (cut=$cut): $folded != $oneShot")
+    }
+  }
+
   test("a batch against a pre-claimed store drops every colliding doc") {
     val (_, store1) = DedupQueries.incrementalNearDup(docsDF(docs.take(2)), emptyStore)
     // replay the same two docs under new ids: all bands already claimed
