@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
   * are exact duplicates by construction, so the exact-collapse stage must
   * remove all but one of each; survivors are original-corpus-sized).
   *
-  * Usage: runMain graft.CorpusDemo [sfDir] [copies]
+  * Usage: runMain graft.CorpusDemo [sfDir] [copies] [exportDir]
   */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
@@ -87,13 +87,15 @@ object CorpusDemo {
 
     // export stage: survivors as size-bounded parquet shards (the training
     // export shape — bounded files regardless of partition skew)
-    val outDir = s"/tmp/graft_corpus_demo/packed"
+    val outDir = args.lift(2).getOrElse("/tmp/graft_corpus_demo/packed")
     survivors.select(col("doc_id"), col("source"), col("n_tokens"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 500)
       .parquet(outDir)
-    val nShards = new java.io.File(outDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // shard count via the FS the write actually targeted (portable to any
+    // defaultFS, unlike a driver-local listFiles)
+    val nShards = spark.read.parquet(outDir)
+      .select(input_file_name()).distinct().count()
 
     val secs = (System.nanoTime() - t0) / 1e9
     val n = stages.getLong(0)

@@ -54,14 +54,14 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(reps == expected)
   }
 
-  test("property: any batch split folds to the one-shot result (randomized corpora)") {
+  test("property: EVERY 2-way batch split folds to the one-shot result (randomized corpora)") {
     // randomized mini-corpora with a tiny vocabulary to force real band
     // collisions; every 2-way split of the arrival order must fold to the
-    // same kept set as the one-shot run
+    // same kept set as the one-shot run (all cuts exercised exhaustively)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
     val rnd = new scala.util.Random(42)
-    for (trial <- 1 to 4) {
-      val n = 6 + rnd.nextInt(5)
+    for (trial <- 1 to 2) {
+      val n = 6 + rnd.nextInt(4)
       val corpus = (0L until n).map { i =>
         // ~half the docs reuse an earlier doc's text (near/exact dups)
         val text =
@@ -71,14 +71,18 @@ class IncrementalDedupSpec extends SparkSpec {
       }.foldLeft(Vector.empty[(Long, String)]) { case (acc, (i, t)) =>
         acc :+ (i -> Option(t).getOrElse(acc(rnd.nextInt(acc.size))._2))
       }
-      val cut = 1 + rnd.nextInt(corpus.size - 1)
-      val (kept1, store1) = DedupQueries.incrementalNearDup(docsDF(corpus.take(cut)), emptyStore)
-      val (kept2, _) = DedupQueries.incrementalNearDup(docsDF(corpus.drop(cut)), store1)
-      val folded = (kept1.select("doc_id").collect() ++ kept2.select("doc_id").collect())
-        .map(_.getLong(0)).toSet
       val (keptOne, _) = DedupQueries.incrementalNearDup(docsDF(corpus), emptyStore)
       val oneShot = keptOne.select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(folded == oneShot, s"trial $trial (cut=$cut): $folded != $oneShot")
+      for (cut <- 1 until corpus.size) {
+        val (kept1, store1) = DedupQueries.incrementalNearDup(docsDF(corpus.take(cut)), emptyStore)
+        val (kept2, _) = DedupQueries.incrementalNearDup(docsDF(corpus.drop(cut)), store1)
+        val folded = (kept1.select("doc_id").collect() ++ kept2.select("doc_id").collect())
+          .map(_.getLong(0)).toSet
+        assert(folded == oneShot, s"trial $trial (cut=$cut): $folded != $oneShot")
+      }
+      // incrementalNearDup caches its band pipeline internally; drop the
+      // accumulated entries so the shared suite session stays lean
+      spark.catalog.clearCache()
     }
   }
 
