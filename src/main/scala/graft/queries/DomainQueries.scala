@@ -343,6 +343,46 @@ object DomainQueries extends QueryModule {
              |  FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx)
              |GROUP BY depth_rel, horizontal_rel, vertical_rel""".stripMargin),
       "G10 legacy vertex-extremes classifier (geometry.py:222-269): strict axis separation beyond threshold, NULL on overlap — axis extents reduce to center±half-dim closed forms for axis-aligned boxes."
+    ),
+    QueryDef(
+      "g8_2d_gates",
+      (s, d) => {
+        // The 2D-task gate stack in one oracle-checked pass (F5 min-area,
+        // F6 per-frame count bounds, F13 non-finite rejection): synthetic
+        // 2D boxes with a deliberately infinite depth on zero-discount rows
+        // exercise the finite gate; count bounds use a frame-partition
+        // window (no second aggregation pass).
+        val boxes = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 2000)
+          .select(
+            col("l_orderkey").as("frame_id"),
+            col("l_linenumber").as("idx"),
+            (col("l_quantity") * 12).as("w"),
+            (col("l_tax") * 100 + 2).as("h"),
+            when(col("l_discount") === 0, lit(Double.PositiveInfinity))
+              .otherwise(col("l_extendedprice") / 1000).as("depth_mean"))
+        boxes
+          .withColumn("n_frame", count(lit(1)).over(Window.partitionBy(col("frame_id"))))
+          .filter(
+            col("w") * col("h") >= 100 &&
+              col("n_frame").between(1, 20) &&
+              col("depth_mean") < Double.PositiveInfinity &&
+              col("depth_mean") > Double.NegativeInfinity &&
+              !isnan(col("depth_mean")))
+          .select(col("frame_id"), col("idx"),
+            round(col("w") * col("h"), 6).as("area"),
+            round(col("depth_mean"), 6).as("depth_mean"))
+      },
+      Some("""SELECT frame_id, idx, round(w * h, 6) AS area, round(depth_mean, 6) AS depth_mean
+             |FROM (
+             |  SELECT *, count(*) OVER (PARTITION BY frame_id) AS n_frame FROM (
+             |    SELECT l_orderkey AS frame_id, l_linenumber AS idx,
+             |      l_quantity * 12 AS w, l_tax * 100 + 2 AS h,
+             |      CASE WHEN l_discount = 0 THEN CAST('inf' AS DOUBLE)
+             |           ELSE l_extendedprice / 1000 END AS depth_mean
+             |    FROM lineitem WHERE l_orderkey <= 2000))
+             |WHERE w * h >= 100 AND n_frame BETWEEN 1 AND 20 AND isfinite(depth_mean)""".stripMargin),
+      "The 2D gate stack (F5 min-area, F6 per-frame count bounds, F13 infinite-value rejection) in one pass — window-counted bounds, finite-depth predicate with injected infinities."
     )
   )
 }
