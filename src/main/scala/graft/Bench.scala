@@ -20,7 +20,9 @@ object Bench {
         .groupBy().count().collect()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: residual JVM warmup lands on the same queries every
+    // round, so per-query numbers stay comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every output column is evaluated (count() would let
       // Catalyst prune computed columns from projection-only queries and
@@ -49,12 +51,12 @@ object Bench {
       }.toMap
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val short = shortKeys(results.keys.toSeq)
+    val short = shortKeys(results.map(_._1))
     val qs = results.map { case (k, v) =>
       val rounded = if (v < 0) "-1" else fmt(v)
       "\"" + short(k) + "\":" + rounded
     }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
