@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // late-register graft extensions (SQL functions + RangeJoinRewrite) so
+    // benchmarks run the same plans GraftSession produces
+    GraftExtensions.install(spark)
     // warm up codegen/JIT and file listing so the first measured query
     // doesn't absorb one-time JVM costs
     Seq("documents", "embeddings", "lineitem", "events").foreach { t =>

@@ -6,14 +6,18 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions installer: registers graft's custom expressions
-  * for SQL use (`SELECT simhash56(hashes) ...`). Enable with
+  * for SQL use (`SELECT simhash56(hashes) ...`) and the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule. Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — wired in
   * [[GraftSession]]. The DataFrame API ([[graft.functions]]) works without
-  * registration.
+  * registration (and without the rule, marked range joins still compute
+  * the same result on the unrewritten plan).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registry.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -45,8 +49,12 @@ object GraftExtensions {
   /** Late registration onto an already-created session (extensions config
     * only applies at session build time).
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     registry.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.shims.registerFunction(spark, id.funcName, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  }
 }

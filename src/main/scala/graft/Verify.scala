@@ -16,6 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // late-register graft extensions (SQL functions + RangeJoinRewrite);
+    // queries are correct without them, but this session should run the
+    // same plans GraftSession produces
+    GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

