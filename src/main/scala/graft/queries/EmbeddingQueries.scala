@@ -182,13 +182,16 @@ object EmbeddingQueries extends QueryModule {
         posexplode(pqShifts).as(Seq("sub", "shift")))
       .select(col("vec_id"), col("sub"), col("shift"),
         slice(col("q"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("sq"))
+    // argmin codeword as a min_by aggregation (map-side partial collapse of
+    // the 16 joined codebook copies; no 16×-row window shuffle+sort);
+    // struct(dist, code) is a total order so ties are impossible
     base.join(broadcast(pqCodebook(s, d)), col("sub") === col("csub"))
       .withColumn("dist", IvfCentroids.l2(col("sq"), col("cq")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dist").asc, col("code").asc)))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("sub"), col("shift"), col("code"), col("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("shift"), col("code"), col("dist")),
+        struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.shift").as("shift"),
+        col("m.code").as("code"), col("m.dist").as("dist"))
   }
 
   /** Shared SQL CTEs for the PQ assignment (same columns as
@@ -340,12 +343,18 @@ object EmbeddingQueries extends QueryModule {
         // exact-integer identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (no zipped
         // diff array; all three terms are codegen'd LongDot loops)
         def l2(a: Column, b: Column): Column = IvfCentroids.l2(a, b)
+        // cell assignment is a min_by aggregation, not a row_number window:
+        // partial agg collapses the 8 joined centroid copies map-side and
+        // sheds the 64-long centroid vector before the shuffle (the window
+        // shape shuffles+sorts all 8n expanded rows). struct(dist, cid) is
+        // a total order — tie-free deterministic.
         val assigned = base.join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("label"), col("q"), col("n2"), col("cid")),
+            struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.label").as("label"), col("m.q").as("q"),
+            col("m.n2").as("n2"), col("m.cid").as("cell"))
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
@@ -400,12 +409,14 @@ object EmbeddingQueries extends QueryModule {
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
         val cent = quantized(s, d).filter(col("vec_id") < NumCells)
           .select(col("vec_id").as("cid"), col("q").as("cq"))
+        // min_by argmin instead of a row_number window — see v6
         val assigned = base.join(broadcast(cent))
           .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("q"), col("n2"), col("cid").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("q"), col("n2"), col("cid")),
+            struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.q").as("q"), col("m.n2").as("n2"),
+            col("m.cid").as("cell"))
         val dups = assigned.as("a")
           .join(assigned.as("b"),
             col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -500,12 +511,11 @@ object EmbeddingQueries extends QueryModule {
         val base = quantized(s, d)
         val coarse = base.filter(col("vec_id") < NumCells)
           .select(col("vec_id").as("cid"), col("q").as("cq"))
+        // min_by argmin instead of a row_number window — see v6
         val assigned = base.join(broadcast(coarse))
           .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(coarse))
           .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))

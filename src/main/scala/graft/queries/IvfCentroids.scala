@@ -45,12 +45,17 @@ object IvfCentroids {
     var cent = quantized.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     for (_ <- 0 until iters) {
+      // nearest-centroid argmin as a min_by AGGREGATION, not a row_number
+      // window: partial aggregation collapses the k joined copies of each
+      // vector map-side (they are co-located — the join is broadcast) and
+      // drops the centroid vector before the shuffle, where a window would
+      // shuffle+sort all k·n expanded rows. struct(dist, cid) is a total
+      // order (cid unique), so the result is tie-free deterministic.
       val assigned = sample.join(broadcast(cent))
         .withColumn("dist", l2(col("q"), col("cq")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
-        .filter(col("crk") === 1)
-        .select(col("cid"), col("q"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("q")), struct(col("dist"), col("cid"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.q").as("q"))
       val means = assigned.groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
         .select(col("cid"),
