@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongDot, QuantizeVec, ShingleHashes, SimHash56}
+import graft.functions.{LongDot, QuantizeVec, ShingleHashes, SimHash56, ZInterleave}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) =>
         ShingleHashes(children(0), children(1).eval().asInstanceOf[Number].intValue())
+    ),
+    (
+      FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+      (children: Seq[Expression]) => ZInterleave(children(0), children(1))
     )
   )
 

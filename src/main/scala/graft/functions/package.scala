@@ -46,6 +46,10 @@ package object functions {
   def toCameraFrame(verts: Column, extrinsics: Column): Column =
     shims.column(ToCameraFrame(shims.expression(verts), shims.expression(extrinsics)))
 
+  /** Morton (Z-order) bit interleave of two non-negative bigint bucket ids. */
+  def zInterleave(a: Column, b: Column): Column =
+    shims.column(ZInterleave(shims.expression(a), shims.expression(b)))
+
   /** Marker predicate (constant true) requesting the bucketed range-join
     * rewrite for the enclosing inner join; AND it with your own range
     * conjuncts, or use [[pointInInterval]]. `bound` must be an

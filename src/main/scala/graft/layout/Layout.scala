@@ -1,0 +1,83 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout management for large parquet tables: the write-side half of
+  * scan performance. At 100 TB the difference between a full scan and a
+  * pruned one is the file layout, not the query plan:
+  *
+  *  - [[writeRangeClustered]] — global range partitioning + in-file sort
+  *    on a key: every file covers a disjoint key range, so parquet footer
+  *    min/max stats prune point/range scans to O(matching files).
+  *  - [[writeZClustered]] — Morton-interleaved two-column clustering:
+  *    both columns get bounded per-file spans, so predicates on EITHER
+  *    column prune (a 1-D sort prunes one and scatters the other).
+  *  - [[compact]] — small-file compaction to a target file size: the
+  *    file-count pathology of streaming/incremental ingest (N tiny files
+  *    = N scheduler tasks + N footer reads + NameNode pressure) folded
+  *    back to size-targeted files.
+  *
+  * Everything here is metadata-driven on the driver (file listings,
+  * 4-row stat aggregates) plus one distributed shuffle/write — no
+  * collect of data rows.
+  */
+object Layout {
+
+  /** Write `df` range-clustered on `sortCols` into `numFiles` files:
+    * repartitionByRange gives disjoint per-file key ranges (sampled range
+    * bounds), sortWithinPartitions makes row groups internally ordered so
+    * page-level stats prune too.
+    */
+  def writeRangeClustered(df: DataFrame, path: String, sortCols: Seq[Column], numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Z-order column for two numeric columns, bucketized to `bits`-bit grid
+    * coordinates against broadcast min/max stats. Use as a sort key to
+    * co-locate rows close in both dimensions.
+    */
+  def zValue(a: Column, b: Column, aMin: Column, aMax: Column, bMin: Column, bMax: Column,
+      bits: Int = 20): Column = {
+    val buckets = (1L << bits) - 1
+    def gridCoord(c: Column, lo: Column, hi: Column): Column =
+      least(lit(buckets), floor((c - lo).cast("double") / greatest(hi - lo, lit(1e-300)) * buckets).cast("long"))
+    graft.functions.zInterleave(gridCoord(a, aMin, aMax), gridCoord(b, bMin, bMax))
+  }
+
+  /** Write `df` Z-clustered on two numeric columns into `numFiles` files.
+    * One tiny stats aggregate (1 broadcast row) + one range shuffle on the
+    * interleaved value; both columns end up with bounded per-file spans.
+    */
+  def writeZClustered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 20): Unit = {
+    val stats = df.agg(
+      min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+      min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+    val z = df.crossJoin(broadcast(stats))
+      .withColumn("graft_z", zValue(col(colA), col(colB),
+        col("a_min"), col("a_max"), col("b_min"), col("b_max"), bits))
+      .drop("a_min", "a_max", "b_min", "b_max")
+    z.repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions(col("graft_z"))
+      .drop("graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compact a parquet directory to ~`targetFileBytes` files (driver-side
+    * listing for sizes — metadata only). `coalesce` avoids a shuffle when
+    * only merging; pass `shuffle=true` to also re-balance skewed files.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long, shuffle: Boolean = false): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out = if (shuffle) df.repartition(n) else df.coalesce(n)
+    out.write.mode("overwrite").parquet(outPath)
+    n
+  }
+}

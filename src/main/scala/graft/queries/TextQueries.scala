@@ -252,6 +252,52 @@ object TextQueries extends QueryModule {
              |  FROM terms t JOIN dfreq f ON t.token = f.token)
              |WHERE rk <= 3""".stripMargin),
       "Salient terms per document: tf·N/df scoring (rational tf-idf), vocabulary join-back, top-3 window."
+    ),
+    QueryDef(
+      "t14_unigram_surprisal",
+      (s, d) => {
+        // Unigram-LM quality scoring — the CCNet/perplexity-filter shape —
+        // in exact integer arithmetic: per-token surprisal is measured in
+        // WHOLE BITS, floor(log2(N/cnt)), computed as the binary-string
+        // length of the integer quotient N div cnt. Fractional log-probs
+        // are not bit-identical across engines (t6's rationale); integer
+        // division and string length are, so per-doc sums are exact
+        // BIGINTs and the one mean divide is a single identical IEEE op.
+        // Shapes: explode+groupBy vocabulary (LM "training"), broadcast
+        // 1-row corpus total, token-key join-back (a shuffle — the vocab
+        // grows with the corpus), per-doc exact sum. At serving scale the
+        // trained table would be a broadcast top-K vocab with an OOV
+        // default bit cost instead of the full join.
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("n_total"))
+        val lp = vocab.crossJoin(broadcast(total))
+          .select(col("tok"),
+            (length(bin(expr("n_total div cnt"))) - 1).cast("long").as("bits"))
+        toks.join(lp, "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("sum_bits"),
+            round(col("sum_bits").cast("double") / col("n_tokens"), 4).as("mean_bits"),
+            // quality band on mean surprisal (too low = degenerate or
+            // repetitive, too high = gibberish), decided in exact integer
+            // space: 3.0 <= mean_bits <= 4.1 as sum*10 within [n*30, n*41]
+            (col("sum_bits") * 10 >= col("n_tokens") * 30 &&
+              col("sum_bits") * 10 <= col("n_tokens") * 41).as("in_band"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+             |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+             |lp AS (SELECT tok, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS bits
+             |  FROM vocab CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits,
+             |  round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS mean_bits,
+             |  sum(bits) * 10 >= count(*) * 30 AND sum(bits) * 10 <= count(*) * 41 AS in_band
+             |FROM toks JOIN lp USING (tok)
+             |GROUP BY doc_id""".stripMargin),
+      "Unigram-LM surprisal quality score (CCNet-style perplexity filter): whole-bit integer surprisal floor(log2(N/cnt)) per token, exact per-doc sums, quality band decided in integer space."
     )
   )
 }

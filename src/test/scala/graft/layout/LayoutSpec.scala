@@ -1,0 +1,112 @@
+package graft.layout
+
+import graft.functions.Morton
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-layout-$name")
+    d.toFile.deleteOnExit()
+    s"$d/out"
+  }
+
+  /** Per-output-file (min, max) of a column, via input_file_name. */
+  private def fileRanges(path: String, c: String): Seq[(Double, Double)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+      .select($"lo", $"hi").as[(Double, Double)].collect().toSeq
+
+  test("Morton interleave: known values and per-dimension bit recovery") {
+    assert(Morton.interleave(0L, 0L) === 0L)
+    assert(Morton.interleave(1L, 0L) === 1L)
+    assert(Morton.interleave(0L, 1L) === 2L)
+    assert(Morton.interleave(3L, 3L) === 15L)
+    // against a naive bit loop on randomized inputs
+    def slow(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = rnd.nextLong() & 0x7fffffffL
+      val b = rnd.nextLong() & 0x7fffffffL
+      assert(Morton.interleave(a, b) === slow(a, b))
+    }
+  }
+
+  test("z_interleave expression matches Morton in codegen and SQL registration") {
+    val df = Seq((3L, 5L), (0L, 0L), (123456L, 654321L)).toDF("a", "b")
+    val got = df.select(graft.functions.zInterleave($"a", $"b")).as[Long].collect()
+    assert(got.toSeq === Seq(Morton.interleave(3, 5), 0L, Morton.interleave(123456, 654321)))
+    val sqlGot = df.createOrReplaceTempView("zt")
+    assert(spark.sql("SELECT z_interleave(a, b) FROM zt WHERE a = 3").as[Long].head()
+      === Morton.interleave(3, 5))
+  }
+
+  test("writeRangeClustered: disjoint per-file key ranges, rows preserved") {
+    val path = tmp("range")
+    Layout.writeRangeClustered(events, path, Seq(col("ts")), numFiles = 8)
+    assert(spark.read.parquet(path).count() === events.count())
+    val ranges = fileRanges(path, "ts").sortBy(_._1)
+    assert(ranges.size >= 2 && ranges.size <= 8)
+    // each file's range ends before the next begins: footer min/max stats
+    // prune a point/range query to the matching files only
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $ranges")
+      case _                      =>
+    }
+  }
+
+  test("writeZClustered bounds per-file spans of BOTH columns (1-D sort does not)") {
+    val ev01 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val zPath = tmp("z")
+    val onedPath = tmp("oned")
+    Layout.writeZClustered(ev01, zPath, "user_id", "value", numFiles = 16)
+    Layout.writeRangeClustered(ev01, onedPath, Seq(col("user_id")), numFiles = 16)
+    assert(spark.read.parquet(zPath).count() === ev01.count())
+    assert(spark.read.parquet(zPath).columns.toSet === ev01.columns.toSet)
+
+    def meanNormSpan(path: String, c: String): Double = {
+      val whole = ev01.agg(
+        (max(col(c).cast("double")) - min(col(c).cast("double"))).as("span"))
+        .as[Double].head()
+      val spans = fileRanges(path, c).map { case (lo, hi) => (hi - lo) / whole }
+      spans.sum / spans.size
+    }
+    val onedV = meanNormSpan(onedPath, "value")
+    val zu = meanNormSpan(zPath, "user_id")
+    val zv = meanNormSpan(zPath, "value")
+    // 1-D user_id sort scatters value (each file spans most of its range);
+    // z-clustering must bound both dimensions and clearly beat the 1-D
+    // layout on the scattered one
+    assert(onedV > 0.6, s"1-D baseline value span $onedV")
+    assert(zv < onedV * 0.8, s"z value span $zv vs 1-D $onedV")
+    assert(zu < 0.6, s"z user_id span $zu")
+    assert(zv < 0.6, s"z value span $zv")
+  }
+
+  test("compact folds a many-file directory to the byte-targeted count") {
+    val scattered = tmp("scattered")
+    events.repartition(32).write.parquet(scattered)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(scattered).length === 32)
+    val compacted = tmp("compacted")
+    val totalBytes = parquetFiles(scattered).map(_.length).sum
+    val n = Layout.compact(spark, scattered, compacted, targetFileBytes = totalBytes / 4)
+    assert(n >= 4 && n <= 6, s"n=$n") // ceil slack: listing includes _SUCCESS/crc files
+    // coalesce cannot EXCEED the read-side partition count (tiny files are
+    // split-combined at the scan), so the contract is "at most n files"
+    val outFiles = parquetFiles(compacted).length
+    assert(outFiles <= n && outFiles < 32, s"outFiles=$outFiles n=$n")
+    assert(spark.read.parquet(compacted).count() === events.count())
+  }
+}
