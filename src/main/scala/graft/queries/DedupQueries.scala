@@ -294,15 +294,40 @@ object DedupQueries extends QueryModule {
         // then exact levenshtein on the token-normalized strings,
         // similarity = 1 − lev/maxlen. Quadratic work only inside band
         // buckets, like every dedup stage.
+        //
+        // Payload-fetch direction matters: the CANDIDATE side broadcasts
+        // (pairs are band-bounded and tiny next to the corpus) and the raw
+        // text streams past it, so tokenization/normalization runs only on
+        // the matched rows — never a corpus-side broadcast or a
+        // full-corpus tokenize. (Left to stats, Catalyst broadcast the
+        // whole tokenized corpus here: 2 corpus regex passes + 2 corpus
+        // hash-build broadcasts, backwards at every scale. Beyond
+        // broadcastable candidate counts the same join runs as a shuffle
+        // on doc_id — the fetch-only-candidates property is what scales.)
         val docs = Tables.documents(s, d)
-        val ntext = docs.select(col("doc_id"), array_join(tokens(col("text")), " ").as("nt"))
-        val cand = bandCandidatePairs(
-          signatures(docs.select(col("doc_id"),
+        // cache: the band self-join consumes the signatures twice, and the
+        // shingle md5 pass is the expensive part (same hygiene as d3)
+        val sigs = signatures(docs.select(col("doc_id"),
             graft.functions.shingleHashes(col("text"), 3).as("sh")))
-            .select(col("doc_id") +: bandCols: _*))
-        cand
-          .join(ntext.select(col("doc_id").as("a"), col("nt").as("ta")), Seq("a"))
-          .join(ntext.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))
+          .select(col("doc_id") +: bandCols: _*).cache()
+        val cand = bandCandidatePairs(sigs)
+        val raw = docs.select(col("doc_id"), col("text"))
+        val withA = broadcast(cand)
+          .join(raw.select(col("doc_id").as("a"), col("text").as("xa")), Seq("a"))
+        broadcast(withA)
+          .join(raw.select(col("doc_id").as("b"), col("text").as("xb")), Seq("b"))
+          // spread the pairs before the len² work: the streamed raw scan
+          // is one split at demo scale, and file-level parallelism is the
+          // wrong unit for per-PAIR quadratic cost — one cheap shuffle of
+          // the skinny pair rows buys pair-level parallelism. The explicit
+          // partition count matters: byte-based AQE coalescing would fold
+          // this few-MB shuffle back into one task, but the cost here is
+          // CPU per row (len² edit distance), not bytes — numbered
+          // repartition is exempt from coalescing.
+          .repartition(s.sparkContext.defaultParallelism, col("a"), col("b"))
+          .select(col("a"), col("b"),
+            array_join(tokens(col("xa")), " ").as("ta"),
+            array_join(tokens(col("xb")), " ").as("tb"))
           .select(col("a"), col("b"),
             levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
             greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))

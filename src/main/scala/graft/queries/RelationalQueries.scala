@@ -416,6 +416,39 @@ object RelationalQueries extends QueryModule {
       "Salted two-phase aggregation for skewed keys (scale technique; result equals the direct group-by, which is the oracle)."
     ),
     QueryDef(
+      "j_salted_skew_join",
+      (s, d) => {
+        // Skew-salted shuffle JOIN: when one join key carries a
+        // disproportionate share of the fact side (m8 profiles exactly
+        // this), a plain shuffle join pins the whole hot key on one task.
+        // Salting splits each key into R sub-keys — the fact side derives
+        // a deterministic salt from row identity (md5, same contract as
+        // every other "random" quantity), the dimension side replicates
+        // R× via explode — and the join keys on (key, salt), spreading a
+        // hot key over R tasks. The result is IDENTICAL to the unsalted
+        // join (the oracle computes that directly); the salt only
+        // reshapes the shuffle. This is the explicit-control variant for
+        // when AQE skew splitting can't apply (e.g. the join must stay
+        // co-partitioned with a downstream stage); the dimension side
+        // grows R×, so R tunes to the observed skew ratio, not higher.
+        val R = 8
+        val ev = Tables.events(s, d)
+          .withColumn("salt",
+            pmod(graft.queries.PipelineFns.h60(col("event_id").cast("string")), lit(R.toLong)))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            explode(sequence(lit(0L), lit(R - 1L))).as("salt"))
+        ev.join(dim, ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      "Skew-salted shuffle join (scale technique): deterministic fact-side salt, R-times replicated dimension, join on (key, salt); result equals the unsalted join, which is the oracle."
+    ),
+    QueryDef(
       "a_approx_quantiles",
       (s, d) =>
         // Sketch quantiles with the bounded-error cross-engine contract
