@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale BPE: distributed merge learning + vocabulary-cached
+  * encoding.
+  *
+  * Learning (Sennrich-style) is inherently sequential — each merge changes
+  * the pair statistics — so [[learn]] runs k rounds where each round is one
+  * pair-count aggregation over the (distributed) word-frequency table and a
+  * one-row argmax collect. The corpus is touched ONCE (the word-count
+  * aggregation); every round after that works on the vocabulary, which
+  * grows sublinearly with corpus size. This is more distributed than the
+  * standard in-memory trainers (which collect the whole word-count dict);
+  * the per-round driver action is a single row, documented as such.
+  *
+  * Encoding uses the distinct-pretoken cache trick: the expensive greedy
+  * merge loop runs once per DISTINCT word (vocabulary-scale, with the rank
+  * table broadcast), and per-document piece counts come from joining
+  * occurrences back on the word key — the same sublinear shape serving
+  * tokenizers use (t9/t13 cover pretokenization and merge-candidate
+  * statistics; this closes the loop to an applied tokenizer).
+  */
+object BpeTokenizer {
+
+  /** Greedy BPE encode of one pretoken: repeatedly take the lowest-rank
+    * pair present and merge ALL its non-overlapping occurrences
+    * left-to-right. Deterministic; characters not covered by any merge
+    * stay single pieces.
+    */
+  def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var pieces = word.map(_.toString).toVector
+    var done = pieces.size < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.size - 1) {
+        val r = ranks.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = rankPair(ranks, bestRank)
+        pieces = mergeAll(pieces, a, b)
+        if (pieces.size < 2) done = true
+      }
+    }
+    pieces
+  }
+
+  private def rankPair(ranks: Map[(String, String), Int], rank: Int): (String, String) =
+    ranks.find(_._2 == rank).get._1
+
+  /** Merge all non-overlapping (a, b) adjacencies, left to right. */
+  def mergeAll(pieces: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < pieces.size) {
+      if (i < pieces.size - 1 && pieces(i) == a && pieces(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += pieces(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Word-frequency table of the corpus: (word, n). One corpus pass. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(PipelineFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Learn `numMerges` merges from a (word, n) table. Each round: explode
+    * adjacent piece pairs weighted by word count, aggregate, take the
+    * (count desc, pair asc) argmax — a ONE-ROW collect per round, the only
+    * driver action; the vocab table itself stays distributed — then apply
+    * the merge to the piece arrays. Rounds stop early when no pair repeats.
+    */
+  def learn(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val splitChars = udf((w: String) => w.map(_.toString))
+    // cache: every round re-reads the current vocab (pair agg + transform)
+    var cur = words.select(col("word"), col("n"), splitChars(col("word")).as("pieces")).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val pairs = cur.select(col("n"),
+          explode(arrays_zip(
+            slice(col("pieces"), lit(1), greatest(size(col("pieces")) - 1, lit(0))),
+            slice(col("pieces"), lit(2), greatest(size(col("pieces")) - 1, lit(0))))).as("p"))
+        .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"), col("n"))
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        // a pair seen once can't compress anything
+        .filter(col("cnt") >= 2)
+      val top = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .select(col("a"), col("b")).as[(String, String)].take(1)
+      top.headOption match {
+        case None => done = true
+        case Some((a, b)) =>
+          merges += ((a, b))
+          val applyMerge = udf((ps: Seq[String]) => mergeAll(ps.toVector, a, b))
+          val next = cur.withColumn("pieces", applyMerge(col("pieces"))).cache()
+          next.count() // materialize before dropping the parent cache
+          cur.unpersist()
+          cur = next
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
+
+  /** Rank table from an ordered merge list. */
+  def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Per-document piece counts under a learned rank table: encode each
+    * DISTINCT word once (broadcast ranks, vocabulary-scale work), join
+    * occurrences back on the word key.
+    */
+  def pieceCounts(docs: DataFrame, ranks: Map[(String, String), Int]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(ranks)
+    val nPieces = udf((w: String) => encode(w, bc.value).size)
+    val occurrences = docs.select(col("doc_id"), explode(PipelineFns.tokens(col("text"))).as("word"))
+    val encoded = occurrences.select(col("word")).distinct()
+      .withColumn("n_pieces", nPieces(col("word")))
+    occurrences.join(encoded, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+  }
+}

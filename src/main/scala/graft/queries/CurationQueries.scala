@@ -578,6 +578,29 @@ object CurationQueries extends QueryModule {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_offset
              |  FROM (SELECT doc_id, source, len($tokensSql) AS n_tokens FROM documents))""".stripMargin),
       "Offset-based sequence packing into fixed token budgets (concatenate-and-chunk): per-source prefix-sum window, pack_id = start_offset div budget."
+    ),
+    QueryDef(
+      "t16_bpe_tokenize",
+      (s, d) => {
+        // Applied BPE tokenizer, closing the t9 (pretokens) → t13 (merge
+        // statistics) loop: learn 8 merges from the corpus word-frequency
+        // table ([[BpeTokenizer.learn]] — k rounds over the DISTRIBUTED
+        // vocab, one single-row argmax collect per round), then encode via
+        // the distinct-pretoken cache (greedy merge loop once per distinct
+        // word with the rank table broadcast; per-doc counts join back on
+        // the word key). Iterative greedy BPE is not SQL-expressible, so
+        // this entry has no DuckDB oracle — the driver records the weaker
+        // rows-only check; semantics are pinned by BpeTokenizerSpec
+        // (hand-computed Sennrich example, tie-break, cache-trick
+        // equivalence).
+        val docs = Tables.documents(s, d)
+        val merges = BpeTokenizer.learn(BpeTokenizer.wordCounts(docs), 8)
+        BpeTokenizer.pieceCounts(docs, BpeTokenizer.ranksOf(merges))
+          .select(col("doc_id"), col("n_words"), col("n_pieces"),
+            round(col("n_pieces").cast("double") / col("n_words"), 4).as("pieces_per_word"))
+      },
+      None,
+      "Applied BPE: distributed 8-merge learning + vocabulary-cached greedy encoding; per-doc piece counts and compression (rows-only check; spec-pinned semantics)."
     )
   )
 }

@@ -298,6 +298,55 @@ object TextQueries extends QueryModule {
              |FROM toks JOIN lp USING (tok)
              |GROUP BY doc_id""".stripMargin),
       "Unigram-LM surprisal quality score (CCNet-style perplexity filter): whole-bit integer surprisal floor(log2(N/cnt)) per token, exact per-doc sums, quality band decided in integer space."
+    ),
+    QueryDef(
+      "t15_bigram_surprisal",
+      (s, d) => {
+        // Second-order LM quality score: conditional surprisal of each
+        // bigram, bits = floor(log2(c(w1·)/c(w1,w2))) — c(w1·) is w1's
+        // count as a bigram PREFIX, so the conditional probabilities per
+        // prefix sum to 1. Same exact-integer contract as t14 (integer
+        // division + binary-string length; no transcendentals). Trained on
+        // the corpus itself, so every doc bigram is in the table (no
+        // backoff needed); a served model would broadcast top-K bigrams
+        // with a unigram-backoff default. Shapes: one bigram explode
+        // feeding two token-keyed aggregations (prefix counts are derived
+        // from the bigram counts, not a second corpus pass), a vocab-scale
+        // join bc⋈uni on w1, and the per-occurrence join-back on (w1,w2).
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+        val n1 = greatest(size(col("ts")) - 1, lit(0))
+        val big = toks
+          .select(col("doc_id"),
+            explode(arrays_zip(slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1))).as("bg"))
+          .select(col("doc_id"),
+            col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
+        val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val uni = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val bits = bc.join(uni, "w1")
+          .select(col("w1"), col("w2"),
+            (length(bin(expr("c1 div c2"))) - 1).cast("long").as("b"))
+        big.join(bits, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("sum_bits"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+            round(col("sum_bits").cast("double") / col("n_bigrams"), 4).as("mean_bits"),
+            (col("sum_bits") * 10 >= col("n_bigrams") * 30 &&
+              col("sum_bits") * 10 <= col("n_bigrams") * 45).as("in_band"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+             |big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+             |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+             |uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+             |bits AS (SELECT bc.w1, bc.w2, CAST(length(bin(uni.c1 // bc.c2)) - 1 AS BIGINT) AS b
+             |  FROM bc JOIN uni ON bc.w1 = uni.w1)
+             |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(b) AS BIGINT) AS sum_bits,
+             |  round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_bits,
+             |  sum(b) * 10 >= count(*) * 30 AND sum(b) * 10 <= count(*) * 45 AS in_band
+             |FROM big JOIN bits ON big.w1 = bits.w1 AND big.w2 = bits.w2
+             |GROUP BY doc_id""".stripMargin),
+      "Bigram-LM conditional surprisal (second-order t14): whole-bit floor(log2(c(w1.)/c(w1,w2))) per bigram, prefix counts derived from bigram counts, exact integer sums."
     )
   )
 }
