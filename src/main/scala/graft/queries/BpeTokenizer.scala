@@ -80,8 +80,12 @@ object BpeTokenizer {
     val spark = words.sparkSession
     import spark.implicits._
     val splitChars = udf((w: String) => w.map(_.toString))
-    // cache: every round re-reads the current vocab (pair agg + transform)
-    var cur = words.select(col("word"), col("n"), splitChars(col("word")).as("pieces")).cache()
+    // cache ONLY the corpus-derived base (the expensive aggregate); each
+    // round then adds one narrow vocab-local map to the lineage, so round
+    // i's aggregation re-runs i cheap maps over the cached vocab instead
+    // of re-touching the corpus — no per-round materialize/unpersist jobs
+    val base = words.select(col("word"), col("n"), splitChars(col("word")).as("pieces")).cache()
+    var cur = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.size < numMerges) {
@@ -100,13 +104,10 @@ object BpeTokenizer {
         case Some((a, b)) =>
           merges += ((a, b))
           val applyMerge = udf((ps: Seq[String]) => mergeAll(ps.toVector, a, b))
-          val next = cur.withColumn("pieces", applyMerge(col("pieces"))).cache()
-          next.count() // materialize before dropping the parent cache
-          cur.unpersist()
-          cur = next
+          cur = cur.withColumn("pieces", applyMerge(col("pieces")))
       }
     }
-    cur.unpersist()
+    base.unpersist()
     merges.toSeq
   }
 

@@ -93,6 +93,22 @@ class LayoutSpec extends SparkSpec {
     assert(zv < 0.6, s"z value span $zv")
   }
 
+  test("hive-partitioned layout prunes non-matching partitions at plan time") {
+    val path = tmp("hive")
+    events.write.partitionBy("event_type").parquet(path)
+    val types = events.select("event_type").distinct().count()
+    assert(types > 1)
+    val one = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the filter lands in PartitionFilters (directory pruning), not a
+    // post-scan Filter over all partitions
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("isnotnull(event_type"), plan)
+    assert(one.count() ===
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("compact folds a many-file directory to the byte-targeted count") {
     val scattered = tmp("scattered")
     events.repartition(32).write.parquet(scattered)

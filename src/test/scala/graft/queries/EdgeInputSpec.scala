@@ -36,4 +36,17 @@ class EdgeInputSpec extends SparkSpec {
     val hits = StreamingOps.nearDupHits(StreamingOps.nearDupBandRows(docs))
     hits.collect() // must not throw
   }
+
+  test("LM surprisal training and BPE learn/encode survive degenerate text") {
+    // token-less docs (null/empty/whitespace) must drop out of the trained
+    // tables and the per-doc outputs, not error
+    val wc = BpeTokenizer.wordCounts(docs)
+    assert(wc.collect().forall(r => r.getString(0).nonEmpty))
+    val merges = BpeTokenizer.learn(wc, 4)
+    val pc = BpeTokenizer.pieceCounts(docs, BpeTokenizer.ranksOf(merges)).collect()
+    assert(pc.map(_.getLong(0)).toSet.subsetOf(Set(1L, 4L)), pc.mkString(","))
+    // the empty-ranks path: every word stays character pieces
+    val noMerges = BpeTokenizer.pieceCounts(docs, Map.empty).collect()
+    assert(noMerges.nonEmpty)
+  }
 }
