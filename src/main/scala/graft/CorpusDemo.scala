@@ -54,13 +54,22 @@ object CorpusDemo {
       .select(col("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
 
+    // LM-surprisal band (t14) trained on the deduped representatives —
+    // training the filter model AFTER exact collapse is the production
+    // order (replica mass would otherwise skew the vocabulary counts)
+    val lm = graft.queries.TextQueries
+      .unigramSurprisal(reps.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("in_band").as("lm_ok"))
+
     val funnel = sig
       .join(hits, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         col("keep_quality"),
         (col("doc_id") =!= col("exact_rep")).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("lm_ok"), lit(false)).as("lm_ok"),
         col("keep_sample"))
       .cache()
 
@@ -70,12 +79,13 @@ object CorpusDemo {
       coalesce(sum(when(col("keep_quality"), 1L).otherwise(0L)), lit(0L)).as("quality"),
       coalesce(sum(when(col("keep_quality") && !col("exact_dup"), 1L).otherwise(0L)), lit(0L)).as("exact"),
       coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup"), 1L).otherwise(0L)), lit(0L)).as("near"),
-      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"), 1L).otherwise(0L)), lit(0L)).as("sampled")
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("lm_ok"), 1L).otherwise(0L)), lit(0L)).as("lm"),
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("lm_ok") && col("keep_sample"), 1L).otherwise(0L)), lit(0L)).as("sampled")
     ).collect()(0)
 
     // survivors → offset-based sequence packing (t8 shape)
     val survivors = funnel.filter(
-      col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("keep_sample"))
+      col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("lm_ok") && col("keep_sample"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // coalesce: sum over zero groups is null when every doc was gated out
@@ -100,8 +110,8 @@ object CorpusDemo {
     val secs = (System.nanoTime() - t0) / 1e9
     val n = stages.getLong(0)
     println(f"[corpus] funnel: input=${n} quality=${stages.getLong(1)} " +
-      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} sampled=${stages.getLong(4)} " +
-      f"packs=$packs shards=$nShards")
+      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} lm=${stages.getLong(4)} " +
+      f"sampled=${stages.getLong(5)} packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     funnel.unpersist()
     sig.unpersist()

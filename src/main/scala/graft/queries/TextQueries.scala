@@ -78,6 +78,41 @@ object TextQueries extends QueryModule {
   private def stopScoreSql(ws: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN ${sqlList(ws)}))"
 
+  /** Unigram-LM quality scoring — the CCNet/perplexity-filter shape — in
+    * exact integer arithmetic: per-token surprisal is measured in WHOLE
+    * BITS, floor(log2(N/cnt)), computed as the binary-string length of the
+    * integer quotient N div cnt. Fractional log-probs are not bit-identical
+    * across engines (t6's rationale); integer division and string length
+    * are, so per-doc sums are exact BIGINTs and the one mean divide is a
+    * single identical IEEE op. Shapes: explode+groupBy vocabulary (LM
+    * "training"), broadcast 1-row corpus total, token-key join-back (a
+    * shuffle — the vocab grows with the corpus), per-doc exact sum. At
+    * serving scale the trained table would be a broadcast top-K vocab with
+    * an OOV default bit cost instead of the full join.
+    *
+    * Input needs (doc_id, text); output is per-doc (n_tokens, sum_bits,
+    * mean_bits, in_band) with the quality band — too low = degenerate or
+    * repetitive, too high = gibberish — decided in exact integer space:
+    * 3.0 <= mean_bits <= 4.1 as sum*10 within [n*30, n*41]. Used by the
+    * t14 oracle query and as the LM stage of the CorpusDemo funnel.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (length(bin(expr("n_total div cnt"))) - 1).cast("long").as("bits"))
+    toks.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("sum_bits"),
+        round(col("sum_bits").cast("double") / col("n_tokens"), 4).as("mean_bits"),
+        (col("sum_bits") * 10 >= col("n_tokens") * 30 &&
+          col("sum_bits") * 10 <= col("n_tokens") * 41).as("in_band"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "t1_token_stats",
@@ -256,36 +291,8 @@ object TextQueries extends QueryModule {
     QueryDef(
       "t14_unigram_surprisal",
       (s, d) => {
-        // Unigram-LM quality scoring — the CCNet/perplexity-filter shape —
-        // in exact integer arithmetic: per-token surprisal is measured in
-        // WHOLE BITS, floor(log2(N/cnt)), computed as the binary-string
-        // length of the integer quotient N div cnt. Fractional log-probs
-        // are not bit-identical across engines (t6's rationale); integer
-        // division and string length are, so per-doc sums are exact
-        // BIGINTs and the one mean divide is a single identical IEEE op.
-        // Shapes: explode+groupBy vocabulary (LM "training"), broadcast
-        // 1-row corpus total, token-key join-back (a shuffle — the vocab
-        // grows with the corpus), per-doc exact sum. At serving scale the
-        // trained table would be a broadcast top-K vocab with an OOV
-        // default bit cost instead of the full join.
-        val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        val total = vocab.agg(sum(col("cnt")).as("n_total"))
-        val lp = vocab.crossJoin(broadcast(total))
-          .select(col("tok"),
-            (length(bin(expr("n_total div cnt"))) - 1).cast("long").as("bits"))
-        toks.join(lp, "tok")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
-          .select(
-            col("doc_id"), col("n_tokens"), col("sum_bits"),
-            round(col("sum_bits").cast("double") / col("n_tokens"), 4).as("mean_bits"),
-            // quality band on mean surprisal (too low = degenerate or
-            // repetitive, too high = gibberish), decided in exact integer
-            // space: 3.0 <= mean_bits <= 4.1 as sum*10 within [n*30, n*41]
-            (col("sum_bits") * 10 >= col("n_tokens") * 30 &&
-              col("sum_bits") * 10 <= col("n_tokens") * 41).as("in_band"))
+        // see [[unigramSurprisal]]
+        unigramSurprisal(Tables.documents(s, d))
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
              |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),

@@ -86,6 +86,33 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!joined.queryExecution.optimizedPlan.toString.contains("range_bin"))
   }
 
+  test("non-inner joins with a marker are left untouched (marker inert)") {
+    val joined = points.join(intervals,
+      graft.functions.pointInInterval($"v", $"lo", $"hi", bin = 0.5), "left_outer")
+    val naive = points.join(intervals, $"v" >= $"lo" && $"v" < $"hi", "left_outer")
+    val got = joined.select($"pid", $"iid").collect().map(r => (r.getLong(0), r.isNullAt(1))).toSet
+    val want = naive.select($"pid", $"iid").collect().map(r => (r.getLong(0), r.isNullAt(1))).toSet
+    assert(got === want)
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("graft_bucket"))
+  }
+
+  test("long-typed points (epoch timestamps) bucket correctly via cast monotonicity") {
+    // epoch-micros magnitudes approach 2^53: the double cast is lossy, but
+    // division by a positive bin and floor are monotone, so the bucket
+    // containment that makes the rewrite lossless still holds
+    val base = 1700000000000000L // ~1.7e15
+    val evs = Seq((1L, base), (2L, base + 500000L), (3L, base + 999999L), (4L, base + 3600L * 1000000L))
+      .toDF("eid", "ts")
+    val wins = Seq((10L, base, base + 1000000L), (11L, base + 1000000L, base + 2000000L))
+      .toDF("wid", "wlo", "whi")
+    val naive = evs.join(wins, $"ts" >= $"wlo" && $"ts" < $"whi")
+      .select($"eid", $"wid").as[(Long, Long)].collect().toSet
+    val marked = evs.join(wins,
+      graft.functions.pointInInterval($"ts", $"wlo", $"whi", bin = 1000000.0))
+      .select($"eid", $"wid").as[(Long, Long)].collect().toSet
+    assert(marked === naive && marked.nonEmpty)
+  }
+
   test("the marker expression itself is constant true (inert without the rule)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val h = RangeBinHint(Literal(1.0), Literal(2.0), Literal(0.5))
