@@ -101,7 +101,11 @@ case class RangeBinHint(point: Expression, bound: Expression, bin: Expression)
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(_, _, Inner, Some(cond), _) if cond.exists(_.isInstanceOf[RangeBinHint]) =>
+    // top-level conjuncts only: a marker nested under OR etc. (contrary to
+    // the AND-it API contract) is simply left in place — it is inert
+    // constant-true, so the join still computes the documented result
+    case j @ Join(_, _, Inner, Some(cond), _)
+        if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangeBinHint]) =>
       rewrite(j).getOrElse(stripHints(j))
   }
 
@@ -159,8 +163,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val newPoint = Project(pointPlan.output :+ pBucket, pointPlan)
         // Sequence is TimeZoneAwareExpression: it stays UNRESOLVED without a
         // timeZoneId even for purely-numeric sequences
-        val buckets = Sequence(bucketOf(lo, bin), bucketOf(hi, bin), Some(Literal(1L)),
-          Some(conf.sessionLocalTimeZone))
+        val loB = bucketOf(lo, bin)
+        val hiB = bucketOf(hi, bin)
+        val seq = Sequence(loB, hiB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+        // an empty/inverted interval (lo > hi — dirty data) matches nothing
+        // in the unrewritten join; Sequence would THROW on inverted bounds,
+        // so guard it to an empty bucket list (the row drops at the
+        // explode, same zero matches). A finite-but-huge interval still
+        // fails loudly inside Sequence (too-long sequence) rather than
+        // ever producing wrong results — the bin-hint contract is that
+        // bin is proportionate to the interval width.
+        val buckets = If(LessThanOrEqual(loB, hiB), seq,
+          Literal.create(Array.empty[Long], seq.dataType))
         val iBucket = AttributeReference("graft_bucket_i", LongType, nullable = false)()
         val newInterval =
           Generate(Explode(buckets), Nil, outer = false, None, Seq(iBucket), intervalPlan)

@@ -34,24 +34,22 @@ object BpeTokenizer {
     var done = pieces.size < 2
     while (!done) {
       var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
       var i = 0
       while (i < pieces.size - 1) {
         val r = ranks.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
-        if (r < bestRank) bestRank = r
+        if (r < bestRank) { bestRank = r; bestA = pieces(i); bestB = pieces(i + 1) }
         i += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        val (a, b) = rankPair(ranks, bestRank)
-        pieces = mergeAll(pieces, a, b)
+        pieces = mergeAll(pieces, bestA, bestB)
         if (pieces.size < 2) done = true
       }
     }
     pieces
   }
-
-  private def rankPair(ranks: Map[(String, String), Int], rank: Int): (String, String) =
-    ranks.find(_._2 == rank).get._1
 
   /** Merge all non-overlapping (a, b) adjacencies, left to right. */
   def mergeAll(pieces: Vector[String], a: String, b: String): Vector[String] = {
@@ -123,7 +121,10 @@ object BpeTokenizer {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(ranks)
     val nPieces = udf((w: String) => encode(w, bc.value).size)
+    // cache: the occurrence table feeds both the distinct-word encode and
+    // the join-back — without it the corpus tokenize+explode runs twice
     val occurrences = docs.select(col("doc_id"), explode(PipelineFns.tokens(col("text"))).as("word"))
+      .cache()
     val encoded = occurrences.select(col("word")).distinct()
       .withColumn("n_pieces", nPieces(col("word")))
     occurrences.join(encoded, "word")

@@ -25,6 +25,10 @@ import org.apache.spark.sql.expressions.Window
 object CurationQueries extends QueryModule {
   import PipelineFns._
 
+  /** Memoized BPE merge tables per sf dir (see t16_bpe_tokenize). */
+  private val learnedMerges =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
   /** Token budget per pack (t8): the classic 4k context window. */
   private val PackBudget = 4096L
 
@@ -592,9 +596,13 @@ object CurationQueries extends QueryModule {
         // this entry has no DuckDB oracle — the driver records the weaker
         // rows-only check; semantics are pinned by BpeTokenizerSpec
         // (hand-computed Sennrich example, tie-break, cache-trick
-        // equivalence).
+        // equivalence). Learning runs Spark jobs eagerly at build time
+        // (the rank table parameterizes the plan), so the merges memoize
+        // per sf dir — plan-only consumers (schema checks, explain
+        // sweeps) pay once per JVM, not per call.
         val docs = Tables.documents(s, d)
-        val merges = BpeTokenizer.learn(BpeTokenizer.wordCounts(docs), 8)
+        val merges = learnedMerges.getOrElseUpdate(d,
+          BpeTokenizer.learn(BpeTokenizer.wordCounts(docs), 8))
         BpeTokenizer.pieceCounts(docs, BpeTokenizer.ranksOf(merges))
           .select(col("doc_id"), col("n_words"), col("n_pieces"),
             round(col("n_pieces").cast("double") / col("n_words"), 4).as("pieces_per_word"))

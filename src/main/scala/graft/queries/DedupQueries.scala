@@ -301,9 +301,12 @@ object DedupQueries extends QueryModule {
         // the matched rows — never a corpus-side broadcast or a
         // full-corpus tokenize. (Left to stats, Catalyst broadcast the
         // whole tokenized corpus here: 2 corpus regex passes + 2 corpus
-        // hash-build broadcasts, backwards at every scale. Beyond
-        // broadcastable candidate counts the same join runs as a shuffle
-        // on doc_id — the fetch-only-candidates property is what scales.)
+        // hash-build broadcasts, backwards at every scale.) The broadcast
+        // hints are MANDATORY — Spark honors them regardless of size — so
+        // past broadcastable candidate counts the scale adaptation is to
+        // DROP the hints and let the same joins shuffle on doc_id; the
+        // property that scales is fetch-only-candidate-payloads, not the
+        // broadcast itself.
         val docs = Tables.documents(s, d)
         // cache: the band self-join consumes the signatures twice, and the
         // shingle md5 pass is the expensive part (same hygiene as d3)

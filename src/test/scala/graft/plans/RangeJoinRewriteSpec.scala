@@ -21,7 +21,10 @@ class RangeJoinRewriteSpec extends SparkSpec {
   private def intervals: DataFrame =
     Seq[(Long, java.lang.Double, java.lang.Double)](
       (100L, 0.0, 0.5), (101L, 0.5, 1.0), (102L, -1.0, 0.0), (103L, 0.25, 2.0),
-      (104L, 2.5, 2.5), (105L, null, 1.0), (106L, 1.0, null), (107L, 489.5, 500.0)
+      (104L, 2.5, 2.5), (105L, null, 1.0), (106L, 1.0, null), (107L, 489.5, 500.0),
+      // inverted bounds (dirty data): zero matches, and the rewrite must
+      // not crash in Sequence on the reversed bucket range
+      (108L, 5.0, 1.0)
     ).toDF("iid", "lo", "hi")
 
   private def resultSet(df: DataFrame): Set[(Long, Long)] =
