@@ -191,6 +191,52 @@ object MultimodalQueries extends QueryModule {
              |  FROM (SELECT doc_id, ${fakeWSql("doc_id")} AS w, ${fakeHSql("doc_id")} AS h FROM documents)
              |  WHERE w > 5 AND h > 5)""".stripMargin),
       "Resize planning: aspect-preserving target-256 dims + tiny-crop filter, metadata-only (payload pruned)."
+    ),
+    QueryDef(
+      "mm5_audio_chunks",
+      (s, d) => {
+        // Audio chunk planning — the Whisper-style overlapping-window
+        // shape: each payload is a fake mono 16-bit recording with
+        // hash-derived sample rate and duration; chunks are 10 s windows
+        // on a 9 s hop (1 s overlap), the last window truncated at the
+        // stream end. All integer arithmetic (sample counts, byte
+        // offsets, ms via integer div), metadata-only — the decode stage
+        // would consume (start_byte, n_bytes) ranges per chunk without
+        // this plan ever touching payloads.
+        val sr = element_at(
+          array(lit(16000L), lit(22050L), lit(44100L)),
+          (h60(concat(lit("sr:"), col("doc_id").cast("string"))) % 3 + 1).cast("int"))
+        val durS = h60(concat(lit("dur:"), col("doc_id").cast("string"))) % 50 + 5
+        Tables.documents(s, d)
+          .select(col("doc_id"), sr.as("sr"), (sr * durS).as("n_samples"))
+          .withColumn("chunk", col("sr") * 10L)
+          .withColumn("hop", col("sr") * 9L)
+          .select(col("doc_id"), col("sr"), col("n_samples"), col("chunk"), col("hop"),
+            explode(sequence(lit(0L), expr("(n_samples - 1) div hop"))).as("chunk_idx"))
+          .select(
+            col("doc_id"), col("sr"), col("chunk_idx"),
+            expr("chunk_idx * hop * 1000 div sr").as("start_ms"),
+            expr("least(chunk_idx * hop + chunk, n_samples) * 1000 div sr").as("end_ms"),
+            (col("chunk_idx") * col("hop") * 2L).as("start_byte"),
+            ((least(col("chunk_idx") * col("hop") + col("chunk"), col("n_samples"))
+              - col("chunk_idx") * col("hop")) * 2L).as("n_bytes"))
+      },
+      Some(s"""SELECT doc_id, sr, chunk_idx,
+             |  chunk_idx * hop * 1000 // sr AS start_ms,
+             |  least(chunk_idx * hop + chunk, n_samples) * 1000 // sr AS end_ms,
+             |  chunk_idx * hop * 2 AS start_byte,
+             |  (least(chunk_idx * hop + chunk, n_samples) - chunk_idx * hop) * 2 AS n_bytes
+             |FROM (
+             |  SELECT doc_id, sr, n_samples, chunk, hop,
+             |    unnest(range(0, (n_samples - 1) // hop + 1)) AS chunk_idx
+             |  FROM (
+             |    SELECT doc_id, sr, sr * dur_s AS n_samples, sr * 10 AS chunk, sr * 9 AS hop
+             |    FROM (
+             |      SELECT doc_id,
+             |        CAST([16000, 22050, 44100][CAST(${h60Sql("concat('sr:', CAST(doc_id AS VARCHAR))")} % 3 + 1 AS INTEGER)] AS BIGINT) AS sr,
+             |        ${h60Sql("concat('dur:', CAST(doc_id AS VARCHAR))")} % 50 + 5 AS dur_s
+             |      FROM documents)))""".stripMargin),
+      "Audio chunk planning: 10s windows on a 9s hop (1s overlap), truncated tail; integer sample/byte/ms arithmetic, metadata-only."
     )
   )
 }

@@ -10,14 +10,18 @@ import graft.vlm.SparkSpec
   *
   * Representative queries cover each risk class: float rounding after
   * aggregation (a5), top-k ties (v1, w1), LSH candidate generation (d3),
-  * multi-stage dedup (d8), window prefix sums (t8), and the PQ argmin (v8).
+  * multi-stage dedup (d8), window prefix sums (t8), the PQ argmin (v8 —
+  * min_by partial aggregation since round 4), the bucketed range-join
+  * rewrite (j_range_rewrite), salted joins (j_salted), and the LM
+  * surprisal trains (t14/t15: vocabulary aggregation + join-back).
   */
 class DeterminismSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
   private val names = Seq(
     "a5_stats_profile", "v1_knn_bruteforce", "w1_rank_topk",
-    "d3_lsh_near_dup_pairs", "d8_scalable_dedup", "t8_token_packing", "v8_pq_codes")
+    "d3_lsh_near_dup_pairs", "d8_scalable_dedup", "t8_token_packing", "v8_pq_codes",
+    "j_range_rewrite", "j_salted_skew_join", "t14_unigram_surprisal", "t15_bigram_surprisal")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
