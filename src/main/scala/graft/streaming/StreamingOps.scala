@@ -141,6 +141,34 @@ object StreamingOps {
   def curateDocs(docs: DataFrame): DataFrame =
     graft.queries.CurationQueries.curationStage(docs)
 
+  /** Streaming LM-surprisal scoring — the serving seam documented on
+    * [[graft.queries.TextQueries.unigramSurprisal]] realized: the trained
+    * vocabulary truncates to a broadcast top-K (token → whole-bit cost)
+    * and every document scores MAP-ONLY against it (exact integer sum;
+    * out-of-vocabulary tokens cost `oovBits` — one more bit than the
+    * rarest trained token, the standard backoff). Stateless: no shuffle,
+    * no watermark, no state store, so batch and streaming results are
+    * row-identical; tokenization matches the engine-wide
+    * `[a-z0-9]+`-on-lowercase contract.
+    */
+  def scoreDocs(docs: DataFrame, vocabBits: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(vocabBits)
+    val oovBits = if (vocabBits.isEmpty) 1L else vocabBits.values.max + 1L
+    val score = udf { (text: String) =>
+      if (text == null) (0L, 0L)
+      else {
+        val m = bc.value
+        var n = 0L; var sum = 0L
+        val it = "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+        while (it.hasNext) { sum += m.getOrElse(it.next(), oovBits); n += 1 }
+        (n, sum)
+      }
+    }
+    docs.withColumn("s", score(col("text")))
+      .select(col("doc_id"), col("s._1").as("n_tokens"), col("s._2").as("sum_bits"))
+  }
+
   /** One incoming document (streaming near-dup input). */
   final case class Doc(doc_id: Long, text: String)
 

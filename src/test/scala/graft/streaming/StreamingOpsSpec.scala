@@ -187,6 +187,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scoreDocs: served top-K LM scoring matches the trained t14 sums, batch and stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog and the slow cat"),
+      (2L, "the the the the the the"),
+      (3L, "quick dog slow cat"))
+    val ddf = docs.toDF("doc_id", "text")
+    // full-coverage vocabulary: served scores must equal the exact t14
+    // training-side sums
+    val vocab = graft.queries.TextQueries.unigramBitsTable(ddf, topK = 1000)
+    val trained = graft.queries.TextQueries.unigramSurprisal(ddf)
+      .select("doc_id", "n_tokens", "sum_bits")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val served = StreamingOps.scoreDocs(ddf, vocab)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(served === trained)
+
+    // truncated vocab: unseen tokens cost max+1 bits, never error
+    val tiny = vocab.toSeq.sortBy(_._1).take(2).toMap
+    val oov = StreamingOps.scoreDocs(ddf, tiny).collect()
+    assert(oov.length === 3)
+
+    // stream parity
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.scoreDocs(mem.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("lm_scored").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = s.table("lm_scored")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed === trained)
+    } finally q.stop()
+  }
+
   test("curateDocs: stateless curation stage is row-identical in batch and streaming") {
     val s = spark
     import s.implicits._
