@@ -694,6 +694,37 @@ object RelationalQueries extends QueryModule {
       "Calendar bucketing (SURVEY M4; qa_base.py:145). String-keyed for cross-engine stability."
     ),
     QueryDef(
+      "m9_decay_halflife",
+      (s, d) => {
+        // Half-life-decayed aggregation (feature-store recency weighting)
+        // in EXACT integer arithmetic: event ages bucket into weeks capped
+        // at 10 half-lives, and the decay weight is the power of two
+        // 2^(10-age) — the weighted sum is a plain BIGINT sum of
+        // cents × weight (exact, order-free, map-side partial), and the
+        // single final divide by 2^10·100 is one identical IEEE op on both
+        // engines (power-of-two scaling is lossless in binary floating
+        // point). No pow()/exp() runs row-side; the corpus max-ts is a
+        // broadcast 1-row aggregate.
+        val maxTs = Tables.events(s, d).agg(max(col("ts")).as("max_ts"))
+        Tables.events(s, d).crossJoin(broadcast(maxTs))
+          .withColumn("age_hl", least(expr("(max_ts - ts) div 604800000000"), lit(10L)))
+          .withColumn("w", expr("shiftleft(1L, cast(10 - age_hl as int))"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value")) * col("w")).as("s"))
+          .select(col("event_type"), col("n"),
+            round(col("s").cast("double") / lit(102400.0), 4).as("decayed_value"))
+      },
+      Some("""WITH mt AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+             |SELECT event_type, count(*) AS n,
+             |  round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      * CAST(power(2, 10 - least((max_us - epoch_us(ts)) // 604800000000, 10)) AS BIGINT)) AS DOUBLE)
+             |    / 102400.0, 4) AS decayed_value
+             |FROM events CROSS JOIN mt
+             |GROUP BY event_type""".stripMargin),
+      "Half-life recency decay (feature-store op): week-bucketed ages capped at 10 half-lives, power-of-two integer weights — exact BIGINT weighted sums, one lossless final divide."
+    ),
+    QueryDef(
       "m3_seeded_random",
       (s, d) => {
         // Deterministic "random" distractor: uniform in [0,1) from the md5 of
