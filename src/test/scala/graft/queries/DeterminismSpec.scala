@@ -21,7 +21,8 @@ class DeterminismSpec extends SparkSpec {
   private val names = Seq(
     "a5_stats_profile", "v1_knn_bruteforce", "w1_rank_topk",
     "d3_lsh_near_dup_pairs", "d8_scalable_dedup", "t8_token_packing", "v8_pq_codes",
-    "j_range_rewrite", "j_salted_skew_join", "t14_unigram_surprisal", "t15_bigram_surprisal")
+    "j_range_rewrite", "j_salted_skew_join", "t14_unigram_surprisal", "t15_bigram_surprisal",
+    "m9_decay_halflife")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -165,6 +165,14 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("w1_rank_topk benefits from WindowGroupLimit (partial top-k before the shuffle)") {
+    // rank()<=k filters should trigger Spark's window-group-limit
+    // optimization: a per-partition partial top-k runs BELOW the exchange,
+    // so only k-ish rows per group shuffle instead of every row
+    val p = plan("w1_rank_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("no checked query emits a DECIMAL output column") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when
