@@ -113,6 +113,64 @@ object BpeTokenizer {
   def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** The catalog's pinned 8-merge rank table (t16a): the exact output of
+    * [[learn]] over the sf0.01 `documents` word-frequency table, frozen as
+    * literals. Pinning decouples the ENCODE half (deterministic given a
+    * rank table — hard-oracle-checkable) from the LEARN half (iterative
+    * argmax, spec-pinned by BpeTokenizerSpec): the catalog query encodes
+    * any corpus under this fixed vocabulary, the way a serving tokenizer
+    * ships a frozen merges.txt.
+    */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+
+  /** DuckDB oracle for greedy encode under a FIXED merge list: a recursive
+    * CTE over the distinct vocabulary. Pieces are rendered as a
+    * `(p1)(p2)…` string — tokens are [a-z0-9]+ so the parens are
+    * unambiguous delimiters — which makes both halves of each greedy round
+    * plain string ops: "lowest-rank pair present" is a rank-ordered CASE
+    * over instr(), and "merge ALL non-overlapping occurrences
+    * left-to-right" is exactly SQL replace() because adjacent `(a)(b)`
+    * renderings share no characters. Terminal rows (no ranked pair
+    * present) carry the piece count; per-doc totals join occurrences back
+    * on the word key — the same distinct-word cache shape as
+    * [[pieceCounts]].
+    */
+  def encodeOracleSql(merges: Seq[(String, String)]): String = {
+    def pat(a: String, b: String) = s"($a)($b)"
+    val caseBest = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"WHEN instr(s, '${pat(a, b)}') > 0 THEN $i"
+    }.mkString("CASE ", " ", " ELSE -1 END")
+    val caseApply = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"WHEN $i THEN replace(s, '${pat(a, b)}', '($a$b)')"
+    }.mkString("CASE best ", " ", " END")
+    val noPair = merges.map { case (a, b) => s"instr(s, '${pat(a, b)}') = 0" }
+      .mkString(" AND ")
+    s"""WITH RECURSIVE
+       |occ AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |words AS (SELECT DISTINCT word FROM occ),
+       |enc AS (
+       |  SELECT word,
+       |    '(' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, CAST(i AS INT), 1)), ')(') || ')' AS s
+       |  FROM words
+       |  UNION ALL
+       |  SELECT word, $caseApply AS s
+       |  FROM (SELECT word, s, $caseBest AS best FROM enc)
+       |  WHERE best >= 0),
+       |fin AS (
+       |  SELECT word, length(s) - length(replace(s, '(', '')) AS n_pieces
+       |  FROM enc WHERE $noPair)
+       |SELECT o.doc_id, count(*) AS n_words,
+       |  CAST(sum(f.n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(f.n_pieces) AS DOUBLE) / count(*), 4) AS pieces_per_word
+       |FROM occ o JOIN fin f USING (word)
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
   /** Per-document piece counts under a learned rank table: encode each
     * DISTINCT word once (broadcast ranks, vocabulary-scale work), join
     * occurrences back on the word key.
