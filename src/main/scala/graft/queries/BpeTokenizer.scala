@@ -87,6 +87,13 @@ object BpeTokenizer {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.size < numMerges) {
+      // lineage grows one UDF layer per merge round; analysis cost per round
+      // is O(depth), so a real vocabulary (32k merges) would pay O(k²) in
+      // the analyzer alone. Truncate the chain every CheckpointEvery rounds:
+      // the vocab table is vocabulary-scale (small next to the corpus), so
+      // the eager materialize is cheap and bounds plan depth to a constant.
+      if (merges.nonEmpty && merges.size % CheckpointEvery == 0 && cur.ne(base))
+        cur = cur.localCheckpoint()
       val pairs = cur.select(col("n"),
           explode(arrays_zip(
             slice(col("pieces"), lit(1), greatest(size(col("pieces")) - 1, lit(0))),
@@ -108,6 +115,11 @@ object BpeTokenizer {
     base.unpersist()
     merges.toSeq
   }
+
+  /** Lineage-truncation interval for [[learn]]: plan depth stays ≤ this
+    * many UDF layers regardless of vocabulary size.
+    */
+  val CheckpointEvery = 64
 
   /** Rank table from an ordered merge list. */
   def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
@@ -138,12 +150,18 @@ object BpeTokenizer {
     * [[pieceCounts]].
     */
   def encodeOracleSql(merges: Seq[(String, String)]): String = {
-    def pat(a: String, b: String) = s"($a)($b)"
+    // tokens are [a-z0-9]+ by the tokenizer contract, so '(piece)(piece)'
+    // renderings are quote-free; escape anyway so a caller feeding a wider
+    // alphabet gets valid SQL, and reject the empty merge list outright
+    // (it would generate degenerate CASE/WHERE fragments).
+    require(merges.nonEmpty, "encodeOracleSql needs at least one merge")
+    def esc(s: String) = s.replace("'", "''")
+    def pat(a: String, b: String) = s"(${esc(a)})(${esc(b)})"
     val caseBest = merges.zipWithIndex.map { case ((a, b), i) =>
       s"WHEN instr(s, '${pat(a, b)}') > 0 THEN $i"
     }.mkString("CASE ", " ", " ELSE -1 END")
     val caseApply = merges.zipWithIndex.map { case ((a, b), i) =>
-      s"WHEN $i THEN replace(s, '${pat(a, b)}', '($a$b)')"
+      s"WHEN $i THEN replace(s, '${pat(a, b)}', '(${esc(a + b)})')"
     }.mkString("CASE best ", " ", " END")
     val noPair = merges.map { case (a, b) => s"instr(s, '${pat(a, b)}') = 0" }
       .mkString(" AND ")

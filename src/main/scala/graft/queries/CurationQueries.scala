@@ -25,10 +25,6 @@ import org.apache.spark.sql.expressions.Window
 object CurationQueries extends QueryModule {
   import PipelineFns._
 
-  /** Memoized BPE merge tables per sf dir (see t16_bpe_tokenize). */
-  private val learnedMerges =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
-
   /** Token budget per pack (t8): the classic 4k context window. */
   private val PackBudget = 4096L
 
@@ -236,10 +232,29 @@ object CurationQueries extends QueryModule {
           // ids are 'src<N>' by the documents-table contract
           .withColumn("tier", lit(1L) +
             pmod(col("source").substr(lit(4), length(col("source"))).cast("long"), lit(3L)))
-        val w = Window.partitionBy()
-        perSource
-          .withColumn("total_tokens", sum(col("n_tokens")).over(w))
-          .withColumn("total_tier", sum(col("tier")).over(w))
+        // corpus totals WITHOUT a partition-less window (which would funnel
+        // rows into one task and warn "No Partition Defined") and WITHOUT a
+        // self-join stats branch (which re-scans the corpus — pruning makes
+        // the two agg subtrees non-identical, so ReuseExchange can't
+        // dedupe them): fold the per-source rows into ONE row
+        // (collect_list over the n_sources-row aggregate — metadata-scale
+        // by construction), take totals over the array, explode back. One
+        // corpus scan, one groupBy shuffle, one single-partition
+        // final-agg exchange carrying n_sources rows.
+        val asArray = perSource
+          .agg(collect_list(struct(
+            col("source"), col("n_docs"), col("n_tokens"), col("tier"))).as("rs"))
+          .select(col("rs"),
+            aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("n_tokens")).as("total_tokens"),
+            aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("tier")).as("total_tier"))
+        asArray
+          .select(explode(col("rs")).as("r"), col("total_tokens"), col("total_tier"))
+          .select(
+            col("r").getField("source").as("source"),
+            col("r").getField("n_docs").as("n_docs"),
+            col("r").getField("n_tokens").as("n_tokens"),
+            col("r").getField("tier").as("tier"),
+            col("total_tokens"), col("total_tier"))
           // budget = half the corpus tokens, split across sources by tier
           .withColumn("budget", floor(col("total_tokens").cast("double") / 2).cast("long"))
           .withColumn("target_tokens",
@@ -381,9 +396,14 @@ object CurationQueries extends QueryModule {
         // symbol pairs across every pre-token occurrence in the corpus and
         // rank the merge candidates. One explode→explode→groupBy — the
         // shape each merge iteration repeats at scale (pair counts are the
-        // shuffle; the merge table itself is metadata-scale). Top-20 with a
-        // total-order tiebreak.
-        Tables.documents(s, d)
+        // shuffle; the merge table itself is metadata-scale). The global
+        // top-20 runs two-level: orderBy+limit plans as
+        // TakeOrderedAndProject (per-partition top-k, k-row merge — NOT a
+        // single-partition rank window, which funnels every pair into one
+        // task and warns "No Partition Defined"). Ranks are then assigned
+        // to the k survivors by a broadcast self-join bounded at k×k
+        // comparisons: rank = how many survivors order at-or-before you.
+        val top = Tables.documents(s, d)
           .select(explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("pt"))
           .filter(length(col("pt")) >= 2)
           .select(explode(transform(
@@ -391,10 +411,14 @@ object CurationQueries extends QueryModule {
             i => col("pt").substr(i, lit(2)))).as("pair"))
           .groupBy(col("pair"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("n").desc, col("pair").asc)))
-          .filter(col("rk") <= 20)
-          .select(col("rk").cast("long").as("rk"), col("pair"), col("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20)
+        val other = top.select(col("pair").as("o_pair"), col("n").as("o_n"))
+        top.join(broadcast(other),
+            col("o_n") > col("n") || (col("o_n") === col("n") && col("o_pair") <= col("pair")))
+          .groupBy(col("pair"), col("n"))
+          .agg(count(lit(1)).as("rk"))
+          .select(col("rk"), col("pair"), col("n"))
       },
       Some(s"""SELECT rk, pair, n FROM (
              |  SELECT pair, count(*) AS n,
@@ -584,31 +608,26 @@ object CurationQueries extends QueryModule {
       "Offset-based sequence packing into fixed token budgets (concatenate-and-chunk): per-source prefix-sum window, pack_id = start_offset div budget."
     ),
     QueryDef(
-      "t16_bpe_tokenize",
-      (s, d) => {
-        // Applied BPE tokenizer, closing the t9 (pretokens) → t13 (merge
-        // statistics) loop: learn 8 merges from the corpus word-frequency
-        // table ([[BpeTokenizer.learn]] — k rounds over the DISTRIBUTED
-        // vocab, one single-row argmax collect per round), then encode via
-        // the distinct-pretoken cache (greedy merge loop once per distinct
-        // word with the rank table broadcast; per-doc counts join back on
-        // the word key). Iterative greedy BPE is not SQL-expressible, so
-        // this entry has no DuckDB oracle — the driver records the weaker
-        // rows-only check; semantics are pinned by BpeTokenizerSpec
-        // (hand-computed Sennrich example, tie-break, cache-trick
-        // equivalence). Learning runs Spark jobs eagerly at build time
-        // (the rank table parameterizes the plan), so the merges memoize
-        // per sf dir — plan-only consumers (schema checks, explain
-        // sweeps) pay once per JVM, not per call.
-        val docs = Tables.documents(s, d)
-        val merges = learnedMerges.getOrElseUpdate(d,
-          BpeTokenizer.learn(BpeTokenizer.wordCounts(docs), 8))
-        BpeTokenizer.pieceCounts(docs, BpeTokenizer.ranksOf(merges))
+      "t16a_bpe_encode",
+      (s, d) =>
+        // Applied BPE under the catalog's FROZEN vocabulary — the way a
+        // serving tokenizer ships merges.txt, closing the t9 (pretokens) →
+        // t13 (merge statistics) loop: greedy-encode each DISTINCT word
+        // once against the broadcast [[BpeTokenizer.PinnedMerges]] rank
+        // table, join occurrences back on the word key (vocabulary-scale
+        // merge work, corpus touched once). Encoding under a fixed rank
+        // table is deterministic, so it takes a hard DuckDB oracle — a
+        // recursive CTE replaying the identical greedy rounds
+        // ([[BpeTokenizer.encodeOracleSql]]). The LEARN half stays
+        // spec-pinned: BpeTokenizerSpec asserts PinnedMerges ==
+        // learn(wordCounts(sf0.01), 8), so the frozen table cannot drift
+        // from the trainer.
+        BpeTokenizer
+          .pieceCounts(Tables.documents(s, d), BpeTokenizer.ranksOf(BpeTokenizer.PinnedMerges))
           .select(col("doc_id"), col("n_words"), col("n_pieces"),
-            round(col("n_pieces").cast("double") / col("n_words"), 4).as("pieces_per_word"))
-      },
-      None,
-      "Applied BPE: distributed 8-merge learning + vocabulary-cached greedy encoding; per-doc piece counts and compression (rows-only check; spec-pinned semantics)."
+            round(col("n_pieces").cast("double") / col("n_words"), 4).as("pieces_per_word")),
+      Some(BpeTokenizer.encodeOracleSql(BpeTokenizer.PinnedMerges)),
+      "Applied BPE encode under the pinned 8-merge vocabulary: distinct-word cached greedy encode + occurrence join-back; hard recursive-CTE oracle (learning spec-pinned to the same table)."
     )
   )
 }

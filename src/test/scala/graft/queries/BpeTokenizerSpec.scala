@@ -55,6 +55,30 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 8L), (2L, 2L, 8L)))
   }
 
+  test("PinnedMerges is exactly learn(wordCounts(sf0.01), 8) — frozen table can't drift") {
+    // the t16a catalog query encodes under PinnedMerges and its DuckDB
+    // oracle replays the same table; this is the one assertion tying the
+    // frozen literals back to the trainer over the corpus they came from
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(learn(wordCounts(docs), 8) === PinnedMerges)
+  }
+
+  test("encodeOracleSql rejects an empty merge list") {
+    intercept[IllegalArgumentException](encodeOracleSql(Seq.empty))
+  }
+
+  test("learn survives 256 merges: checkpointing bounds plan depth") {
+    // 256 distinct two-char words over a 16-letter alphabet, each with
+    // count 2: every word contributes exactly one mergeable pair, so learn
+    // performs 256 rounds — 4× the CheckpointEvery interval — and the
+    // argmax order is fully tie-broken (all counts equal) to lexicographic
+    val abc = "abcdefghijklmnop"
+    val words = (for (a <- abc; b <- abc) yield (s"$a$b", 2L)).toSeq.toDF("word", "n")
+    val merges = learn(words, 256)
+    val expected = (for (a <- abc; b <- abc) yield (a.toString, b.toString)).toSeq.sorted
+    assert(merges === expected)
+  }
+
   test("end-to-end on testdata: learned merges compress the corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = learn(wordCounts(docs), 8)

@@ -119,11 +119,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("m7_domain_mix joins nothing: one corpus groupBy + one metadata-scale mixture window") {
+  test("m7_domain_mix: fold-and-explode totals — one corpus scan, no window, no join") {
     val p = plan("m7_domain_mix")
+    // corpus totals via collect_list-fold-explode over the n_sources-row
+    // aggregate: no Window node (an empty-partitionBy Window would funnel
+    // all rows into one task), no stats self-join (which would re-scan
+    // the corpus), exactly one parquet scan
+    assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
-    // corpus agg exchange + single-partition window exchange, nothing more
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    // the per-source groupBy shuffle + the single-partition final-agg
+    // exchange (n_sources rows, metadata-scale)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
   }
 
   test("d10_hash_decontaminate broadcasts the 8-byte bench hash keys (training side map-only)") {
@@ -151,10 +158,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("t13_bpe_merge_candidates aggregates pair counts before the metadata-scale rank window") {
+  test("t13_bpe_merge_candidates: two-level top-k (TakeOrdered), broadcast rank join, no global window") {
     val p = plan("t13_bpe_merge_candidates")
     // partial+final aggregation of the pair counts
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // global top-20 via per-partition top-k + k-row merge, NOT a
+    // single-partition rank window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // ranks come from the k×k broadcast self-join
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("no query plans a partition-less Window (the funnel-everything-into-one-task shape)") {
+    // the logical-plan version of the "No Partition Defined for Window"
+    // runtime warning: an empty partitionSpec moves EVERY row to a single
+    // task, which is a scale-killer whatever the current row count
+    for (name <- SparkEntry.queries.keys) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty, s"$name has a global window: ${offenders.mkString("; ")}")
+    }
   }
 
   test("j_range_rewrite plans a hash equi-join on the bucket key (no nested loop)") {
