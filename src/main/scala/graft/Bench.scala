@@ -60,7 +60,11 @@ object Bench {
       "\"" + short(k) + "\":" + rounded
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // durable copy: the stderr tail the driver scrapes is ~2000 chars and
+    // has decapitated this line two rounds running ("parsed": null)
+    Artifacts.writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"), line)
     spark.stop()
   }
 }

@@ -24,8 +24,13 @@ import org.apache.spark.sql.expressions.Window
 object DedupQueries extends QueryModule {
   import PipelineFns._
 
-  private val NumMinhash = 8 // 8 minhashes → 4 bands × 2 rows
-  private val NumBands = 4
+  // LSH geometry from the active GraftConfig (demo: 8 minhashes → 4 bands
+  // × 2 rows; the 100 TB preset widens to 32 × 4 — see GraftConfig and
+  // README "Capacity math"). Query code AND oracle SQL derive from the
+  // same values, so the two sides cannot disagree.
+  private val NumMinhash = graft.GraftConfig.active.numMinhash
+  private val NumBands = graft.GraftConfig.active.numBands
+  private val RowsPerBand = graft.GraftConfig.active.rowsPerBand
   private val JaccardThreshold = 0.5
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
@@ -56,23 +61,35 @@ object DedupQueries extends QueryModule {
     */
   private def signatures(sets: DataFrame): DataFrame =
     sets
-      .select(col("doc_id"), graft.functions.minhash8(col("sh")).as("mh")) // one pass per row
-      .select(col("doc_id") +: (0 until NumMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+      .select(col("doc_id"), col("sh"), graft.functions.minhash8(col("sh")).as("mh")) // one pass per row
+      .select(col("doc_id") +: (0 until NumMinhash).map { j =>
+        if (j < 8) element_at(col("mh"), j + 1).as(s"mh$j")
+        // slices beyond the 8 the fused expression extracts from the 60-bit
+        // digest: independent md5 re-hash per slice (the 100 TB preset's
+        // 128 slices; a corpus-scale run would want a fused MinHashN
+        // expression, but the math and the oracle mirror are exact)
+        else array_min(transform(col("sh"),
+          h => pmod(h60(concat(lit(s"mh$j:"), h.cast("string"))), lit(4294967296L)))).as(s"mh$j")
+      }: _*)
 
   private def minhashColsSql: String =
     (0 until NumMinhash).map { j =>
-      s"list_min(list_transform(sh, h -> (h >> ${4 * j}) & 4294967295)) AS mh$j"
+      if (j < 8) s"list_min(list_transform(sh, h -> (h >> ${4 * j}) & 4294967295)) AS mh$j"
+      else s"list_min(list_transform(sh, h -> ${h60Sql(s"concat('mh$j:', CAST(h AS VARCHAR))")} % 4294967296)) AS mh$j"
     }.mkString(", ")
 
-  /** LSH band keys: md5 over pairs of adjacent minhashes. */
+  /** LSH band keys: md5 over `rowsPerBand` adjacent minhashes. */
   private def bandCols: Seq[Column] =
     (0 until NumBands).map { b =>
-      md5(concat_ws("_", col(s"mh${2 * b}").cast("string"), col(s"mh${2 * b + 1}").cast("string"))).as(s"band$b")
+      md5(concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*)).as(s"band$b")
     }
 
   private def bandColsSql: String =
     (0 until NumBands).map { b =>
-      s"md5(concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))) AS band$b"
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)").mkString(", '_', ")
+      s"md5(concat($parts)) AS band$b"
     }.mkString(", ")
 
   /** Per-document LSH band rows `(band_idx, band, doc_id)` for an arbitrary
@@ -159,7 +176,7 @@ object DedupQueries extends QueryModule {
     * 100 TB corpus scale it usually fits one executor; 5e6 edges ≈ 80 MB.
     * Above the threshold the distributed min-label loop takes over.
     */
-  private val LocalCcMaxEdges = 5_000_000L
+  private val LocalCcMaxEdges = graft.GraftConfig.active.localCcMaxEdges
 
   private def minLabelComponents(undirected: DataFrame): DataFrame = {
     // Callers cache `undirected` (it is the output of the whole LSH

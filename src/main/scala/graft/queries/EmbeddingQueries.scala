@@ -24,10 +24,14 @@ import org.apache.spark.sql.expressions.Window
 object EmbeddingQueries extends QueryModule {
   import PipelineFns._
 
-  private val Dim = 64
-  private val NumPlanes = 6 // 64 LSH buckets
+  // scale geometry from the active GraftConfig (demo: 6 planes / 8 cells;
+  // the 100 TB preset widens to 28 planes / 1e5 cells — see GraftConfig
+  // and README "Capacity math"); query code and oracle SQL derive from
+  // the same values
+  private val Dim = graft.GraftConfig.active.dim
+  private val NumPlanes = graft.GraftConfig.active.numHyperplanes
   private val CosineThreshold = 0.4
-  private val NumCells = 8 // IVF coarse cells
+  private val NumCells = graft.GraftConfig.active.numCells
   private val NumProbe = 2 // IVF cells probed per query
   private val TrainIters = 2 // sampled-Lloyd rounds for the IVF codebook
   private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
@@ -132,8 +136,8 @@ object EmbeddingQueries extends QueryModule {
     * codewords per subspace (first-`PqCodes` seed codebook — per-subspace
     * k-means at scale, the IvfCentroids seam).
     */
-  private val PqSub = 8
-  private val PqSubDim = 8
+  private val PqSub = graft.GraftConfig.active.pqSub
+  private val PqSubDim = graft.GraftConfig.active.pqSubDim
   private val PqCodes = 16
 
   /** Per-(vector, subspace) nearest-codeword assignment: columns
