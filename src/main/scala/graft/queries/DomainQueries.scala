@@ -45,6 +45,60 @@ object DomainQueries extends QueryModule {
       |  l_tax * 2 + 0.2 AS xl, (l_quantity % 7) / 10 + 0.3 AS yl, (l_linenumber % 3) / 2.0 + 0.4 AS zl
       |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin
 
+  /** VOC-style average precision over a detection-metric threshold sweep —
+    * the Objectron evaluation loop (metrics.py:31-99 HitMiss/
+    * AveragePrecision, eval.py:139-186) as one relational program. Input:
+    * `(frame_id, iou)`, one row per prediction with its matched-GT metric
+    * (0 for unmatched), predictions 1:1 with GT instances. Per the
+    * reference: at each of `bins` thresholds t_i = i/(bins−1), a
+    * prediction is a hit iff iou ≥ t_i; hits/misses accumulate over frames
+    * in frame order into cumulative tp/fp; AP numerically integrates the
+    * monotonically-decreased precision over recall changes (the inserted
+    * (0,0) / appended (1,0) sentinel points contribute exactly the
+    * lag-default-0 first delta and nothing, respectively).
+    *
+    * Engine parity: recall/precision/suffix-max are identical IEEE ops on
+    * exact integer tp/fp/total; the order-sensitive Σ delta×precision is
+    * scaled to integer nano-units per term first, so the sum is
+    * order-independent. Scale shape: the sweep multiplies rows by the
+    * constant `bins`; every window partitions on the threshold index
+    * (the per-threshold prefix sum is the t8 token-packing shape).
+    */
+  def apSweep(scored: DataFrame, bins: Int): DataFrame = {
+    val wCum = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("ti"))
+    val wSeq = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
+    val wSuffix = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    scored
+      .select(col("frame_id"), col("iou"),
+        explode(sequence(lit(0), lit(bins - 1))).as("ti"))
+      .groupBy(col("ti"), col("frame_id"))
+      .agg(
+        sum(when(col("iou") >= col("ti").cast("double") / (bins - 1), 1L).otherwise(0L)).as("hit"),
+        count(lit(1)).as("n"))
+      .withColumn("tp", sum(col("hit")).over(wCum))
+      .withColumn("fp", sum(col("n") - col("hit")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("recall", col("tp").cast("double") / col("total"))
+      .withColumn("prec",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+      .withColumn("monoprec", max(col("prec")).over(wSuffix))
+      .withColumn("delta", col("recall") - lag(col("recall"), 1, 0.0).over(wSeq))
+      .withColumn("term", round(col("delta") * col("monoprec") * 1e9, 0).cast("long"))
+      .groupBy(col("ti"))
+      .agg(
+        max(col("total")).as("n_instances"),
+        max(col("tp")).as("tp_total"), // cumulative, so max = final
+        max(col("fp")).as("fp_total"),
+        round(sum(col("term")).cast("double") / 1e9, 6).as("ap"))
+      .select(col("ti").cast("long").as("ti"),
+        (col("ti").cast("double") / (bins - 1)).as("threshold"),
+        col("n_instances"), col("tp_total"), col("fp_total"), col("ap"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "g1_box_metrics",
@@ -239,6 +293,68 @@ object DomainQueries extends QueryModule {
              |    greatest(0, least(a.z + a.zl/2, c.z + c.zl/2) - greatest(a.z - a.zl/2, c.z - c.zl/2)) AS union_v
              |  FROM b a JOIN b c ON a.frame_id = c.frame_id AND a.idx < c.idx)""".stripMargin),
       "Exact oriented-box IoU (G21; iou.py:22-33 via Box3d half-space intersection) validated against the independent axis-aligned overlap-product closed form."
+    ),
+    QueryDef(
+      "g22_ap_sweep",
+      (s, d) => {
+        // G22: the Objectron 3D-detection AP evaluation (metrics.py:31-99,
+        // eval.py:139-186) end-to-end: deterministic "predictions" are the
+        // GT boxes translated by the reference's own fake-result shift
+        // (+0.01, +0.02, +0.5 — eval.py:117-128), matched 1:1; IoU through
+        // the production half-space kernel (boxIouUdf, round(4) bridging
+        // to the closed-form oracle exactly as g21 validates); then the
+        // 21-bin threshold sweep → cumulative PR → VOC AP integration in
+        // [[apSweep]]. Small boxes lose all z-overlap under the 0.5 shift,
+        // so the sweep exercises both hit and miss branches at every
+        // threshold.
+        val scored = syntheticBoxes(s, d).select(
+          col("frame_id"),
+          round(GeoFunctions.boxIouUdf(
+            array(col("x"), col("y"), col("z"), col("xl"), col("yl"), col("zl"),
+              lit(0.0), lit(0.0), lit(0.0)),
+            array(col("x") + 0.01, col("y") + 0.02, col("z") + 0.5,
+              col("xl"), col("yl"), col("zl"),
+              lit(0.0), lit(0.0), lit(0.0))), 4).as("iou"))
+        apSweep(scored, 21)
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql),
+             |scored AS (
+             |  SELECT frame_id,
+             |    round(CASE WHEN 2 * vol - iv > 0 THEN iv / (2 * vol - iv) ELSE 0 END, 4) AS iou
+             |  FROM (
+             |    SELECT frame_id, xl * yl * zl AS vol,
+             |      greatest(0, least(x + xl/2, x + 0.01 + xl/2) - greatest(x - xl/2, x + 0.01 - xl/2)) *
+             |      greatest(0, least(y + yl/2, y + 0.02 + yl/2) - greatest(y - yl/2, y + 0.02 - yl/2)) *
+             |      greatest(0, least(z + zl/2, z + 0.5 + zl/2) - greatest(z - zl/2, z + 0.5 - zl/2)) AS iv
+             |    FROM b)),
+             |sw AS (SELECT frame_id, iou, unnest(range(0, 21)) AS ti FROM scored),
+             |pf AS (SELECT ti, frame_id,
+             |    CAST(sum(CASE WHEN iou >= ti / 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+             |    count(*) AS n
+             |  FROM sw GROUP BY ti, frame_id),
+             |pr AS (SELECT ti, frame_id,
+             |    CAST(sum(hit) OVER wc AS BIGINT) AS tp,
+             |    CAST(sum(n - hit) OVER wc AS BIGINT) AS fp,
+             |    CAST(sum(n) OVER (PARTITION BY ti) AS BIGINT) AS total
+             |  FROM pf
+             |  WINDOW wc AS (PARTITION BY ti ORDER BY frame_id ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |pr2 AS (SELECT *, CAST(tp AS DOUBLE) / total AS recall,
+             |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec
+             |  FROM pr),
+             |pr3 AS (SELECT *,
+             |    max(prec) OVER (PARTITION BY ti ORDER BY frame_id ASC
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS monoprec,
+             |    recall - lag(recall, 1, 0.0) OVER (PARTITION BY ti ORDER BY frame_id ASC) AS delta
+             |  FROM pr2),
+             |final AS (SELECT ti,
+             |    max(total) AS n_instances, max(tp) AS tp_total, max(fp) AS fp_total,
+             |    round(CAST(sum(CAST(round(delta * monoprec * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ap
+             |  FROM pr3 GROUP BY ti)
+             |SELECT CAST(ti AS BIGINT) AS ti, ti / 20.0 AS threshold,
+             |  n_instances, tp_total, fp_total, ap
+             |FROM final""".stripMargin),
+      "Objectron 3D-detection AP over a 21-bin IoU sweep (metrics.py HitMiss/AveragePrecision, eval.py loop): per-frame hits, cumulative PR in frame order, VOC integration with monotone precision — windows partitioned per threshold."
     ),
     QueryDef(
       "g5_cam_box_distance",

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[DomainQueries.apSweep]] to hand-computed VOC/Objectron AP values
+  * (metrics.py:31-99 algorithm replayed by hand on a 3-prediction fixture),
+  * including the sentinel-point semantics: the inserted (0,0) is the
+  * lag-default first delta, the appended (1,0) contributes nothing.
+  */
+class ApSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // frames in frame_id order: f1 has predictions with iou {1.0, 0.0},
+  // f2 has {0.6}; bins=3 → thresholds {0, 0.5, 1}. Hand computation:
+  //  t=0.0: every pred hits → recall walks 2/3→1 at precision 1 → AP 1
+  //  t=0.5: f1 (tp1,fp1) p=1/2, f2 (tp2,fp1) p=2/3; monotone prec from
+  //         the right = 2/3 at both steps; AP = 1/3·2/3 + 1/3·2/3 = 4/9
+  //  t=1.0: f1 (tp1,fp1) p=1/2, f2 (tp1,fp2) p=1/3; recall only changes
+  //         at f1; AP = 1/3·1/2 = 1/6
+  private val fixture = Seq(
+    (1L, 1.0), (1L, 0.0), (2L, 0.6)
+  ).toDF("frame_id", "iou")
+
+  test("apSweep matches the hand-computed reference AP at every threshold") {
+    val got = DomainQueries.apSweep(fixture, 3)
+      .orderBy("ti")
+      .select("ti", "threshold", "n_instances", "tp_total", "fp_total", "ap")
+      .as[(Long, Double, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0.0, 3L, 3L, 0L, 1.0),
+      (1L, 0.5, 3L, 2L, 1L, 0.444444),
+      (2L, 1.0, 3L, 1L, 2L, 0.166667)))
+  }
+
+  test("all-miss predictions yield AP 0 (zero-precision curve integrates to zero)") {
+    val scored = Seq((1L, 0.0), (2L, 0.0)).toDF("frame_id", "iou")
+    val got = DomainQueries.apSweep(scored, 3)
+      .filter(col("ti") > 0).select("ap").as[Double].collect().toSeq
+    assert(got === Seq(0.0, 0.0))
+  }
+
+  test("perfect predictions yield AP 1 at every threshold") {
+    val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("frame_id", "iou")
+    val got = DomainQueries.apSweep(scored, 21).select("ap").as[Double].collect().toSeq
+    assert(got === Seq.fill(21)(1.0))
+  }
+}
