@@ -169,6 +169,24 @@ object StreamingOps {
       .select(col("doc_id"), col("s._1").as("n_tokens"), col("s._2").as("sum_bits"))
   }
 
+  /** Production state-store settings for the stateful guards (band-claim
+    * dedup, sequence packing, sessionization): the RocksDB provider keeps
+    * state off-heap and disk-spillable, so a band-claim store with one
+    * long per DISTINCT bucket survives corpus-scale key counts that would
+    * OOM the default in-memory HDFS-backed provider; changelog
+    * checkpointing ships per-batch deltas instead of re-snapshotting the
+    * full store. Session-level SQL confs — apply before `start()` (e.g.
+    * `conf.foreach { case (k, v) => spark.conf.set(k, v) }`); each
+    * streaming query captures them at start.
+    */
+  val RocksDbStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    // one shared block-cache/write-buffer budget across all loaded stores
+    // instead of per-store unbounded native allocations
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true")
+
   /** One incoming document (streaming near-dup input). */
   final case class Doc(doc_id: Long, text: String)
 
