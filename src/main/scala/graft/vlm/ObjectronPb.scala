@@ -50,7 +50,7 @@ object ObjectronPb {
 
   // ---- wire-format primitives --------------------------------------------
 
-  private final class Cur(val b: Array[Byte], var p: Int, val end: Int) {
+  private[vlm] final class Cur(val b: Array[Byte], var p: Int, val end: Int) {
     def hasNext: Boolean = p < end
     def varint(): Long = {
       var shift = 0
@@ -93,7 +93,7 @@ object ObjectronPb {
   }
 
   /** `repeated float [packed]` (wire 2) with unpacked (wire 5) fallback. */
-  private def readFloats(c: Cur, wire: Int, acc: scala.collection.mutable.ArrayBuffer[Float]): Unit =
+  private[vlm] def readFloats(c: Cur, wire: Int, acc: scala.collection.mutable.ArrayBuffer[Float]): Unit =
     if (wire == 2) {
       val s = c.sub()
       while (s.hasNext) acc += java.lang.Float.intBitsToFloat(s.fixed32())
