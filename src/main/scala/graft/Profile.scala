@@ -1,8 +1,12 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-/** Dev profiler: times individual queries (or stages) at a given SF dir.
+/** Dev profiler: times individual queries (or all) at a given SF dir, cold
+  * then warm, and records the WARM seconds to `profile_last.json`. The
+  * cold sf0.1 bench is codegen-compile/JIT-order dominated (±4 s swings on
+  * unchanged plans across rounds); the warm run2 numbers are the honest
+  * per-query costs, so they are the artifact a regression argument should
+  * cite.
+  *
   * Usage: runMain graft.Profile <sfDir> <queryName>...
   */
 object Profile {
@@ -10,19 +14,25 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate()
-    def time[T](n: String)(f: => T): T = {
-      val t0 = System.nanoTime; val r = f
-      println(f"[profile] $n: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    def time[T](n: String)(f: => T): Double = {
+      val t0 = System.nanoTime; f
+      val s = (System.nanoTime - t0) / 1e9
+      println(f"[profile] $n: $s%.2f s"); s
     }
     // warm the JVM/codegen once
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    names.foreach { n =>
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val warm = names.map { n =>
       val q = SparkEntry.queries(n)
       // noop sink evaluates every output column (count() would prune)
       def run(): Unit = q(spark, sfDir).write.format("noop").mode("overwrite").save()
       time(s"$n (run1)")(run())
-      time(s"$n (run2)")(run())
+      n -> time(s"$n (run2)")(run())
     }
+    val qs = warm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    Artifacts.writeLine(
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_OUT", "profile_last.json"),
+      s"""{"metric":"warm_total","value":${fmt(warm.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,10 +59,17 @@ object DedupQueries extends QueryModule {
     * downstream. At 1e9+ doc scale, widen to independent slices from a
     * second digest.
     */
-  private def signatures(sets: DataFrame): DataFrame =
+  private def signatures(sets: DataFrame): DataFrame = signaturesFor(sets, NumMinhash)
+
+  /** Signature columns mh0..mh{n-1} for an arbitrary signature length —
+    * the geometry-generic core behind [[signatures]], package-visible so
+    * the 100 TB-preset slice math is testable without swapping
+    * `GraftConfig.active`.
+    */
+  private[queries] def signaturesFor(sets: DataFrame, numMinhash: Int): DataFrame =
     sets
       .select(col("doc_id"), col("sh"), graft.functions.minhash8(col("sh")).as("mh")) // one pass per row
-      .select(col("doc_id") +: (0 until NumMinhash).map { j =>
+      .select(col("doc_id") +: (0 until numMinhash).map { j =>
         if (j < 8) element_at(col("mh"), j + 1).as(s"mh$j")
         // slices beyond the 8 the fused expression extracts from the 60-bit
         // digest: independent md5 re-hash per slice (the 100 TB preset's
@@ -79,10 +86,12 @@ object DedupQueries extends QueryModule {
     }.mkString(", ")
 
   /** LSH band keys: md5 over `rowsPerBand` adjacent minhashes. */
-  private def bandCols: Seq[Column] =
-    (0 until NumBands).map { b =>
+  private def bandCols: Seq[Column] = bandColsFor(NumBands, RowsPerBand)
+
+  private[queries] def bandColsFor(numBands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { b =>
       md5(concat_ws("_",
-        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string")): _*)).as(s"band$b")
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*)).as(s"band$b")
     }
 
   private def bandColsSql: String =
