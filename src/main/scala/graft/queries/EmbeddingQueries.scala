@@ -567,6 +567,69 @@ object EmbeddingQueries extends QueryModule {
              |  FROM ad)
              |WHERE rk <= 3""".stripMargin),
       "IVF+PQ serving (the production ANN index): broadcast coarse codebook routes queries to nprobe=2 cells; candidates ranked by PQ asymmetric distance — per-vector state is one cell id + one 8-byte code."
+    ),
+    QueryDef(
+      "v11_ann_recall",
+      (s, d) => {
+        // ANN index-quality evaluation: recall@5 of the LSH-bucketed index
+        // (the v3 shape at k=5) against exact brute force (v1) — the
+        // measurement every index deployment runs before trading recall
+        // for cost. Both sides broadcast the same sampled query set and
+        // scan the corpus map-only; the recall join operates on 2×(k ×
+        // n_queries) rank rows, metadata-scale whatever the corpus size.
+        val base = quantized(s, d)
+          .withColumn("n2", inorm2(col("q")))
+          .withColumn("bucket", lshBucket(col("q")))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("n2").as("qn2"), col("bucket").as("qbucket"))
+        def topk(cand: DataFrame): DataFrame =
+          cand.withColumn("cos", cosine(idot(col("q"), col("qq")), col("n2"), col("qn2")))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+            .filter(col("rk") <= 5)
+            .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val exact = topk(base.join(broadcast(queries), col("vec_id") =!= col("query_id")))
+        val approx = topk(base.join(broadcast(queries),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
+        val nApprox = approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+        exact
+          .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+          .join(nApprox, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_5"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT vec_id, q, ${inorm2Sql("q")} AS n2, $lshBucketSql AS bucket FROM ($quantizedSql)),
+             |exact AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ${cosineSql(idotSql("b.q", "q.q"), "b.n2", "q.n2")} DESC, b.vec_id ASC) AS rk
+             |  FROM base q JOIN base b ON b.vec_id <> q.vec_id WHERE q.vec_id < 10)
+             |  WHERE rk <= 5),
+             |approx AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ${cosineSql(idotSql("b.q", "q.q"), "b.n2", "q.n2")} DESC, b.vec_id ASC) AS rk
+             |  FROM base q JOIN base b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10)
+             |  WHERE rk <= 5),
+             |na AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id)
+             |SELECT e.query_id, e.n_exact, coalesce(na.n_approx, 0) AS n_approx, e.n_hit,
+             |  round(CAST(e.n_hit AS DOUBLE) / e.n_exact, 6) AS recall_at_5
+             |FROM (
+             |  SELECT ex.query_id, count(*) AS n_exact,
+             |    CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             |  FROM exact ex LEFT JOIN approx ap
+             |    ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+             |  GROUP BY ex.query_id) e
+             |LEFT JOIN na ON na.query_id = e.query_id""".stripMargin),
+      "ANN recall@5 evaluation: LSH-bucketed index vs exact brute force over the same broadcast query set — per-query hit counts and recall, the index-quality gate."
     )
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: the Spark-side plumbing a 100 TB media
@@ -237,6 +238,42 @@ object MultimodalQueries extends QueryModule {
              |        ${h60Sql("concat('dur:', CAST(doc_id AS VARCHAR))")} % 50 + 5 AS dur_s
              |      FROM documents)))""".stripMargin),
       "Audio chunk planning: 10s windows on a 9s hop (1s overlap), truncated tail; integer sample/byte/ms arithmetic, metadata-only."
+    ),
+    QueryDef(
+      "mm6_keyframes",
+      (s, d) => {
+        // Content-adaptive keyframe selection (shot-boundary detection) —
+        // the other half of video sampling next to mm2's every-Nth: keep a
+        // frame when its feature jumps from the PREVIOUS frame beyond a
+        // threshold (plus frame 0, every shot's anchor). The per-frame
+        // scalar is hash-derived (the deterministic stand-in for a decoded
+        // frame-embedding delta); the lag runs in a per-video window, so
+        // at scale this is one shuffle on video id and the boundary test
+        // never compares across videos.
+        val n = (h60(concat(lit("nf:"), col("doc_id").cast("string"))) % 40 + 10).as("n_frames")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), n)
+          .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+          .withColumn("feat", pmod(
+            h60(concat(lit("kf:"), col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))),
+            lit(1000L)))
+          .withColumn("delta", abs(col("feat") - lag(col("feat"), 1).over(w)))
+          .filter(col("frame_idx") === 0 || col("delta") > 500)
+          .withColumn("key_rank", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("feat"), col("delta"), col("key_rank"))
+      },
+      Some(s"""WITH fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
+             |  FROM (SELECT doc_id, ${h60Sql("concat('nf:', CAST(doc_id AS VARCHAR))")} % 40 + 10 AS n_frames FROM documents)),
+             |ft AS (SELECT doc_id, frame_idx,
+             |    ${h60Sql("concat('kf:', CAST(doc_id AS VARCHAR), ':', CAST(frame_idx AS VARCHAR))")} % 1000 AS feat
+             |  FROM fr),
+             |dl AS (SELECT *, abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx ASC)) AS delta FROM ft)
+             |SELECT doc_id, frame_idx, feat, delta,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx ASC) AS key_rank
+             |FROM dl WHERE frame_idx = 0 OR delta > 500""".stripMargin),
+      "Shot-boundary keyframe selection: per-video lag window on a frame-feature scalar, threshold boundary test + frame-0 anchor, keyframe ranks — content-adaptive sampling next to mm2's every-Nth."
     )
   )
 }
