@@ -217,6 +217,58 @@ object CurationQueries extends QueryModule {
       "Deny-list scrub (C4 bad-word shape): per-doc hit counts, hit fraction gate, and an md5 fingerprint of the redacted text — one shuffle-free scan."
     ),
     QueryDef(
+      "t17_pii_scrub",
+      (s, d) => {
+        // PII redaction (the Pile/RefinedWeb scrub stage, distinct from the
+        // t12 deny-list: PII is REDACTED in place, never a drop gate). The
+        // corpus vocabulary contains no natural PII, so deterministic
+        // email/phone/IP spans are injected from doc_id — replayable on
+        // both engines — and then scrubbed by the three pattern classes in
+        // a fixed order (each replacement leaves no token the next class
+        // can match). Single shuffle-free scan; patterns are
+        // lookahead-free so Java regex and RE2 agree.
+        val id = col("doc_id").cast("string")
+        val aug = concat(col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" contact user"), id, lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 3, concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 5, concat(lit(" node 10.0."), (col("doc_id") % 256).cast("string"), lit("."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")))
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.documents(s, d)
+          .select(col("doc_id"), aug.as("aug"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+            size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("long").as("n_ip"),
+            regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]").as("red"))
+          .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+            md5(col("red")).as("redacted_md5"),
+            length(col("red")).cast("long").as("redacted_len"))
+      },
+      Some(s"""SELECT doc_id, n_email, n_phone, n_ip,
+             |  md5(red) AS redacted_md5,
+             |  CAST(length(red) AS BIGINT) AS redacted_len
+             |FROM (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_email,
+             |    len(regexp_extract_all(aug, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+             |    len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+             |    regexp_replace(regexp_replace(regexp_replace(aug,
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |      '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+             |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS red
+             |  FROM (
+             |    SELECT doc_id, concat(text,
+             |      CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+             |      CASE WHEN doc_id % 11 = 3 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+             |      CASE WHEN doc_id % 13 = 5 THEN concat(' node 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 250 AS VARCHAR)) ELSE '' END) AS aug
+             |    FROM documents))""".stripMargin),
+      "PII scrub (emails/phones/IPs redacted in place, never dropped): deterministic injected spans, three lookahead-free pattern classes in fixed order, per-kind counts + redacted fingerprint — one shuffle-free scan."
+    ),
+    QueryDef(
       "m7_domain_mix",
       (s, d) => {
         // Domain-mixing budgeter: given per-source token supply and a target
