@@ -22,7 +22,11 @@ class DeterminismSpec extends SparkSpec {
     "a5_stats_profile", "v1_knn_bruteforce", "w1_rank_topk",
     "d3_lsh_near_dup_pairs", "d8_scalable_dedup", "t8_token_packing", "v8_pq_codes",
     "j_range_rewrite", "j_salted_skew_join", "t14_unigram_surprisal", "t15_bigram_surprisal",
-    "m9_decay_halflife")
+    "m9_decay_halflife",
+    // round 6: pinned-vocab BPE encode (distinct-word cache join-back),
+    // the AP sweep (nano-unit integer term sums are the invariance claim),
+    // the two-level top-k rank join, and the ANN recall join
+    "t16a_bpe_encode", "g22_ap_sweep", "t13_bpe_merge_candidates", "v11_ann_recall")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
