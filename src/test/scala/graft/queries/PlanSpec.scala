@@ -168,6 +168,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     // ranks come from the k×k broadcast self-join
     assert(p.contains("BroadcastExchange"), p)
+    // the two TakeOrdered references share one corpus aggregation at
+    // runtime: AQE must reuse the pair-count shuffle, not re-scan
+    val df = SparkEntry.queries("t13_bpe_merge_candidates")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
   }
 
   test("no query plans a partition-less Window (the funnel-everything-into-one-task shape)") {
