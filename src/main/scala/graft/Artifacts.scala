@@ -14,7 +14,7 @@ object Artifacts {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(path), (line + "\n").getBytes("UTF-8"))
     catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[artifact] write $path failed: ${e.getMessage}")
     }
 }

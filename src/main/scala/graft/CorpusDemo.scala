@@ -114,7 +114,7 @@ object CorpusDemo {
       f"sampled=${stages.getLong(5)} packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     Artifacts.writeLine(
-      sys.env.getOrElse("SPARK_GRAFT_TPUT_OUT", "throughput_corpus.json"),
+      sys.env.getOrElse("SPARK_GRAFT_TPUT_CORPUS_OUT", "throughput_corpus.json"),
       f"""{"metric":"corpus_docs_per_s","value":${n / secs}%.0f,"docs":$n%d,"sampled":${stages.getLong(5)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
     funnel.unpersist()
     sig.unpersist()

@@ -52,7 +52,7 @@ object PipelineDemo {
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"[demo] $t%-20s $n%8d qa pairs") }
     println(f"[demo] $nFrames frames -> $total qa pairs in $secs%.1f s (${nFrames / secs}%.0f frames/s)")
     Artifacts.writeLine(
-      sys.env.getOrElse("SPARK_GRAFT_TPUT_OUT", "throughput_pipeline.json"),
+      sys.env.getOrElse("SPARK_GRAFT_TPUT_PIPELINE_OUT", "throughput_pipeline.json"),
       f"""{"metric":"pipeline_frames_per_s","value":${nFrames / secs}%.0f,"frames":$nFrames,"qa_pairs":$total,"sec":$secs%.1f}""")
     spark.stop()
   }

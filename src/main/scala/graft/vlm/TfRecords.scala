@@ -83,6 +83,9 @@ object TfRecords {
       int64s: Seq[Long] = Nil)
 
   private def parseFeature(c: Cur): Feature = {
+    // proto merge semantics: repeated occurrences of the same field in one
+    // message CONCATENATE (a message split into chunks is legal wire data),
+    // so every list appends to what earlier occurrences decoded
     var f = Feature()
     while (c.hasNext) {
       val tag = c.varint()
@@ -98,7 +101,7 @@ object TfRecords {
               acc += java.util.Arrays.copyOfRange(s.b, s.p, s.end)
             } else bl.skip((t & 7).toInt)
           }
-          f = f.copy(bytes = acc.result())
+          f = f.copy(bytes = f.bytes ++ acc.result())
         case 2 => // FloatList (packed or not)
           val fl = c.sub()
           val acc = scala.collection.mutable.ArrayBuffer.empty[Float]
@@ -107,7 +110,7 @@ object TfRecords {
             if ((t >> 3).toInt == 1) readFloats(fl, (t & 7).toInt, acc)
             else fl.skip((t & 7).toInt)
           }
-          f = f.copy(floats = acc.toSeq)
+          f = f.copy(floats = f.floats ++ acc.toSeq)
         case 3 => // Int64List (packed varints or single)
           val il = c.sub()
           val acc = Seq.newBuilder[Long]
@@ -118,7 +121,7 @@ object TfRecords {
               else acc += il.varint()
             } else il.skip((t & 7).toInt)
           }
-          f = f.copy(int64s = acc.result())
+          f = f.copy(int64s = f.int64s ++ acc.result())
         case _ => c.skip(wire)
       }
     }
@@ -156,7 +159,9 @@ object TfRecords {
     var fm = Map.empty[String, Feature]
     while (c.hasNext) {
       val tag = c.varint()
-      if ((tag >> 3).toInt == 1) fm = parseFeatureMap(c.sub())
+      // merge, don't replace: a Features message split across two field-1
+      // occurrences is legal proto (map entries union, later keys win)
+      if ((tag >> 3).toInt == 1) fm = fm ++ parseFeatureMap(c.sub())
       else c.skip((tag & 7).toInt)
     }
     fm
@@ -172,7 +177,7 @@ object TfRecords {
     while (c.hasNext) {
       val tag = c.varint()
       (tag >> 3).toInt match {
-        case 1 => context = parseFeatureMap(c.sub())
+        case 1 => context = context ++ parseFeatureMap(c.sub())
         case 2 => // FeatureLists
           val fls = c.sub()
           val out = Map.newBuilder[String, Seq[Feature]]
@@ -201,7 +206,7 @@ object TfRecords {
               if (key != null) out += key -> feats.result()
             } else fls.skip((t & 7).toInt)
           }
-          lists = out.result()
+          lists = lists ++ out.result()
         case _ => c.skip((tag & 7).toInt)
       }
     }
@@ -242,7 +247,7 @@ object TfRecords {
   def evalLabel(path: String, idx: Int, fm: Map[String, Feature]): EvalFrame = {
     val vis = fm.get("object/visibility").map(_.floats).getOrElse(Nil)
     val keep = vis.map(_ > VisThresh)
-    def keepRows(rows: Seq[Seq[Float]]): Seq[Seq[Float]] =
+    def keepRows[T](rows: Seq[T]): Seq[T] =
       rows.zip(keep).collect { case (r, true) => r }
     // (-1, 9, 3): rows of 27 floats per instance; 2D keeps only (x, y)
     val p2 = fm.get("point_2d").map(f => reshape(f.floats, 27)).getOrElse(Nil)
@@ -250,8 +255,8 @@ object TfRecords {
     val p3 = fm.get("point_3d").map(f => reshape(f.floats, 27)).getOrElse(Nil)
       .map(inst => reshape(inst, 3))
     val keptVis = vis.filter(_ > VisThresh)
-    val kept2 = p2.zip(keep).collect { case (r, true) => r }
-    val kept3 = p3.zip(keep).collect { case (r, true) => r }
+    val kept2 = keepRows(p2)
+    val kept3 = keepRows(p3)
     val objects = keptVis.zipWithIndex.map { case (v, i) =>
       EvalObj(v, kept2.lift(i).getOrElse(Nil), kept3.lift(i).getOrElse(Nil))
     }

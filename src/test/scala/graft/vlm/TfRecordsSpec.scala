@@ -99,6 +99,19 @@ class TfRecordsSpec extends SparkSpec {
     assert(f.image_id === Some(7L) && f.n_instances === Some(2L) && f.image_bytes === 3L)
   }
 
+  test("split messages merge per proto semantics (repeated field occurrences concatenate)") {
+    // a Features message split into two field-1 occurrences: maps union
+    val split = lenDelim(1, mapEntry("a", int64ListFeature(Seq(1L)))) ++
+      lenDelim(1, mapEntry("b", int64ListFeature(Seq(2L))))
+    val fm = TfRecords.parseExample(split)
+    assert(fm("a").int64s === Seq(1L) && fm("b").int64s === Seq(2L))
+    // a Feature whose float_list arrives in two chunks: values concatenate
+    val chunked = lenDelim(1, mapEntry("f",
+      lenDelim(2, lenDelim(1, packedFloats(Seq(1f)))) ++
+        lenDelim(2, lenDelim(1, packedFloats(Seq(2f, 3f))))))
+    assert(TfRecords.parseExample(chunked)("f").floats === Seq(1f, 2f, 3f))
+  }
+
   test("parseSequenceExample: context + ordered per-step feature lists") {
     val steps = Seq(floatListFeature(Seq(1f, 2f)), floatListFeature(Seq(3f, 4f)))
     val featureList = steps.flatMap(f => lenDelim(1, f)).toArray
