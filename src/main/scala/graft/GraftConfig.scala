@@ -88,6 +88,14 @@ object GraftConfig {
     pqSub = 8, pqSubDim = 8,
     localCcMaxEdges = 5_000_000L)
 
-  /** The preset the query catalog (and its generated oracle SQL) runs at. */
-  val active: GraftConfig = Demo
+  /** The preset the query catalog (and its generated oracle SQL) runs at:
+    * `GRAFT_PRESET=100tb` selects the capacity preset at launch, anything
+    * else (including unset — the test/correctness-gate environment) the
+    * demo preset. Read once at class load: the catalog builds plans and
+    * oracle SQL from these values, so the preset must not change mid-JVM.
+    */
+  val active: GraftConfig = sys.env.get("GRAFT_PRESET") match {
+    case Some("100tb") => Preset100TB
+    case _ => Demo
+  }
 }

@@ -412,7 +412,7 @@ object DedupQueries extends QueryModule {
         signatures(shingleSets(s, d))
           .select(col("doc_id") +: (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*),
       Some(s"""WITH sets AS ($shingleSetSql)
-             |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, $bandColsSql
+             |SELECT doc_id, ${(0 until NumMinhash).map(j => s"mh$j").mkString(", ")}, $bandColsSql
              |FROM (SELECT doc_id, $minhashColsSql FROM sets)""".stripMargin),
       "MinHash signatures (8 32-bit digest-slice min-hashes over 3-gram shingles) + 4 LSH band keys per document."
     ),
