@@ -101,6 +101,19 @@ object DedupQueries extends QueryModule {
       s"md5(concat($parts)) AS band$b"
     }.mkString(", ")
 
+  /** `(l.band0 = r.band0 OR ...)` over all configured bands — oracle-side
+    * any-shared-band join condition, generated so a preset change cannot
+    * leave the SQL checking fewer bands than the plan.
+    */
+  private def bandOrSql(l: String, r: String): String =
+    (0 until NumBands).map(b => s"$l.band$b = $r.band$b").mkString("(", " OR ", ")")
+
+  /** UNION ALL explode of band columns into (doc_id, band_idx, band). */
+  private def bandRowsSql(src: String): String =
+    (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band FROM $src")
+      .mkString(" UNION ALL\n  ")
+
   /** Per-document LSH band rows `(band_idx, band, doc_id)` for an arbitrary
     * `(doc_id, text)` frame — the band-key math of this module exposed for
     * the streaming guard ([[graft.streaming.StreamingOps.nearDupBandRows]])
@@ -370,10 +383,7 @@ object DedupQueries extends QueryModule {
              |sh AS ($shingleSetSql),
              |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sh)),
              |bands AS (
-             |  SELECT doc_id, 0 AS band_idx, band0 AS band FROM sigs UNION ALL
-             |  SELECT doc_id, 1, band1 FROM sigs UNION ALL
-             |  SELECT doc_id, 2, band2 FROM sigs UNION ALL
-             |  SELECT doc_id, 3, band3 FROM sigs),
+             |  ${bandRowsSql("sigs")}),
              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
              |  FROM bands x JOIN bands y
              |  ON x.band_idx = y.band_idx AND x.band = y.band AND x.doc_id < y.doc_id)
@@ -449,7 +459,7 @@ object DedupQueries extends QueryModule {
              |SELECT doc_a, doc_b, jaccard FROM (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(${jaccardFromSql(isectSql)}, 6) AS jaccard
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
-             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |    AND ${bandOrSql("sa", "sb")}
              |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id)
              |WHERE jaccard >= $JaccardThreshold""".stripMargin),
       "MinHash-LSH near-dup pairs: band-bucket join for candidates, exact Jaccard >= 0.5 verification."
@@ -541,7 +551,7 @@ object DedupQueries extends QueryModule {
              |verified AS (
              |  SELECT sa.doc_id AS doc_id, sb.doc_id AS nbr
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id <> sb.doc_id
-             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |    AND ${bandOrSql("sa", "sb")}
              |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
              |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold)
              |SELECT doc_id, least(min(nbr), CAST(doc_id AS BIGINT)) AS rep_id, count(*) AS n_neighbors
@@ -570,7 +580,7 @@ object DedupQueries extends QueryModule {
              |verified AS (
              |  SELECT sa.doc_id AS a, sb.doc_id AS b
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
-             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |    AND ${bandOrSql("sa", "sb")}
              |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
              |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
              |edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
@@ -613,7 +623,7 @@ object DedupQueries extends QueryModule {
              |verified AS (
              |  SELECT sa.doc_id AS a, sb.doc_id AS b
              |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
-             |    AND (sa.band0 = sb.band0 OR sa.band1 = sb.band1 OR sa.band2 = sb.band2 OR sa.band3 = sb.band3)
+             |    AND ${bandOrSql("sa", "sb")}
              |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
              |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
              |edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
