@@ -22,6 +22,12 @@ package object functions {
   def minhash8(hashes: Column): Column =
     shims.column(MinHash8(shims.expression(hashes)))
 
+  /** `n` independent minhash values (2-universal integer family) from an
+    * array of 60-bit hashes, one fused pass — the wide-signature path.
+    */
+  def minhashN(hashes: Column, n: Int): Column =
+    shims.column(MinHashN(shims.expression(hashes), n))
+
   /** Quantize an array<float|double> to array<bigint>: round(x·scale). */
   def quantizeVec(vec: Column, scale: Int): Column =
     shims.column(QuantizeVec(shims.expression(vec), scale))

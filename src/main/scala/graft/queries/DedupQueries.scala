@@ -66,23 +66,28 @@ object DedupQueries extends QueryModule {
     * the 100 TB-preset slice math is testable without swapping
     * `GraftConfig.active`.
     */
-  private[queries] def signaturesFor(sets: DataFrame, numMinhash: Int): DataFrame =
-    sets
-      .select(col("doc_id"), col("sh"), graft.functions.minhash8(col("sh")).as("mh")) // one pass per row
-      .select(col("doc_id") +: (0 until numMinhash).map { j =>
-        if (j < 8) element_at(col("mh"), j + 1).as(s"mh$j")
-        // slices beyond the 8 the fused expression extracts from the 60-bit
-        // digest: independent md5 re-hash per slice (the 100 TB preset's
-        // 128 slices; a corpus-scale run would want a fused MinHashN
-        // expression, but the math and the oracle mirror are exact)
-        else array_min(transform(col("sh"),
-          h => pmod(h60(concat(lit(s"mh$j:"), h.cast("string"))), lit(4294967296L)))).as(s"mh$j")
-      }: _*)
+  private[queries] def signaturesFor(sets: DataFrame, numMinhash: Int): DataFrame = {
+    // slices 0-7: the digest-slice expression (the demo catalog's checked
+    // values); slices 8+: the fused 2-universal family
+    // ([[graft.functions.MinHashN]]) — ONE integer pass for all wide
+    // slices, no per-slice md5 re-hash. Both halves mirror exactly in the
+    // generated oracle SQL.
+    val base =
+      if (numMinhash <= 8)
+        sets.select(col("doc_id"), graft.functions.minhash8(col("sh")).as("mh"))
+      else
+        sets.select(col("doc_id"), graft.functions.minhash8(col("sh")).as("mh"),
+          graft.functions.minhashN(col("sh"), numMinhash).as("mhn"))
+    base.select(col("doc_id") +: (0 until numMinhash).map { j =>
+      if (j < 8) element_at(col("mh"), j + 1).as(s"mh$j")
+      else element_at(col("mhn"), j + 1).as(s"mh$j")
+    }: _*)
+  }
 
   private def minhashColsSql: String =
     (0 until NumMinhash).map { j =>
       if (j < 8) s"list_min(list_transform(sh, h -> (h >> ${4 * j}) & 4294967295)) AS mh$j"
-      else s"list_min(list_transform(sh, h -> ${h60Sql(s"concat('mh$j:', CAST(h AS VARCHAR))")} % 4294967296)) AS mh$j"
+      else s"list_min(list_transform(sh, h -> ${graft.functions.MinHashN.sliceSql(NumMinhash, j)})) AS mh$j"
     }.mkString(", ")
 
   /** LSH band keys: md5 over `rowsPerBand` adjacent minhashes. */
