@@ -327,6 +327,55 @@ object DedupQueries extends QueryModule {
        |  CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
+  /** The production near-dup pipeline shape (d8, reused by d13): collapse
+    * EXACT duplicates to one representative first (identical docs produce
+    * identical shingle sets, so a cluster of k copies would otherwise emit
+    * k²/2 trivial pairs — the dominant cost on real corpora), run LSH +
+    * verification + connected components on representatives only, then
+    * broadcast the group assignment back through the content-hash map.
+    * Output: every document with its dedup group id.
+    */
+  private def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    val docsCh = Tables.documents(s, d)
+      .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
+      .cache() // read twice: representative election + final group expansion
+    val reps = docsCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
+    val repSets = shingleSets(s, d)
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .cache()
+    val edges = verifiedEdges(repSets).cache()
+    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    val comp = minLabelComponents(undirected)
+    docsCh.join(reps, Seq("ch"))
+      .join(comp, col("rep") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("group_id"))
+  }
+
+  /** The d8 CTE chain up to a `groups(doc_id, group_id)` relation —
+    * shared by the d8 and d13 oracles (caller supplies WITH RECURSIVE).
+    */
+  private def dedupGroupsSql: String =
+    s"""ch AS (
+       |  SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS ch FROM documents),
+       |reps AS (SELECT ch, min(doc_id) AS rep FROM ch GROUP BY ch),
+       |sets AS (SELECT * FROM ($shingleSetSql) WHERE doc_id IN (SELECT rep FROM reps)),
+       |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
+       |verified AS (
+       |  SELECT sa.doc_id AS a, sb.doc_id AS b
+       |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+       |    AND ${bandOrSql("sa", "sb")}
+       |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
+       |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
+       |edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+       |reach(v, m) AS (
+       |  SELECT a AS v, a AS m FROM edges
+       |  UNION
+       |  SELECT e.b AS v, r.m FROM edges e JOIN reach r ON r.v = e.a),
+       |comp AS (SELECT v, min(m) AS label FROM reach GROUP BY v),
+       |groups AS (
+       |  SELECT c.doc_id, coalesce(p.label, r.rep) AS group_id
+       |  FROM ch c JOIN reps r ON c.ch = r.ch LEFT JOIN comp p ON p.v = r.rep)""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "d12_edit_distance_verify",
@@ -598,48 +647,35 @@ object DedupQueries extends QueryModule {
     ),
     QueryDef(
       "d8_scalable_dedup",
-      (s, d) => {
-        // The production near-dup pipeline shape: collapse EXACT duplicates
-        // to one representative first (identical docs produce identical
-        // shingle sets, so a cluster of k copies would otherwise emit k²/2
-        // trivial pairs — the dominant cost on real corpora), run LSH +
-        // verification + connected components on representatives only, then
-        // broadcast the group assignment back through the content-hash map.
-        // Output: every document with its dedup group id.
-        val docsCh = Tables.documents(s, d)
-          .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
-          .cache() // read twice: representative election + final group expansion
-        val reps = docsCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
-        val repSets = shingleSets(s, d)
-          .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-          .cache()
-        val edges = verifiedEdges(repSets).cache()
-        val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
-        val comp = minLabelComponents(undirected)
-        docsCh.join(reps, Seq("ch"))
-          .join(comp, col("rep") === col("v"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("rep")).as("group_id"))
-      },
-      Some(s"""WITH RECURSIVE ch AS (
-             |  SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS ch FROM documents),
-             |reps AS (SELECT ch, min(doc_id) AS rep FROM ch GROUP BY ch),
-             |sets AS (SELECT * FROM ($shingleSetSql) WHERE doc_id IN (SELECT rep FROM reps)),
-             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets)),
-             |verified AS (
-             |  SELECT sa.doc_id AS a, sb.doc_id AS b
-             |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
-             |    AND ${bandOrSql("sa", "sb")}
-             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
-             |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
-             |edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
-             |reach(v, m) AS (
-             |  SELECT a AS v, a AS m FROM edges
-             |  UNION
-             |  SELECT e.b AS v, r.m FROM edges e JOIN reach r ON r.v = e.a),
-             |comp AS (SELECT v, min(m) AS label FROM reach GROUP BY v)
-             |SELECT c.doc_id, coalesce(p.label, r.rep) AS group_id
-             |FROM ch c JOIN reps r ON c.ch = r.ch LEFT JOIN comp p ON p.v = r.rep""".stripMargin),
+      (s, d) => dedupGroups(s, d),
+      Some(s"""WITH RECURSIVE $dedupGroupsSql
+             |SELECT doc_id, group_id FROM groups""".stripMargin),
       "Scalable dedup: exact-dup collapse -> LSH near-dup CC on representatives -> group expansion (every doc labeled)."
+    ),
+    QueryDef(
+      "d13_leakage_safe_split",
+      (s, d) => {
+        // Leakage-safe train/test split: a near-dup GROUP must land wholly
+        // in one split, or evaluation leaks training content through its
+        // duplicates (the failure mode decontamination can't catch inside
+        // one corpus). Reuses the d8 pipeline (exact collapse -> LSH CC on
+        // representatives -> group expansion), then buckets each GROUP
+        // representative's hash: every member inherits the group's split,
+        // so the property holds by construction. Metadata-scale additions
+        // on top of d8: one hash + one comparison per doc.
+        val groups = dedupGroups(s, d)
+        val bucket = pmod(h60(concat(lit("split1:"), col("group_id").cast("string"))), lit(10L))
+        groups
+          .select(col("doc_id"), col("group_id"), bucket.as("bucket"))
+          .withColumn("split", when(col("bucket") < 8, lit("train")).otherwise(lit("test")))
+      },
+      Some(s"""WITH RECURSIVE $dedupGroupsSql
+             |SELECT doc_id, group_id, bucket,
+             |  CASE WHEN bucket < 8 THEN 'train' ELSE 'test' END AS split
+             |FROM (SELECT doc_id, group_id,
+             |    ${h60Sql("concat('split1:', CAST(group_id AS VARCHAR))")} % 10 AS bucket
+             |  FROM groups)""".stripMargin),
+      "Leakage-safe train/test split: dedup groups (d8 pipeline) bucketed by group-representative hash, so near-dup content can never straddle the split boundary."
     )
   )
 }

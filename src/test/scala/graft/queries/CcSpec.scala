@@ -42,4 +42,16 @@ class CcSpec extends SparkSpec {
     assert(local == dist)
     assert(local.values.toSet == Set(0L), "every vertex must reach label 0")
   }
+
+  test("d13 leakage-safety invariant: every dedup group lands wholly in one split") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("d13_leakage_safe_split")(spark, "/root/testdata/sf0.001")
+    val perGroup = df.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n_docs"))
+    assert(perGroup.filter(col("n_splits") =!= 1).count() === 0)
+    // both splits are populated and groups with >1 member exist (the
+    // invariant is load-bearing, not vacuous, on this fixture)
+    assert(df.select(col("split")).distinct().count() === 2)
+    assert(perGroup.filter(col("n_docs") > 1).count() > 0)
+  }
 }
