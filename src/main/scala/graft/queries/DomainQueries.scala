@@ -64,19 +64,23 @@ object DomainQueries extends QueryModule {
     * constant `bins`; every window partitions on the threshold index
     * (the per-threshold prefix sum is the t8 token-packing shape).
     */
-  def apSweep(scored: DataFrame, bins: Int): DataFrame = {
+  def apSweep(scored: DataFrame, bins: Int, greater: Boolean = true): DataFrame = {
     val wCum = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("ti"))
     val wSeq = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
     val wSuffix = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the reference's two hit directions (metrics.py record_hit_miss):
+    // IoU-style hits at metric >= t, error-style (pixel/ADD) at metric <= t
+    val threshold = col("ti").cast("double") / (bins - 1)
+    val isHit = if (greater) col("iou") >= threshold else col("iou") <= threshold
     scored
       .select(col("frame_id"), col("iou"),
         explode(sequence(lit(0), lit(bins - 1))).as("ti"))
       .groupBy(col("ti"), col("frame_id"))
       .agg(
-        sum(when(col("iou") >= col("ti").cast("double") / (bins - 1), 1L).otherwise(0L)).as("hit"),
+        sum(when(isHit, 1L).otherwise(0L)).as("hit"),
         count(lit(1)).as("n"))
       .withColumn("tp", sum(col("hit")).over(wCum))
       .withColumn("fp", sum(col("n") - col("hit")).over(wCum))
@@ -355,6 +359,62 @@ object DomainQueries extends QueryModule {
              |  n_instances, tp_total, fp_total, ap
              |FROM final""".stripMargin),
       "Objectron 3D-detection AP over a 21-bin IoU sweep (metrics.py HitMiss/AveragePrecision, eval.py loop): per-frame hits, cumulative PR in frame order, VOC integration with monotone precision — windows partitioned per threshold."
+    ),
+    QueryDef(
+      "g23_ap_add_sweep",
+      (s, d) => {
+        // G22's sibling: the ADD (average keypoint distance) AP family —
+        // the reference's error-style metric where a prediction HITS at
+        // metric <= threshold (metrics.py record_hit_miss greater=False;
+        // eval.py _add_thresholds = linspace(0, 1 m, 21)). Prediction =
+        // GT translated by a per-box deterministic shift; for axis-aligned
+        // equal-dim boxes every vertex moves by exactly that shift, so ADD
+        // is its norm — closed-form on both engines, with the threshold
+        // machinery identical to g22's under the flipped comparison.
+        val dx = (col("frame_id") % 10).cast("double") / 100
+        val dy = (col("idx") % 5).cast("double") / 50
+        val dz = ((col("frame_id") + col("idx")) % 20).cast("double") / 20
+        val scored = syntheticBoxes(s, d).select(
+          col("frame_id"),
+          round(sqrt(dx * dx + dy * dy + dz * dz), 4).as("iou"))
+        apSweep(scored, 21, greater = false)
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql),
+             |scored AS (
+             |  SELECT frame_id, round(sqrt(dx*dx + dy*dy + dz*dz), 4) AS m
+             |  FROM (SELECT frame_id,
+             |      CAST(frame_id % 10 AS DOUBLE) / 100 AS dx,
+             |      CAST(idx % 5 AS DOUBLE) / 50 AS dy,
+             |      CAST((frame_id + idx) % 20 AS DOUBLE) / 20 AS dz
+             |    FROM b)),
+             |sw AS (SELECT frame_id, m, unnest(range(0, 21)) AS ti FROM scored),
+             |pf AS (SELECT ti, frame_id,
+             |    CAST(sum(CASE WHEN m <= ti / 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+             |    count(*) AS n
+             |  FROM sw GROUP BY ti, frame_id),
+             |pr AS (SELECT ti, frame_id,
+             |    CAST(sum(hit) OVER wc AS BIGINT) AS tp,
+             |    CAST(sum(n - hit) OVER wc AS BIGINT) AS fp,
+             |    CAST(sum(n) OVER (PARTITION BY ti) AS BIGINT) AS total
+             |  FROM pf
+             |  WINDOW wc AS (PARTITION BY ti ORDER BY frame_id ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |pr2 AS (SELECT *, CAST(tp AS DOUBLE) / total AS recall,
+             |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec
+             |  FROM pr),
+             |pr3 AS (SELECT *,
+             |    max(prec) OVER (PARTITION BY ti ORDER BY frame_id ASC
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS monoprec,
+             |    recall - lag(recall, 1, 0.0) OVER (PARTITION BY ti ORDER BY frame_id ASC) AS delta
+             |  FROM pr2),
+             |final AS (SELECT ti,
+             |    max(total) AS n_instances, max(tp) AS tp_total, max(fp) AS fp_total,
+             |    round(CAST(sum(CAST(round(delta * monoprec * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ap
+             |  FROM pr3 GROUP BY ti)
+             |SELECT CAST(ti AS BIGINT) AS ti, ti / 20.0 AS threshold,
+             |  n_instances, tp_total, fp_total, ap
+             |FROM final""".stripMargin),
+      "Objectron ADD (average keypoint distance) AP sweep — the error-style hit direction (metric <= threshold), same cumulative-PR/VOC machinery as g22."
     ),
     QueryDef(
       "g5_cam_box_distance",

@@ -33,6 +33,18 @@ class ApSweepSpec extends SparkSpec {
       (2L, 1.0, 3L, 1L, 2L, 0.166667)))
   }
 
+  test("greater=false flips the hit direction (the pixel/ADD error metric)") {
+    // same fixture under metric <= t: at t=0.5 the hits are the 0.0 and
+    // nothing else in f1, and nothing in f2 (0.6 > 0.5):
+    //   f1 (tp1,fp1) p=1/2 r=1/3; f2 (tp1,fp2) p=1/3 r=1/3
+    //   recall changes only at f1; monoprec there = 1/2 → AP = 1/6
+    val got = DomainQueries.apSweep(fixture, 3, greater = false)
+      .orderBy("ti").select("ap").as[Double].collect().toSeq
+    // t=0: only iou=0.0 hits → same curve as above → 1/6
+    // t=1: everything hits → AP 1
+    assert(got === Seq(0.166667, 0.166667, 1.0))
+  }
+
   test("all-miss predictions yield AP 0 (zero-precision curve integrates to zero)") {
     val scored = Seq((1L, 0.0), (2L, 0.0)).toDF("frame_id", "iou")
     val got = DomainQueries.apSweep(scored, 3)
