@@ -67,26 +67,26 @@ object DedupQueries extends QueryModule {
     * `GraftConfig.active`.
     */
   private[queries] def signaturesFor(sets: DataFrame, numMinhash: Int): DataFrame = {
-    // slices 0-7: the digest-slice expression (the demo catalog's checked
-    // values); slices 8+: the fused 2-universal family
-    // ([[graft.functions.MinHashN]]) — ONE integer pass for all wide
-    // slices, no per-slice md5 re-hash. Both halves mirror exactly in the
-    // generated oracle SQL.
+    // demo geometry (≤ 8 slices): the digest-window expression — the
+    // catalog's checked values, one pass ([[graft.functions.MinHash8]]).
+    // Wide geometry (> 8): EVERY slice from the fused 2-universal family
+    // ([[graft.functions.MinHashN]], one integer pass for all slices) —
+    // digest windows overlap at 4-bit stride and that correlation, benign
+    // for 4 bands of 2, would bias a 32×4 banding, so the capacity preset
+    // uses only independent slices. Both mirror exactly in the generated
+    // oracle SQL.
     val base =
       if (numMinhash <= 8)
         sets.select(col("doc_id"), graft.functions.minhash8(col("sh")).as("mh"))
       else
-        sets.select(col("doc_id"), graft.functions.minhash8(col("sh")).as("mh"),
-          graft.functions.minhashN(col("sh"), numMinhash).as("mhn"))
-    base.select(col("doc_id") +: (0 until numMinhash).map { j =>
-      if (j < 8) element_at(col("mh"), j + 1).as(s"mh$j")
-      else element_at(col("mhn"), j + 1).as(s"mh$j")
-    }: _*)
+        sets.select(col("doc_id"), graft.functions.minhashN(col("sh"), numMinhash).as("mh"))
+    base.select(col("doc_id") +:
+      (0 until numMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
   }
 
   private def minhashColsSql: String =
     (0 until NumMinhash).map { j =>
-      if (j < 8) s"list_min(list_transform(sh, h -> (h >> ${4 * j}) & 4294967295)) AS mh$j"
+      if (NumMinhash <= 8) s"list_min(list_transform(sh, h -> (h >> ${4 * j}) & 4294967295)) AS mh$j"
       else s"list_min(list_transform(sh, h -> ${graft.functions.MinHashN.sliceSql(NumMinhash, j)})) AS mh$j"
     }.mkString(", ")
 
