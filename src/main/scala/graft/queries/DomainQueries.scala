@@ -417,6 +417,80 @@ object DomainQueries extends QueryModule {
       "Objectron ADD (average keypoint distance) AP sweep — the error-style hit direction (metric <= threshold), same cumulative-PR/VOC machinery as g22."
     ),
     QueryDef(
+      "g24_add_sym",
+      (s, d) => {
+        // The PoseCNN symmetric average-distance metric (ADD-S,
+        // eval.py:298-312): for each predicted keypoint, distance to the
+        // NEAREST ground-truth keypoint, averaged over the 9 keypoints
+        // (center + 8 corners) — the metric for symmetric objects where
+        // vertex correspondence is meaningless. Keypoints are built as
+        // index-parallel coordinate arrays; the 9×9 min runs inside one
+        // row (no join), and the mean is summed in 1e-6-scaled integers so
+        // the result is association-order-free on both engines. ADD
+        // (1:1 correspondence) rides along: under a pure translation it is
+        // exactly the shift norm, giving the add_sym <= add invariant a
+        // closed form to be checked against.
+        val dx = (col("frame_id") % 10).cast("double") / 100
+        val dy = (col("idx") % 5).cast("double") / 50
+        val dz = ((col("frame_id") + col("idx")) % 20).cast("double") / 20
+        // keypoint k: 0 = center, 1..8 = corners, sign order (x: k<=4?-:+
+        // mirrored below in SQL via the same literal tables)
+        val sxs = Seq(0, -1, -1, -1, -1, 1, 1, 1, 1)
+        val sys = Seq(0, -1, -1, 1, 1, -1, -1, 1, 1)
+        val szs = Seq(0, -1, 1, -1, 1, -1, 1, -1, 1)
+        def coords(c: Column, half: Column, signs: Seq[Int]) =
+          array(signs.map(sg => c + lit(sg) * half / 2): _*)
+        def shifted(c: Column, half: Column, signs: Seq[Int], shift: Column) =
+          array(signs.map(sg => c + lit(sg) * half / 2 + shift): _*)
+        val gxs = coords(col("x"), col("xl"), sxs)
+        val gys = coords(col("y"), col("yl"), sys)
+        val gzs = coords(col("z"), col("zl"), szs)
+        val pxs = shifted(col("x"), col("xl"), sxs, dx)
+        val pys = shifted(col("y"), col("yl"), sys, dy)
+        val pzs = shifted(col("z"), col("zl"), szs, dz)
+        val idxs = sequence(lit(1), lit(9))
+        def at(a: Column, i: Column) = element_at(a, i.cast("int"))
+        val minDist = (i: Column) => array_min(transform(idxs, j =>
+          sqrt(
+            (at(pxs, i) - at(gxs, j)) * (at(pxs, i) - at(gxs, j)) +
+              (at(pys, i) - at(gys, j)) * (at(pys, i) - at(gys, j)) +
+              (at(pzs, i) - at(gzs, j)) * (at(pzs, i) - at(gzs, j)))))
+        syntheticBoxes(s, d).select(
+          col("frame_id"), col("idx"),
+          round(sqrt(dx * dx + dy * dy + dz * dz), 4).as("add"),
+          round(
+            aggregate(
+              transform(idxs, i => round(minDist(i) * 1e6, 0).cast("long")),
+              lit(0L), (acc, v) => acc + v).cast("double") / 1e6 / 9, 4).as("add_sym"))
+      },
+      Some(s"""WITH b AS ($syntheticBoxesSql),
+             |k AS (SELECT frame_id, idx, x, y, z, xl, yl, zl,
+             |    CAST(frame_id % 10 AS DOUBLE) / 100 AS dx,
+             |    CAST(idx % 5 AS DOUBLE) / 50 AS dy,
+             |    CAST((frame_id + idx) % 20 AS DOUBLE) / 20 AS dz,
+             |    [0.0, -1, -1, -1, -1, 1, 1, 1, 1] AS sxs,
+             |    [0.0, -1, -1, 1, 1, -1, -1, 1, 1] AS sys,
+             |    [0.0, -1, 1, -1, 1, -1, 1, -1, 1] AS szs
+             |  FROM b),
+             |v AS (SELECT frame_id, idx, dx, dy, dz,
+             |    list_transform(sxs, sg -> x + sg * xl / 2) AS gxs,
+             |    list_transform(sys, sg -> y + sg * yl / 2) AS gys,
+             |    list_transform(szs, sg -> z + sg * zl / 2) AS gzs,
+             |    list_transform(sxs, sg -> x + sg * xl / 2 + dx) AS pxs,
+             |    list_transform(sys, sg -> y + sg * yl / 2 + dy) AS pys,
+             |    list_transform(szs, sg -> z + sg * zl / 2 + dz) AS pzs
+             |  FROM k)
+             |SELECT frame_id, idx,
+             |  round(sqrt(dx*dx + dy*dy + dz*dz), 4) AS add,
+             |  round(CAST(list_sum(list_transform(range(1, 10), i ->
+             |      CAST(round(list_min(list_transform(range(1, 10), j -> sqrt(
+             |        (pxs[CAST(i AS INT)] - gxs[CAST(j AS INT)]) * (pxs[CAST(i AS INT)] - gxs[CAST(j AS INT)]) +
+             |        (pys[CAST(i AS INT)] - gys[CAST(j AS INT)]) * (pys[CAST(i AS INT)] - gys[CAST(j AS INT)]) +
+             |        (pzs[CAST(i AS INT)] - gzs[CAST(j AS INT)]) * (pzs[CAST(i AS INT)] - gzs[CAST(j AS INT)])))) * 1e6) AS BIGINT))) AS BIGINT) / 1e6 / 9, 4) AS add_sym
+             |FROM v""".stripMargin),
+      "ADD-S symmetric average distance (PoseCNN via eval.py): per predicted keypoint the nearest-GT-keypoint distance, 9x9 in-row min, scaled-integer mean — with 1:1 ADD alongside."
+    ),
+    QueryDef(
       "g5_cam_box_distance",
       (s, d) => {
         // A10 (min camera→vertex distance) + the F3-style distance gate,

@@ -52,6 +52,14 @@ class ApSweepSpec extends SparkSpec {
     assert(got === Seq(0.0, 0.0))
   }
 
+  test("g24 invariant: the symmetric distance never exceeds the 1:1 ADD") {
+    // nearest-GT-keypoint distance is bounded by the corresponding-keypoint
+    // distance — the defining property of ADD-S
+    val df = graft.SparkEntry.queries("g24_add_sym")(spark, "/root/testdata/sf0.001")
+    assert(df.filter(col("add_sym") > col("add")).count() === 0)
+    assert(df.count() > 0)
+  }
+
   test("perfect predictions yield AP 1 at every threshold") {
     val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("frame_id", "iou")
     val got = DomainQueries.apSweep(scored, 21).select("ap").as[Double].collect().toSeq
