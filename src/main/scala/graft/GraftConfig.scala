@@ -96,6 +96,10 @@ object GraftConfig {
     */
   val active: GraftConfig = sys.env.get("GRAFT_PRESET") match {
     case Some("100tb") => Preset100TB
-    case _ => Demo
+    case Some("demo") | None => Demo
+    // a typo'd preset must fail at launch, not silently run capacity
+    // workloads at demo geometry (4×2 banding at 1e10 docs would flood
+    // candidates with no warning anywhere)
+    case Some(other) => sys.error(s"unknown GRAFT_PRESET '$other' (expected 'demo' or '100tb')")
   }
 }

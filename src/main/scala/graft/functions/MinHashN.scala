@@ -47,6 +47,11 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val h = arr.getLong(i)
+        // the no-wraparound proof needs h < 2^60 (the h60 digest contract);
+        // outside it Java would wrap silently while the SQL mirror errors
+        // or diverges — fail loudly instead
+        if ((h & ~((1L << 60) - 1)) != 0)
+          throw new IllegalArgumentException(s"minhash_n input outside 60-bit digest range: $h")
         val x1 = h & 0xFFFFFFFFL
         val x2 = h >>> 30
         var j = 0
@@ -85,6 +90,8 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if (!$c.isNullAt($i)) {
          |      long $h = $c.getLong($i);
+         |      if (($h & ~((1L << 60) - 1)) != 0)
+         |        throw new IllegalArgumentException("minhash_n input outside 60-bit digest range: " + $h);
          |      long $x1 = $h & ${0xFFFFFFFFL}L;
          |      long $x2 = $h >>> 30;
          |      for (int $j = 0; $j < $slices; $j++) {

@@ -52,12 +52,11 @@ object DedupQueries extends QueryModule {
   private val shingleSetSql =
     s"SELECT doc_id, list_distinct(list_transform(${shinglesSql("toks", 3)}, x -> ${h60Sql("x")})) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
 
-  /** Minhash signature columns mh0..mh7: overlapping 32-bit slices of the
-    * 60-bit digest at 4-bit stride, min per slice — all eight minima in one
-    * codegen pass ([[graft.functions.MinHash8]]). Slice correlation only
-    * affects candidate recall; every candidate is exact-Jaccard-verified
-    * downstream. At 1e9+ doc scale, widen to independent slices from a
-    * second digest.
+  /** Minhash signature columns mh0..mh{n-1} at the active geometry: the
+    * demo's 8 digest-window slices, or (wide presets) the fused
+    * independent-slice family — see [[signaturesFor]]. Slice correlation
+    * in the demo windows only affects candidate recall; every candidate
+    * is exact-Jaccard-verified downstream.
     */
   private def signatures(sets: DataFrame): DataFrame = signaturesFor(sets, NumMinhash)
 
@@ -335,7 +334,19 @@ object DedupQueries extends QueryModule {
     * broadcast the group assignment back through the content-hash map.
     * Output: every document with its dedup group id.
     */
-  private def dedupGroups(s: SparkSession, d: String): DataFrame = {
+  private val dedupGroupsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dedupGroups(s: SparkSession, d: String): DataFrame =
+    // memoized per (session, dir): d8 and d13 then share the SAME cached
+    // lineages, so the LSH band join + Jaccard verification + CC loop run
+    // once per session, not once per query. The four caches below are
+    // testdata-scale and live for the session (the learnedMerges
+    // tradeoff); a long-lived production session would unpersist after
+    // materializing downstream results.
+    dedupGroupsMemo.getOrElseUpdate((s, d), buildDedupGroups(s, d))
+
+  private def buildDedupGroups(s: SparkSession, d: String): DataFrame = {
     val docsCh = Tables.documents(s, d)
       .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
       .cache() // read twice: representative election + final group expansion

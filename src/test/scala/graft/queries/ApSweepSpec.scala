@@ -52,11 +52,14 @@ class ApSweepSpec extends SparkSpec {
     assert(got === Seq(0.0, 0.0))
   }
 
-  test("g24 invariant: the symmetric distance never exceeds the 1:1 ADD") {
+  test("g24 invariant: the symmetric distance never exceeds the 1:1 ADD (mod rounding)") {
     // nearest-GT-keypoint distance is bounded by the corresponding-keypoint
-    // distance — the defining property of ADD-S
+    // distance — the defining property of ADD-S. The two columns round
+    // independently (add_sym through 1e-6-scaled integer sums, add straight
+    // from the norm), so the comparison needs the double-rounding epsilon:
+    // exact values obey <=, rounded ones can differ by one 1e-4 step.
     val df = graft.SparkEntry.queries("g24_add_sym")(spark, "/root/testdata/sf0.001")
-    assert(df.filter(col("add_sym") > col("add")).count() === 0)
+    assert(df.filter(col("add_sym") > col("add") + 1e-4 + 1e-12).count() === 0)
     assert(df.count() > 0)
   }
 

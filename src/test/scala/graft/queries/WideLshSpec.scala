@@ -3,11 +3,11 @@ package graft.queries
 import graft.vlm.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** The 100 TB-preset LSH geometry actually executes: signature slices past
-  * the fused 8 (per-slice md5 re-hash), rowsPerBand-generic band keys, and
-  * the invariants that make widened geometry correct — determinism,
-  * equal-set agreement on every slice, and the near-dup candidate property
-  * surviving the widening.
+/** The 100 TB-preset LSH geometry actually executes: wide signatures from
+  * the fused MinHashN independent-slice family, rowsPerBand-generic band
+  * keys, and the invariants that make widened geometry correct —
+  * determinism, equal-set agreement on every slice, and the near-dup
+  * candidate property surviving the widening.
   */
 class WideLshSpec extends SparkSpec {
   import spark.implicits._
