@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Raw ScalaCheck Properties suites (GeoProps) need the ScalaCheck framework
+// registered — scalatest's framework alone silently skips them.
+Test / testFrameworks += new TestFramework("org.scalacheck.ScalaCheckFramework")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

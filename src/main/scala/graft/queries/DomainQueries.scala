@@ -442,22 +442,31 @@ object DomainQueries extends QueryModule {
           array(signs.map(sg => c + lit(sg) * half / 2): _*)
         def shifted(c: Column, half: Column, signs: Seq[Int], shift: Column) =
           array(signs.map(sg => c + lit(sg) * half / 2 + shift): _*)
-        val gxs = coords(col("x"), col("xl"), sxs)
-        val gys = coords(col("y"), col("yl"), sys)
-        val gzs = coords(col("z"), col("zl"), szs)
-        val pxs = shifted(col("x"), col("xl"), sxs, dx)
-        val pys = shifted(col("y"), col("yl"), sys, dy)
-        val pzs = shifted(col("z"), col("zl"), szs, dz)
+        // Stage the six 9-element coordinate arrays in their own projection:
+        // the 9x9 lambda below references each array 81 times, and inlining
+        // the constructors into every use (what CollapseProject would do to a
+        // cheap alias) made the per-row tree ~500 array builds — staged, each
+        // is built once per row and the inner loop reads bound columns.
+        val staged = syntheticBoxes(s, d).select(
+          col("frame_id"), col("idx"),
+          dx.as("dx"), dy.as("dy"), dz.as("dz"),
+          coords(col("x"), col("xl"), sxs).as("gxs"),
+          coords(col("y"), col("yl"), sys).as("gys"),
+          coords(col("z"), col("zl"), szs).as("gzs"),
+          shifted(col("x"), col("xl"), sxs, dx).as("pxs"),
+          shifted(col("y"), col("yl"), sys, dy).as("pys"),
+          shifted(col("z"), col("zl"), szs, dz).as("pzs"))
         val idxs = sequence(lit(1), lit(9))
-        def at(a: Column, i: Column) = element_at(a, i.cast("int"))
+        def at(a: String, i: Column) = element_at(col(a), i.cast("int"))
         val minDist = (i: Column) => array_min(transform(idxs, j =>
           sqrt(
-            (at(pxs, i) - at(gxs, j)) * (at(pxs, i) - at(gxs, j)) +
-              (at(pys, i) - at(gys, j)) * (at(pys, i) - at(gys, j)) +
-              (at(pzs, i) - at(gzs, j)) * (at(pzs, i) - at(gzs, j)))))
-        syntheticBoxes(s, d).select(
+            (at("pxs", i) - at("gxs", j)) * (at("pxs", i) - at("gxs", j)) +
+              (at("pys", i) - at("gys", j)) * (at("pys", i) - at("gys", j)) +
+              (at("pzs", i) - at("gzs", j)) * (at("pzs", i) - at("gzs", j)))))
+        staged.select(
           col("frame_id"), col("idx"),
-          round(sqrt(dx * dx + dy * dy + dz * dz), 4).as("add"),
+          round(sqrt(col("dx") * col("dx") + col("dy") * col("dy") +
+            col("dz") * col("dz")), 4).as("add"),
           round(
             aggregate(
               transform(idxs, i => round(minDist(i) * 1e6, 0).cast("long")),

@@ -63,6 +63,29 @@ class ApSweepSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("g24 keeps the staged coordinate-array projection (inlining guard)") {
+    // The 9x9 nearest-keypoint lambda references each of the six 9-element
+    // coordinate arrays from every iteration; if CollapseProject ever inlines
+    // the array constructors into the lambda body (they are decimal-sourced
+    // arithmetic, rebuilt per iteration when inlined), the per-row cost grows
+    // ~80x — observed 9.2 s -> 0.8 s warm at sf0.1 when staged. Guard the
+    // shape statically: the arrays must survive as their own projection and
+    // the optimized expression tree must stay compact.
+    val df = graft.SparkEntry.queries("g24_add_sym")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    val projects = plan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }
+    assert(projects.size >= 2, "staged array projection was collapsed away")
+    val exprNodes =
+      plan.collect { case p => p.expressions.map(_.collect { case _ => 1 }.size).sum }.sum
+    // staged plan measures 791 nodes (the staged projection carries the six
+    // array constructors once); inlining substitutes a ~90-node constructor
+    // at each of the 12 lambda use sites, pushing well past 1000
+    assert(exprNodes < 1000,
+      s"optimized plan holds $exprNodes expression nodes — coordinate arrays inlined into the 9x9 lambda")
+  }
+
   test("perfect predictions yield AP 1 at every threshold") {
     val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("frame_id", "iou")
     val got = DomainQueries.apSweep(scored, 21).select("ap").as[Double].collect().toSeq
