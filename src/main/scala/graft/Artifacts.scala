@@ -17,4 +17,20 @@ object Artifacts {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[artifact] write $path failed: ${e.getMessage}")
     }
+
+  /** Host-speed calibration: a fixed pure-CPU job (2B xxhash64 + sum, no
+    * I/O, no shuffle beyond the one partial-agg exchange) timed on its
+    * second run (the first absorbs its own codegen/JIT). Cross-round
+    * per-query comparisons divide by this — round-over-round swings on
+    * unchanged plans have measured up to ±30% from host contention alone,
+    * indistinguishable from a real regression without a yardstick.
+    */
+  def calibrate(spark: org.apache.spark.sql.SparkSession): Double = {
+    val slices = spark.sparkContext.defaultParallelism
+    // bit_xor, not sum: 2B hash sums overflow BIGINT under ANSI mode
+    def run(): Unit = spark.range(0, 2000000000L, 1, slices)
+      .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h)").collect()
+    run()
+    val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+  }
 }

@@ -23,6 +23,8 @@ object Bench {
         .groupBy().count().collect()
       catch { case _: Throwable => () }
     }
+    // host-speed yardstick for cross-round comparison (see Artifacts.calibrate)
+    val calib = Artifacts.calibrate(spark)
     // fixed name order: residual JVM warmup lands on the same queries every
     // round, so per-query numbers stay comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -60,7 +62,7 @@ object Bench {
       "\"" + short(k) + "\":" + rounded
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // durable copy: the stderr tail the driver scrapes is ~2000 chars and
     // has decapitated this line two rounds running ("parsed": null)

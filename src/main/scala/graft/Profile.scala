@@ -21,6 +21,9 @@ object Profile {
     }
     // warm the JVM/codegen once
     spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // host-speed yardstick for cross-round comparison (see Artifacts.calibrate)
+    val calib = Artifacts.calibrate(spark)
+    println(f"[profile] calibration: $calib%.2f s")
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val warm = names.map { n =>
       val q = SparkEntry.queries(n)
@@ -32,7 +35,7 @@ object Profile {
     val qs = warm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     Artifacts.writeLine(
       sys.env.getOrElse("SPARK_GRAFT_PROFILE_OUT", "profile_last.json"),
-      s"""{"metric":"warm_total","value":${fmt(warm.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"warm_total","value":${fmt(warm.map(_._2).sum)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
