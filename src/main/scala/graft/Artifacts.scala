@@ -18,7 +18,7 @@ object Artifacts {
         System.err.println(s"[artifact] write $path failed: ${e.getMessage}")
     }
 
-  /** Host-speed calibration: a fixed pure-CPU job (2B xxhash64 + sum, no
+  /** Host-speed calibration: a fixed pure-CPU job (2B xxhash64 reduced by bit_xor, no
     * I/O, no shuffle beyond the one partial-agg exchange) timed on its
     * second run (the first absorbs its own codegen/JIT). Cross-round
     * per-query comparisons divide by this — round-over-round swings on

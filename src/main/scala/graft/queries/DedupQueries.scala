@@ -337,16 +337,25 @@ object DedupQueries extends QueryModule {
   private val dedupGroupsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def dedupGroups(s: SparkSession, d: String): DataFrame =
+  private def dedupGroups(s: SparkSession, d: String): DataFrame = {
     // memoized per (session, dir): d8 and d13 then share the SAME cached
     // lineages, so the LSH band join + Jaccard verification + CC loop run
     // once per session, not once per query. The four caches below are
     // testdata-scale and live for the session (the learnedMerges
     // tradeoff); a long-lived production session would unpersist after
-    // materializing downstream results.
+    // materializing downstream results. Entries of stopped sessions are
+    // evicted on access so repeated create/stop cycles (test suites,
+    // repeated Verify mains in one JVM) don't pin dead lineages.
+    dedupGroupsMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     dedupGroupsMemo.getOrElseUpdate((s, d), buildDedupGroups(s, d))
+  }
 
-  private def buildDedupGroups(s: SparkSession, d: String): DataFrame = {
+  /** Non-memoized pipeline builder. Exposed package-private so invariance
+    * harnesses (DeterminismSpec's partition sweep) can force a FRESH
+    * lineage per run — the memo would otherwise hand both runs the same
+    * cached intermediates and make the comparison vacuous.
+    */
+  private[graft] def buildDedupGroups(s: SparkSession, d: String): DataFrame = {
     val docsCh = Tables.documents(s, d)
       .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
       .cache() // read twice: representative election + final group expansion

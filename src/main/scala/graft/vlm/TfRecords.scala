@@ -82,6 +82,17 @@ object TfRecords {
       floats: Seq[Float] = Nil,
       int64s: Seq[Long] = Nil)
 
+  /** Submessage read guarded on the wire type: a matching field number
+    * with a non-length-delimited encoding means the payload is not the
+    * message this parser expects — fail loudly (the container CRCs are
+    * verified for exactly this contract) instead of misreading a varint
+    * value as a byte length and yielding garbage rows.
+    */
+  private def delimited(c: Cur, wire: Int, what: String): Cur = {
+    require(wire == 2, s"$what: expected length-delimited (wire 2), got wire type $wire")
+    c.sub()
+  }
+
   private def parseFeature(c: Cur): Feature = {
     // proto merge semantics: repeated occurrences of the same field in one
     // message CONCATENATE (a message split into chunks is legal wire data),
@@ -92,18 +103,18 @@ object TfRecords {
       val (field, wire) = ((tag >> 3).toInt, (tag & 7).toInt)
       field match {
         case 1 => // BytesList
-          val bl = c.sub()
+          val bl = delimited(c, wire, "Feature.bytes_list")
           val acc = Seq.newBuilder[Array[Byte]]
           while (bl.hasNext) {
             val t = bl.varint()
             if ((t >> 3).toInt == 1) {
-              val s = bl.sub()
+              val s = delimited(bl, (t & 7).toInt, "BytesList.value")
               acc += java.util.Arrays.copyOfRange(s.b, s.p, s.end)
             } else bl.skip((t & 7).toInt)
           }
           f = f.copy(bytes = f.bytes ++ acc.result())
         case 2 => // FloatList (packed or not)
-          val fl = c.sub()
+          val fl = delimited(c, wire, "Feature.float_list")
           val acc = scala.collection.mutable.ArrayBuffer.empty[Float]
           while (fl.hasNext) {
             val t = fl.varint()
@@ -112,7 +123,7 @@ object TfRecords {
           }
           f = f.copy(floats = f.floats ++ acc.toSeq)
         case 3 => // Int64List (packed varints or single)
-          val il = c.sub()
+          val il = delimited(c, wire, "Feature.int64_list")
           val acc = Seq.newBuilder[Long]
           while (il.hasNext) {
             val t = il.varint()
@@ -134,16 +145,16 @@ object TfRecords {
     while (c.hasNext) {
       val tag = c.varint()
       if ((tag >> 3).toInt == 1) {
-        val entry = c.sub()
+        val entry = delimited(c, (tag & 7).toInt, "Features.feature entry")
         var key: String = null
         var value: Feature = Feature()
         while (entry.hasNext) {
           val t = entry.varint()
           (t >> 3).toInt match {
             case 1 =>
-              val s = entry.sub()
+              val s = delimited(entry, (t & 7).toInt, "feature map key")
               key = new String(s.b, s.p, s.end - s.p, java.nio.charset.StandardCharsets.UTF_8)
-            case 2 => value = parseFeature(entry.sub())
+            case 2 => value = parseFeature(delimited(entry, (t & 7).toInt, "feature map value"))
             case _ => entry.skip((t & 7).toInt)
           }
         }
@@ -161,7 +172,8 @@ object TfRecords {
       val tag = c.varint()
       // merge, don't replace: a Features message split across two field-1
       // occurrences is legal proto (map entries union, later keys win)
-      if ((tag >> 3).toInt == 1) fm = fm ++ parseFeatureMap(c.sub())
+      if ((tag >> 3).toInt == 1)
+        fm = fm ++ parseFeatureMap(delimited(c, (tag & 7).toInt, "Example.features"))
       else c.skip((tag & 7).toInt)
     }
     fm
@@ -177,27 +189,30 @@ object TfRecords {
     while (c.hasNext) {
       val tag = c.varint()
       (tag >> 3).toInt match {
-        case 1 => context = context ++ parseFeatureMap(c.sub())
+        case 1 =>
+          context = context ++ parseFeatureMap(
+            delimited(c, (tag & 7).toInt, "SequenceExample.context"))
         case 2 => // FeatureLists
-          val fls = c.sub()
+          val fls = delimited(c, (tag & 7).toInt, "SequenceExample.feature_lists")
           val out = Map.newBuilder[String, Seq[Feature]]
           while (fls.hasNext) {
             val t = fls.varint()
             if ((t >> 3).toInt == 1) {
-              val entry = fls.sub()
+              val entry = delimited(fls, (t & 7).toInt, "FeatureLists.feature_list entry")
               var key: String = null
               val feats = Seq.newBuilder[Feature]
               while (entry.hasNext) {
                 val et = entry.varint()
                 (et >> 3).toInt match {
                   case 1 =>
-                    val s = entry.sub()
+                    val s = delimited(entry, (et & 7).toInt, "feature list key")
                     key = new String(s.b, s.p, s.end - s.p, java.nio.charset.StandardCharsets.UTF_8)
                   case 2 => // FeatureList { repeated Feature feature = 1 }
-                    val fl = entry.sub()
+                    val fl = delimited(entry, (et & 7).toInt, "feature list value")
                     while (fl.hasNext) {
                       val ft = fl.varint()
-                      if ((ft >> 3).toInt == 1) feats += parseFeature(fl.sub())
+                      if ((ft >> 3).toInt == 1)
+                        feats += parseFeature(delimited(fl, (ft & 7).toInt, "FeatureList.feature"))
                       else fl.skip((ft & 7).toInt)
                     }
                   case _ => entry.skip((et & 7).toInt)

@@ -38,13 +38,43 @@ class DeterminismSpec extends SparkSpec {
       val conf = spark.conf
       val prev = conf.get("spark.sql.shuffle.partitions")
       try {
+        // Drop every materialized cache before each run: memoized pipelines
+        // (d8/d13's shared dedup groups) and plan-identical .cache() calls
+        // would otherwise hand the second run the FIRST run's materialized
+        // intermediates (CacheManager matches canonicalized plans, not
+        // DataFrame instances) and make the comparison vacuous.
         conf.set("spark.sql.shuffle.partitions", "3")
+        spark.catalog.clearCache()
         val r3 = resultSet(name)
         conf.set("spark.sql.shuffle.partitions", "32")
+        spark.catalog.clearCache()
         val r32 = resultSet(name)
         assert(r3 == r32, s"$name differs across partitionings")
         assert(r3.nonEmpty, s"$name returned no rows")
       } finally conf.set("spark.sql.shuffle.partitions", prev)
     }
+  }
+
+  test("d8's dedup pipeline is partition-invariant on a FRESH lineage") {
+    // The catalog's d8/d13 share a memoized dedupGroups; the loop above
+    // re-executes that one lineage (iteration count of the CC loop fixed at
+    // build time). This builds the pipeline from scratch under each
+    // partitioning, so LSH banding, Jaccard verification, AND the CC loop's
+    // convergence path all run per-conf.
+    def groups(): Seq[String] = {
+      spark.catalog.clearCache()
+      DedupQueries.buildDedupGroups(spark, sf)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "3")
+      val r3 = groups()
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val r32 = groups()
+      assert(r3 == r32, "fresh dedupGroups differs across partitionings")
+      assert(r3.nonEmpty)
+    } finally { conf.set("spark.sql.shuffle.partitions", prev); spark.catalog.clearCache() }
   }
 }

@@ -99,6 +99,21 @@ class TfRecordsSpec extends SparkSpec {
     assert(f.image_id === Some(7L) && f.n_instances === Some(2L) && f.image_bytes === 3L)
   }
 
+  test("wrong wire type on a matching field number fails loudly, never misparses") {
+    // field 1 ("features") with wire type 0 (varint) — a CRC-valid record
+    // that is not a tf.Example. Reading the varint VALUE as a byte length
+    // would silently slice garbage; the parser must refuse instead.
+    val notAnExample = tag(1, 0) ++ varint(42)
+    val e = intercept[IllegalArgumentException](TfRecords.parseExample(notAnExample))
+    assert(e.getMessage.contains("wire type 0"))
+    // same guard inside a feature map entry's value
+    val badValue = lenDelim(1, lenDelim(1, "k".getBytes("UTF-8")) ++ tag(2, 5) ++ Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException](TfRecords.parseExample(badValue))
+    // and on the SequenceExample context
+    val badSeq = tag(1, 5) ++ Array[Byte](1, 2, 3, 4)
+    intercept[IllegalArgumentException](TfRecords.parseSequenceExample(badSeq))
+  }
+
   test("split messages merge per proto semantics (repeated field occurrences concatenate)") {
     // a Features message split into two field-1 occurrences: maps union
     val split = lenDelim(1, mapEntry("a", int64ListFeature(Seq(1L)))) ++
