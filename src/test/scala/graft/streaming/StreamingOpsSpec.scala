@@ -64,6 +64,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents state survives a checkpoint restart (replay after restart still drops)") {
+    // The operational claim behind incremental dedup: stop the query,
+    // restart from the same checkpoint, and the seen-id state store must
+    // come back — a pre-restart id replayed AFTER the restart is dropped by
+    // restored state, not by luck. MemoryStream offsets resume from the
+    // checkpoint's commit log, so only post-restart additions reprocess.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    // memory sink refuses checkpoint recovery; the (recoverable) file sink
+    // is also the honest fixture — it's what a production run restarts into
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    val mem = MemoryStream[Event]
+    def start() = StreamingOps.dedupEvents(mem.toDF())
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    def ids(): Seq[Long] =
+      s.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+
+    val q1 = start()
+    try {
+      mem.addData(Event(10, ts(3), 1, "view", 1.0), Event(11, ts(4), 1, "click", 2.0))
+      q1.processAllAvailable()
+      assert(ids() == Seq(10L, 11L))
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // replay id 10 (committed before the restart) + a fresh id 12
+      mem.addData(Event(10, ts(3), 1, "view", 1.0), Event(12, ts(5), 2, "view", 3.0))
+      q2.processAllAvailable()
+      assert(ids() == Seq(10L, 11L, 12L),
+        s"restored state should drop the replayed id, got ${ids()}")
+    } finally q2.stop()
+  }
+
   test("readEventStream ingests a JSON event directory file-by-file (S1 lifted to readStream)") {
     val s = spark
     import s.implicits._
