@@ -26,7 +26,12 @@ class DeterminismSpec extends SparkSpec {
     // round 6: pinned-vocab BPE encode (distinct-word cache join-back),
     // the AP sweep (nano-unit integer term sums are the invariance claim),
     // the two-level top-k rank join, and the ANN recall join
-    "t16a_bpe_encode", "g22_ap_sweep", "t13_bpe_merge_candidates", "v11_ann_recall")
+    "t16a_bpe_encode", "g22_ap_sweep", "t13_bpe_merge_candidates", "v11_ann_recall",
+    // late round 6: the flipped-direction AP sweep, the in-row 9x9 ADD-S
+    // min, the leakage-safe split (group assignment must not depend on
+    // partitioning), PII scrub counts, and keyframe selection ties
+    "g23_ap_add_sweep", "g24_add_sym", "d13_leakage_safe_split",
+    "t17_pii_scrub", "mm6_keyframes")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
