@@ -56,4 +56,49 @@ class RocksDbStateSpec extends SparkSpec {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("band-claim state on RocksDB survives a checkpoint restart") {
+    // The production restart path: stop the guard, restart from the same
+    // checkpoint, replay duplicate content. If the RocksDB store failed to
+    // restore, the replayed doc would CLAIM every bucket itself and emit
+    // zero hits; restored state instead yields a hit per band against the
+    // original claimant.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val prior = StreamingOps.RocksDbStateStoreConf.keys
+      .map(k => k -> s.conf.getOption(k)).toMap
+    StreamingOps.RocksDbStateStoreConf.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rocks-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-rocks-out").toString
+      val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+      val mem = MemoryStream[Doc]
+      def start() = StreamingOps.nearDupHits(StreamingOps.nearDupBandRows(mem.toDF()))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+
+      val q1 = start()
+      try {
+        mem.addData(Doc(1, dupText), Doc(2, "entirely different words occupy this second document"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start()
+      try {
+        mem.addData(Doc(3, dupText))
+        q2.processAllAvailable()
+        val hits = s.read.parquet(out).as[BandHit].collect().toSeq
+        assert(hits.map(_.doc_id).distinct === Seq(3L),
+          s"expected only the replayed doc to hit, got ${hits.map(_.doc_id).distinct}")
+        assert(hits.forall(_.rep_doc_id == 1L), "hits must point at the pre-restart claimant")
+        assert(hits.size === graft.GraftConfig.active.numBands,
+          "every band must hit restored state — a short count means buckets were re-claimed")
+      } finally q2.stop()
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
