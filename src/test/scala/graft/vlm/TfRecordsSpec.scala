@@ -99,6 +99,47 @@ class TfRecordsSpec extends SparkSpec {
     assert(f.image_id === Some(7L) && f.n_instances === Some(2L) && f.image_bytes === 3L)
   }
 
+  test("100 seeded-random feature maps round-trip through encode -> parse") {
+    // Sweep the writer/parser pair over random shapes the hand fixtures
+    // don't reach: empty lists, single elements, long lists, varint
+    // boundary values (including negatives, which encode as 10-byte
+    // varints), and NaN/infinity floats (bit-exact through the fixed32
+    // path). The writer is this spec's independent encoder, so a parser
+    // bug can't cancel against a shared codec.
+    val rnd = new scala.util.Random(0x5eed)
+    def randKey(): String = "k" + rnd.nextInt(1000)
+    def randFeature(): (Array[Byte], TfRecords.Feature) = rnd.nextInt(3) match {
+      case 0 =>
+        val vs = Seq.fill(rnd.nextInt(5))(Array.fill(rnd.nextInt(8))(rnd.nextInt().toByte))
+        (bytesListFeature(vs), TfRecords.Feature(bytes = vs))
+      case 1 =>
+        val pool = Seq(0f, -1.5f, Float.MaxValue, Float.MinPositiveValue,
+          Float.NaN, Float.PositiveInfinity, rnd.nextFloat())
+        val vs = Seq.fill(rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+        (floatListFeature(vs), TfRecords.Feature(floats = vs))
+      case 2 =>
+        val pool = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, rnd.nextLong())
+        val vs = Seq.fill(rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+        (int64ListFeature(vs), TfRecords.Feature(int64s = vs))
+    }
+    def sameFloats(a: Seq[Float], b: Seq[Float]) =
+      a.size == b.size && a.zip(b).forall { case (x, y) =>
+        java.lang.Float.floatToRawIntBits(x) == java.lang.Float.floatToRawIntBits(y)
+      }
+    for (_ <- 1 to 100) {
+      val feats = Seq.fill(rnd.nextInt(6))(randKey() -> randFeature())
+        .distinctBy(_._1) // later map keys win in proto; keep keys unique
+      val parsed = TfRecords.parseExample(example(feats.map { case (k, (enc, _)) => k -> enc }))
+      assert(parsed.keySet == feats.map(_._1).toSet)
+      feats.foreach { case (k, (_, expected)) =>
+        val got = parsed(k)
+        assert(got.bytes.map(_.toSeq) == expected.bytes.map(_.toSeq), s"bytes differ for $k")
+        assert(sameFloats(got.floats, expected.floats), s"floats differ for $k")
+        assert(got.int64s == expected.int64s, s"int64s differ for $k")
+      }
+    }
+  }
+
   test("wrong wire type on a matching field number fails loudly, never misparses") {
     // field 1 ("features") with wire type 0 (varint) — a CRC-valid record
     // that is not a tf.Example. Reading the varint VALUE as a byte length
