@@ -28,6 +28,49 @@ object Ingest {
     limit.fold(df)(df.limit)
   }
 
+  /** S1 under an explicit malformed-input policy: the default PERMISSIVE
+    * read silently turns a corrupt document into an all-null row — at
+    * corpus scale an unfindable data-loss mode (the reference's per-file
+    * `json.load` would at least crash). This variant fails the job on the
+    * first malformed document.
+    */
+  def readFramesStrict(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(FrameSchema.frameType)
+      .option("recursiveFileLookup", "true")
+      .option("mode", "FAILFAST")
+      .json(dir)
+      .withColumn("_source_file", input_file_name())
+      .filter(!input_file_name().endsWith("summary.json"))
+
+  /** Per-file corruption audit: `(file, rows, corrupt_rows)` for every file
+    * in the corpus, one scan, aggregate-only output — the triage step
+    * before deciding to quarantine or FAILFAST. Keeps the corrupt payload
+    * out of the result (counts only), so the audit itself is metadata-scale
+    * no matter how large the corpus.
+    */
+  def auditFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withCorrupt = StructType(
+      FrameSchema.frameType.fields :+ StructField("_corrupt_record", StringType))
+    spark.read
+      .schema(withCorrupt)
+      .option("recursiveFileLookup", "true")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .filter(!input_file_name().endsWith("summary.json"))
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("rows"),
+        count(col("_corrupt_record")).as("corrupt_rows"),
+        // a real data column in the OUTPUT is load-bearing twice over: a
+        // triage anchor for the flagged file, and the reason the scan is
+        // legal at all (Spark rejects JSON scans whose referenced columns
+        // are only the corrupt-record column; an unreferenced aggregate
+        // would be pruned back into that error)
+        first(col("image_id"), ignoreNulls = true).as("sample_image_id"))
+  }
+
   /** S2: single-document load. */
   def readFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(FrameSchema.frameType).json(path)

@@ -7,6 +7,36 @@ import java.nio.file.Files
   */
 class PipelineSpec extends SparkSpec {
 
+  test("corrupt documents: audit counts them per file, strict mode fails loudly") {
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    val sceneDir = new java.io.File(s"$dir/ds/scene0"); sceneDir.mkdirs()
+    Files.writeString(new java.io.File(sceneDir, "good.json").toPath,
+      """{"dataset":"ds","split":"s0","image_id":"ok","scene_id":"scene0","bounding_boxes_2d":[],"bounding_boxes_3d":[]}""")
+    Files.writeString(new java.io.File(sceneDir, "bad.json").toPath,
+      """{"dataset":"ds","split":"s0","image_id":"truncated""")
+    Files.writeString(new java.io.File(sceneDir, "summary.json").toPath, """{"not":"a frame"}""")
+
+    // PERMISSIVE default would hand downstream a silent null row for
+    // bad.json; the audit makes it visible and attributable
+    val audit = Ingest.auditFrames(spark, dir)
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1), r.getLong(2))).toSeq
+    assert(audit.collectFirst { case ("bad.json", rows, corrupt) => (rows, corrupt) }
+      .contains((1L, 1L)))
+    assert(audit.collectFirst { case ("good.json", rows, corrupt) => (rows, corrupt) }
+      .contains((1L, 0L)))
+    assert(audit.forall(_._1 != "summary.json"))
+
+    // strict mode refuses the corpus outright
+    val e = intercept[org.apache.spark.SparkException](
+      Ingest.readFramesStrict(spark, dir).count())
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+
+    // and accepts it once the corrupt file is quarantined
+    new java.io.File(sceneDir, "bad.json").delete()
+    assert(Ingest.readFramesStrict(spark, dir).count() == 1)
+  }
+
   test("ingest → generate → sinks round trip") {
     val dir = Files.createTempDirectory("graft_corpus").toString
     val out = Files.createTempDirectory("graft_qa").toString
