@@ -117,7 +117,7 @@ object Codebook {
     val tagged =
       if (frames.columns.contains("_source_file")) frames
       else frames.withColumn("_source_file", lit(""))
-    val frameCols = tagged.columns.filterNot(_ == "bounding_boxes_3d").map(col)
+    val frameCols = tagged.columns.filterNot(_ == "bounding_boxes_3d").map(col).toIndexedSeq
     val exploded = tagged
       .withColumn("_frame_key", concat_ws("#", col("_source_file"), col("image_id")))
       .select(col("_frame_key") +: frameCols :+ posexplode(col("bounding_boxes_3d")).as(Seq("bbox_idx", "bbox")): _*)

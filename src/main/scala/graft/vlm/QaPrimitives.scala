@@ -37,7 +37,7 @@ object QaPrimitives {
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add("_rn", org.apache.spark.sql.types.LongType)
     val withIdx = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) },
+      sorted.rdd.zipWithIndex().map { case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) },
       schema)
     withIdx.withColumn(idCol, format_string(fmt, col("_rn"))).drop("_rn")
   }
