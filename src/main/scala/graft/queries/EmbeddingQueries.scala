@@ -36,6 +36,36 @@ object EmbeddingQueries extends QueryModule {
   private val TrainIters = 2 // sampled-Lloyd rounds for the IVF codebook
   private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
 
+  /** One cell per this many corpus vectors is the minimum useful cell
+    * granularity (the faiss sizing guideline, ~39 training points per
+    * centroid): cells beyond n/39 sit empty while still costing a full
+    * argmin term per vector. Without the cap, the capacity preset
+    * (numCells=1e5) run against a small corpus seeds EVERY vector as a
+    * centroid and the cell assignment goes quadratic (v10 measured 1.6 s
+    * -> 78 s at sf0.1). At 100 TB, n/39 dwarfs any configured budget and
+    * the cap never binds.
+    */
+  private val MinPointsPerCell = 39
+
+  /** Data-adaptive cell seed `(cid, cq)`: the first
+    * `least(NumCells, greatest(1, floor(n / 39)))` vectors. Declarative
+    * (broadcast 1-row count — no driver action); the oracle SQL computes
+    * the identical cap from the identical table.
+    */
+  private def cellSeed(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val cap = base.groupBy().agg(
+      least(lit(NumCells.toLong),
+        greatest(lit(1L), floor(count(lit(1)) / 39.0).cast("long"))).as("cell_cap"))
+    base.crossJoin(broadcast(cap))
+      .filter(col("vec_id") < col("cell_cap"))
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+  }
+
+  /** The same cap as a SQL scalar subquery over the base CTE. */
+  private def cellCapSql(baseCte: String): String =
+    s"(SELECT least($NumCells, greatest(1, CAST(floor(count(*) / 39.0) AS BIGINT))) FROM $baseCte)"
+
   /** DuckDB mirror of [[IvfCentroids.train]]: `TrainIters` unrolled
     * assign + floor-mean rounds over the deterministic sample, starting from
     * the first-`NumCells` seed. Requires a `base` CTE with (vec_id, q).
@@ -46,7 +76,7 @@ object EmbeddingQueries extends QueryModule {
       s"list_sum(list_transform(range(1, $Dim + 1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"
     val init =
       s"""samp AS (SELECT vec_id, q FROM base WHERE vec_id % $SampleMod = 0),
-         |cent0 AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells)""".stripMargin
+         |cent0 AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")})""".stripMargin
     val rounds = (1 to TrainIters).map { t =>
       s"""asg$t AS (SELECT cid, q FROM (
          |    SELECT s.q, c.cid, row_number() OVER (PARTITION BY s.vec_id
@@ -343,7 +373,7 @@ object EmbeddingQueries extends QueryModule {
         // The only shuffle is the candidate equi-join on cell id.
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
         val centroids = IvfCentroids.train(
-          quantized(s, d), NumCells, TrainIters, SampleMod)
+          quantized(s, d), cellSeed(s, d), TrainIters, SampleMod)
         // exact-integer identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (no zipped
         // diff array; all three terms are codegen'd LongDot loops)
         def l2(a: Column, b: Column): Column = IvfCentroids.l2(a, b)
@@ -411,8 +441,7 @@ object EmbeddingQueries extends QueryModule {
         // it is the IvfCentroids.save/load trained parquet, same plan).
         val theta = 0.35
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
-        val cent = quantized(s, d).filter(col("vec_id") < NumCells)
-          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val cent = cellSeed(s, d)
         // min_by argmin instead of a row_number window — see v6
         val assigned = base.join(broadcast(cent))
           .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
@@ -431,7 +460,7 @@ object EmbeddingQueries extends QueryModule {
           .select(col("vec_id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
       },
       Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
-             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < $NumCells),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
              |assigned AS (
              |  SELECT vec_id, q, n2, cell FROM (
              |    SELECT b.vec_id, b.q, b.n2, c.cid AS cell,
@@ -513,8 +542,7 @@ object EmbeddingQueries extends QueryModule {
         // table — original vectors are never touched at serving time).
         // Corpus-side state per vector: one cell id + one 8-byte PQ code.
         val base = quantized(s, d)
-        val coarse = base.filter(col("vec_id") < NumCells)
-          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val coarse = cellSeed(s, d)
         // min_by argmin instead of a row_number window — see v6
         val assigned = base.join(broadcast(coarse))
           .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
@@ -543,7 +571,7 @@ object EmbeddingQueries extends QueryModule {
             col("vec_id").as("neighbor_id"), col("adist"))
       },
       Some(s"""WITH $pqAssignSql,
-             |coarse AS (SELECT vec_id AS cid, q AS cq FROM pqbase WHERE vec_id < $NumCells),
+             |coarse AS (SELECT vec_id AS cid, q AS cq FROM pqbase WHERE vec_id < ${cellCapSql("pqbase")}),
              |assigned AS (SELECT vec_id, cell FROM (
              |    SELECT b.vec_id, c.cid AS cell,
              |      row_number() OVER (PARTITION BY b.vec_id ORDER BY

@@ -39,11 +39,19 @@ object IvfCentroids {
     * small constant (Lloyd on a sample converges in a few rounds; the plan
     * grows linearly with it).
     */
-  def train(quantized: DataFrame, k: Int, iters: Int, sampleMod: Int): DataFrame = {
+  def train(quantized: DataFrame, k: Int, iters: Int, sampleMod: Int): DataFrame =
+    train(quantized,
+      quantized.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("q").as("cq")),
+      iters, sampleMod)
+
+  /** Train from an explicit `(cid, cq)` seed — the entry point for
+    * data-adaptive cell budgets (the caller caps the seed by corpus size).
+    */
+  def train(quantized: DataFrame, seed: DataFrame, iters: Int, sampleMod: Int): DataFrame = {
     val sample = quantized.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("q"))
-    var cent = quantized.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    var cent = seed
     for (_ <- 0 until iters) {
       // nearest-centroid argmin as a min_by AGGREGATION, not a row_number
       // window: partial aggregation collapses the k joined copies of each
