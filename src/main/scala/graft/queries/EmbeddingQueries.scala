@@ -68,7 +68,8 @@ object EmbeddingQueries extends QueryModule {
 
   /** DuckDB mirror of [[IvfCentroids.train]]: `TrainIters` unrolled
     * assign + floor-mean rounds over the deterministic sample, starting from
-    * the first-`NumCells` seed. Requires a `base` CTE with (vec_id, q).
+    * the capped cell seed (see [[cellSeed]]). Requires a `base` CTE with
+    * (vec_id, q).
     * The final centroids are CTE `cent` (cid, cq).
     */
   private def centroidTrainSql: String = {
