@@ -36,35 +36,28 @@ object EmbeddingQueries extends QueryModule {
   private val TrainIters = 2 // sampled-Lloyd rounds for the IVF codebook
   private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
 
-  /** One cell per this many corpus vectors is the minimum useful cell
-    * granularity (the faiss sizing guideline, ~39 training points per
-    * centroid): cells beyond n/39 sit empty while still costing a full
-    * argmin term per vector. Without the cap, the capacity preset
+  /** The faiss ~39-points-per-centroid floor — the single constant BOTH the
+    * Spark seed and the oracle SQL derive from (a divergence here fails
+    * every v6/v7/v10 gate comparison). Without the cap, the capacity preset
     * (numCells=1e5) run against a small corpus seeds EVERY vector as a
-    * centroid and the cell assignment goes quadratic (v10 measured 1.6 s
-    * -> 78 s at sf0.1). At 100 TB, n/39 dwarfs any configured budget and
-    * the cap never binds.
+    * centroid and cell assignment goes quadratic (v10 measured 1.6 s ->
+    * 78 s at sf0.1).
     */
-  private val MinPointsPerCell = 39
+  private val MinPointsPerCell = IvfCentroids.MinPointsPerCell
 
   /** Data-adaptive cell seed `(cid, cq)`: the first
-    * `least(NumCells, greatest(1, floor(n / 39)))` vectors. Declarative
-    * (broadcast 1-row count — no driver action); the oracle SQL computes
-    * the identical cap from the identical table.
+    * `least(NumCells, greatest(1, floor(n / MinPointsPerCell)))` vectors
+    * (IvfCentroids.cappedSeed — broadcast 1-row count, no driver action;
+    * `count(lit(1))` references no columns so parquet answers from footer
+    * row counts). The oracle SQL computes the identical cap from the
+    * identical table.
     */
-  private def cellSeed(s: SparkSession, d: String): DataFrame = {
-    val base = quantized(s, d)
-    val cap = base.groupBy().agg(
-      least(lit(NumCells.toLong),
-        greatest(lit(1L), floor(count(lit(1)) / 39.0).cast("long"))).as("cell_cap"))
-    base.crossJoin(broadcast(cap))
-      .filter(col("vec_id") < col("cell_cap"))
-      .select(col("vec_id").as("cid"), col("q").as("cq"))
-  }
+  private def cellSeed(s: SparkSession, d: String): DataFrame =
+    IvfCentroids.cappedSeed(quantized(s, d), NumCells, MinPointsPerCell)
 
   /** The same cap as a SQL scalar subquery over the base CTE. */
   private def cellCapSql(baseCte: String): String =
-    s"(SELECT least($NumCells, greatest(1, CAST(floor(count(*) / 39.0) AS BIGINT))) FROM $baseCte)"
+    s"(SELECT least($NumCells, greatest(1, CAST(floor(count(*) / $MinPointsPerCell.0) AS BIGINT))) FROM $baseCte)"
 
   /** DuckDB mirror of [[IvfCentroids.train]]: `TrainIters` unrolled
     * assign + floor-mean rounds over the deterministic sample, starting from

@@ -79,9 +79,39 @@ object IvfCentroids {
     cent
   }
 
-  /** Offline job: train and persist the codebook parquet. */
+  /** One centroid per this many corpus vectors is the minimum useful cell
+    * granularity (the faiss sizing guideline): cells beyond n/39 sit empty
+    * while still costing a full argmin term per vector.
+    */
+  val MinPointsPerCell = 39
+
+  /** First-`k` seed `(cid, cq)` capped at `least(k, max(1, floor(n /
+    * minPointsPerCell)))` — without the cap, a capacity-sized `k` against a
+    * small corpus seeds every vector as a centroid and cell assignment goes
+    * quadratic. Declarative (broadcast 1-row count; `count(lit(1))`
+    * references no columns, so the parquet scan answers from footer row
+    * counts). At real scale n/39 dwarfs any configured budget and the cap
+    * never binds.
+    */
+  def cappedSeed(
+      quantized: DataFrame, k: Int,
+      minPointsPerCell: Int = MinPointsPerCell): DataFrame = {
+    val cap = quantized.groupBy().agg(
+      least(lit(k.toLong),
+        greatest(lit(1L),
+          floor(count(lit(1)) / minPointsPerCell.toDouble).cast("long"))).as("cell_cap"))
+    quantized.crossJoin(broadcast(cap))
+      .filter(col("vec_id") < col("cell_cap"))
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+  }
+
+  /** Offline job: train and persist the codebook parquet. The seed is
+    * corpus-capped — the at-scale entry point must not reproduce the
+    * quadratic first-k blowup the query layer guards against.
+    */
   def save(quantized: DataFrame, path: String, k: Int, iters: Int, sampleMod: Int): Unit =
-    train(quantized, k, iters, sampleMod).coalesce(1).write.mode("overwrite").parquet(path)
+    train(quantized, cappedSeed(quantized, k), iters, sampleMod)
+      .coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Serving path: load a trained codebook (broadcast it at the join site). */
   def load(spark: SparkSession, path: String): DataFrame =

@@ -17,14 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  private val NotSummary = !input_file_name().endsWith("summary.json")
+
+  /** One shared S1 scan (schema, recursive lookup, optional corrupt-record
+    * capture) so the plain / strict / audit variants can't drift apart. */
+  private def frameScan(spark: SparkSession, dir: String, withCorrupt: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema =
+      if (withCorrupt)
+        StructType(FrameSchema.frameType.fields :+ StructField("_corrupt_record", StringType))
+      else FrameSchema.frameType
+    val reader = spark.read.schema(schema).option("recursiveFileLookup", "true")
+    (if (withCorrupt) reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+     else reader).json(dir)
+  }
+
   /** S1: read a unified-JSON corpus directory into frame records. */
   def readFrames(spark: SparkSession, dir: String, limit: Option[Int] = None): DataFrame = {
-    val df = spark.read
-      .schema(FrameSchema.frameType)
-      .option("recursiveFileLookup", "true")
-      .json(dir)
+    val df = frameScan(spark, dir, withCorrupt = false)
       .withColumn("_source_file", input_file_name())
-      .filter(!input_file_name().endsWith("summary.json"))
+      .filter(NotSummary)
     limit.fold(df)(df.limit)
   }
 
@@ -32,34 +44,61 @@ object Ingest {
     * read silently turns a corrupt document into an all-null row — at
     * corpus scale an unfindable data-loss mode (the reference's per-file
     * `json.load` would at least crash). This variant fails the job on the
-    * first malformed document.
+    * first malformed FRAME document. Not reader-level FAILFAST, which
+    * would fire on `summary.json` (multi-line per the reference's
+    * json.dump) BEFORE the path exclusion runs: the corrupt check is one
+    * And-guarded predicate behind the exclusion, so excluded files can
+    * never trip it.
     */
-  def readFramesStrict(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema(FrameSchema.frameType)
-      .option("recursiveFileLookup", "true")
-      .option("mode", "FAILFAST")
-      .json(dir)
+  def readFramesStrict(spark: SparkSession, dir: String, limit: Option[Int] = None): DataFrame = {
+    val df = frameScan(spark, dir, withCorrupt = true)
       .withColumn("_source_file", input_file_name())
-      .filter(!input_file_name().endsWith("summary.json"))
+      .filter(NotSummary &&
+        when(col("_corrupt_record").isNotNull,
+          raise_error(concat(
+            lit("malformed frame document in "), input_file_name(),
+            // the real column in the message doubles as the reason this
+            // plan stays legal when a caller prunes every frame field
+            // (count() etc.): Spark rejects JSON scans whose referenced
+            // columns are only the corrupt-record column
+            lit(" (last parsed image_id="),
+            coalesce(col("image_id"), lit("none")), lit(")")))).isNull)
+      .drop("_corrupt_record")
+    limit.fold(df)(df.limit)
+  }
 
-  /** Per-file corruption audit: `(file, rows, corrupt_rows)` for every file
-    * in the corpus, one scan, aggregate-only output — the triage step
-    * before deciding to quarantine or FAILFAST. Keeps the corrupt payload
-    * out of the result (counts only), so the audit itself is metadata-scale
-    * no matter how large the corpus.
+  /** Per-file corruption audit: `(file, bytes, rows, corrupt_rows,
+    * sample_image_id)` for EVERY file in the corpus — including zero-record
+    * files (a truncated-to-empty document yields no parsed rows at all, so
+    * a parse-side-only audit would silently omit exactly the fully-lost
+    * files it exists to find; the binaryFile listing side reads paths and
+    * lengths only, never content). One parse scan + one listing, counts
+    * only — metadata-scale output no matter how large the corpus.
     */
   def auditFrames(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val withCorrupt = StructType(
-      FrameSchema.frameType.fields :+ StructField("_corrupt_record", StringType))
-    spark.read
-      .schema(withCorrupt)
-      .option("recursiveFileLookup", "true")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(dir)
-      .filter(!input_file_name().endsWith("summary.json"))
-      .groupBy(input_file_name().as("file"))
+    // The listing side must come from the filesystem, not a Spark scan:
+    // scan planning assigns zero-byte files no input splits, so every
+    // file-based source (json, binaryFile, text) is structurally blind to
+    // exactly the fully-lost files this audit exists to find. A recursive
+    // FS walk is the same metadata pass Spark's own file index performs
+    // for any read of the directory.
+    import spark.implicits._
+    // normalize the parse side to the listing's bare /path form
+    // (input_file_name() renders file:///...)
+    def bare(c: org.apache.spark.sql.Column) = regexp_replace(c, "^file:/+", "/")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      listing += ((st.getPath.toUri.getPath, st.getLen))
+    }
+    val files = listing.toSeq.toDF("file", "bytes")
+      .filter(!col("file").endsWith("summary.json"))
+    val parsed = frameScan(spark, dir, withCorrupt = true)
+      .filter(NotSummary)
+      .groupBy(bare(input_file_name()).as("file"))
       .agg(
         count(lit(1)).as("rows"),
         count(col("_corrupt_record")).as("corrupt_rows"),
@@ -69,6 +108,11 @@ object Ingest {
         // are only the corrupt-record column; an unreferenced aggregate
         // would be pruned back into that error)
         first(col("image_id"), ignoreNulls = true).as("sample_image_id"))
+    files.join(parsed, Seq("file"), "left")
+      .select(col("file"), col("bytes"),
+        coalesce(col("rows"), lit(0L)).as("rows"),
+        coalesce(col("corrupt_rows"), lit(0L)).as("corrupt_rows"),
+        col("sample_image_id"))
   }
 
   /** S2: single-document load. */

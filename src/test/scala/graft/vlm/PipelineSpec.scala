@@ -14,27 +14,45 @@ class PipelineSpec extends SparkSpec {
       """{"dataset":"ds","split":"s0","image_id":"ok","scene_id":"scene0","bounding_boxes_2d":[],"bounding_boxes_3d":[]}""")
     Files.writeString(new java.io.File(sceneDir, "bad.json").toPath,
       """{"dataset":"ds","split":"s0","image_id":"truncated""")
-    Files.writeString(new java.io.File(sceneDir, "summary.json").toPath, """{"not":"a frame"}""")
+    // truncated-to-empty: zero parsed rows, zero corrupt rows — only the
+    // listing side of the audit can see it
+    Files.writeString(new java.io.File(sceneDir, "empty.json").toPath, "")
+    // multi-line, as the reference's json.dump writes it: every line is
+    // malformed under the line-delimited reader, and the path exclusion
+    // must shield it from strict mode
+    Files.writeString(new java.io.File(sceneDir, "summary.json").toPath,
+      "{\n  \"not\": \"a frame\"\n}")
 
     // PERMISSIVE default would hand downstream a silent null row for
-    // bad.json; the audit makes it visible and attributable
+    // bad.json; the audit makes both it and the lost empty file visible
     val audit = Ingest.auditFrames(spark, dir)
-      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1), r.getLong(2))).toSeq
-    assert(audit.collectFirst { case ("bad.json", rows, corrupt) => (rows, corrupt) }
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(audit.collectFirst { case ("bad.json", _, rows, corrupt) => (rows, corrupt) }
       .contains((1L, 1L)))
-    assert(audit.collectFirst { case ("good.json", rows, corrupt) => (rows, corrupt) }
+    assert(audit.collectFirst { case ("good.json", _, rows, corrupt) => (rows, corrupt) }
       .contains((1L, 0L)))
+    assert(audit.collectFirst { case ("empty.json", bytes, rows, _) => (bytes, rows) }
+      .contains((0L, 0L)), "zero-record files must appear in the audit")
     assert(audit.forall(_._1 != "summary.json"))
 
-    // strict mode refuses the corpus outright
-    val e = intercept[org.apache.spark.SparkException](
-      Ingest.readFramesStrict(spark, dir).count())
-    assert(e.getMessage.toLowerCase.contains("malformed") ||
-      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+    // strict mode refuses the corpus outright (raise_error surfaces as
+    // SparkRuntimeException or job-wrapped SparkException depending on
+    // where the task fails — the contract is the loud malformed message)
+    val e = intercept[Exception](Ingest.readFramesStrict(spark, dir).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.toLowerCase.contains("malformed")), msgs(e).mkString(" | "))
 
-    // and accepts it once the corrupt file is quarantined
+    // ...accepts it once the corrupt file is quarantined (the multi-line
+    // summary.json and the empty file must NOT trip the strict check), and
+    // matches readFrames' schema
     new java.io.File(sceneDir, "bad.json").delete()
-    assert(Ingest.readFramesStrict(spark, dir).count() == 1)
+    val strict = Ingest.readFramesStrict(spark, dir)
+    assert(strict.count() == 1)
+    assert(strict.columns.toSeq == Ingest.readFrames(spark, dir).columns.toSeq)
+    assert(Ingest.readFramesStrict(spark, dir, limit = Some(0)).count() == 0)
   }
 
   test("ingest → generate → sinks round trip") {
