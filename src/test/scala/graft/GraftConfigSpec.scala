@@ -51,8 +51,15 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(GraftConfig.Preset100TB.localCcMaxEdges * 16 < 200L * 1024 * 1024)
   }
 
-  test("the catalog runs at the demo preset (oracle SQL is generated from it)") {
-    assert(GraftConfig.active === GraftConfig.Demo)
+  test("the active preset follows GRAFT_PRESET (demo when unset)") {
+    // oracle SQL generates from the active config, so active must track the
+    // launch selection exactly — and the suite stays runnable at BOTH
+    // geometries (GRAFT_PRESET=100tb sbt test is a supported sweep)
+    sys.env.get("GRAFT_PRESET") match {
+      case None | Some("demo") => assert(GraftConfig.active === GraftConfig.Demo)
+      case Some("100tb")       => assert(GraftConfig.active === GraftConfig.Preset100TB)
+      case Some(other)         => fail(s"unexpected GRAFT_PRESET=$other")
+    }
   }
 
   test("invalid geometries are rejected at construction") {
