@@ -147,11 +147,14 @@ object DedupQueries extends QueryModule {
     * own band buckets.
     */
   def incrementalNearDup(newDocs: DataFrame, store: DataFrame): (DataFrame, DataFrame) = {
-    // cache: the shingle→minhash→band pipeline is the dominant per-doc cost
-    // and feeds three consumers (claims, dups, updated store); the cache
-    // lives for the ingest batch — callers running long sessions should
-    // unpersist after materializing both outputs
-    val rows = docBandRows(newDocs).cache()
+    // localCheckpoint, not cache(): the shingle→minhash→band pipeline is
+    // the dominant per-doc cost and feeds three consumers (claims, dups,
+    // updated store), so it must materialize once — but a cache() entry is
+    // pinned by the CacheManager forever with no handle for the caller to
+    // unpersist, leaking one lineage per ingest batch in a long session.
+    // Checkpoint blocks are released by the context cleaner once the
+    // returned frames go unreferenced.
+    val rows = docBandRows(newDocs).localCheckpoint(eager = true)
     val claims = rows.groupBy(col("band_idx"), col("band")).agg(min(col("doc_id")).as("new_rep"))
     // effective claimant per touched bucket: earlier batches win, else the
     // batch's lowest doc_id
@@ -296,7 +299,7 @@ object DedupQueries extends QueryModule {
     * `(doc_id, band0..band{NumBands-1})`. Shared by [[verifiedEdges]] and
     * the d12 edit-distance verifier.
     */
-  private def bandCandidatePairs(sigs: DataFrame): DataFrame = {
+  private def bandCandidatePairs(sigs: DataFrame, directed: Boolean = false): DataFrame = {
     val bands = sigs.select(
       col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
         posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
@@ -304,8 +307,10 @@ object DedupQueries extends QueryModule {
     val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
       when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
     }
+    val idCond =
+      if (directed) col("x.doc_id") =!= col("y.doc_id") else col("x.doc_id") < col("y.doc_id")
     bands.as("x")
-      .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && idCond)
       .filter(col("x.band_idx") === firstSharedBand)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
   }
@@ -507,20 +512,11 @@ object DedupQueries extends QueryModule {
         val sigs = signatures(sets)
           .select(col("doc_id") +: bandCols: _*)
         // bucketed candidate generation: explode band keys, equi-join per
-        // (band index, band hash) bucket — the scale path; no cross join.
-        // Both sides carry all four band keys so a pair can be kept only at
-        // its FIRST shared band — exact dedup without a distinct() shuffle.
-        val bands = sigs.select(
-          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
-            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
-        )
-        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
-          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
-        }
-        val cands = bands.as("x")
-          .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-          .filter(col("x.band_idx") === firstSharedBand)
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        // (band index, band hash) bucket — the scale path; no cross join,
+        // pairs kept only at their FIRST shared band (no distinct shuffle).
+        // One definition of that machinery: bandCandidatePairs.
+        val cands = bandCandidatePairs(sigs)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
         cands
           .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
           .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
@@ -597,18 +593,10 @@ object DedupQueries extends QueryModule {
         val sets = shingleSets(s, d).cache()
         val sigs = signatures(sets)
           .select(col("doc_id") +: bandCols: _*)
-        // first-shared-band dedup, as in d3 (directed pairs here)
-        val bands = sigs.select(
-          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
-            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*
-        )
-        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
-          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
-        }
-        val cands = bands.as("x")
-          .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") && col("x.doc_id") =!= col("y.doc_id"))
-          .filter(col("x.band_idx") === firstSharedBand)
-          .select(col("x.doc_id").as("did"), col("y.doc_id").as("nbr"))
+        // first-shared-band dedup, as in d3 — directed pairs here; one
+        // definition of the machinery: bandCandidatePairs
+        val cands = bandCandidatePairs(sigs, directed = true)
+          .select(col("a").as("did"), col("b").as("nbr"))
         val verified = cands
           .join(sets.as("a"), col("did") === col("a.doc_id"))
           .join(sets.as("b"), col("nbr") === col("b.doc_id"))

@@ -13,9 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unified model. Streaming-only semantics (watermarks, state timeouts) are
   * no-ops under batch execution.
   *
-  * Scale notes: every op keys its state by a high-cardinality column
-  * (`user_id`, `event_id`), so state stores shard evenly across executors;
-  * watermarks bound state size — nothing here grows without bound at 100 TB/day.
+  * Scale notes: the stateful ops key their state by a high-cardinality
+  * column (`user_id`, `event_id`, LSH band buckets), so state stores shard
+  * evenly across executors, and watermarks bound the keyed state — with
+  * two documented exceptions: [[nearDupHits]] state is bounded by the
+  * distinct-bucket count (vocabulary-, not corpus-, scale; TTL note on the
+  * method), and [[packDocs]]' sequential-offset contract serializes each
+  * `source` through one task (scaling note on the method).
   */
 object StreamingOps {
 
@@ -44,52 +48,84 @@ object StreamingOps {
   /** Idempotent-ingest guard: exactly-once per `event_id` within the
     * watermark horizon (the `readStream` lift of the reference's
     * one-file-per-frame idempotency, SURVEY.md §2.10).
+    *
+    * Streaming uses `dropDuplicatesWithinWatermark`: plain
+    * `dropDuplicates("event_id")` never evicts — the watermark only bounds
+    * dedup state when the event-time column is part of the keys, so a
+    * non-time-keyed dedup retains every id ever seen and grows without
+    * bound. WithinWatermark keeps each id only for the watermark delay,
+    * which is exactly the replay horizon the guard promises.
     */
-  def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "15 minutes").dropDuplicates("event_id")
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "15 minutes")
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
+
+  /** All undecided session fragments for one user — disjoint, kept sorted
+    * by start (public: the state encoder's generated code must reach it).
+    */
+  final case class SessionsState(sessions: Seq[SessionState])
 
   /** Stateful gap sessionization: a session closes after `gapMinutes` of
-    * user inactivity (event-time timeout). Same 30-minute-gap semantics as
-    * the batch `e_sessionize` query — the stream emits a session when the
-    * watermark passes its gap horizon instead of via a lag window.
+    * user inactivity. Same 30-minute-gap semantics as the batch
+    * `e_sessionize` query.
+    *
+    * A session emits only once the watermark passes its gap horizon
+    * (`end + gap <= watermark`) — emitting the moment a within-trigger gap
+    * appears would be wrong whenever a late-but-admissible event
+    * (`ts >= watermark`) later extends or BRIDGES provisionally-separate
+    * fragments. So state holds every undecided fragment, new events merge
+    * into them (union of fragments re-coalesced, so a bridging event fuses
+    * two fragments and the merged start is the true minimum), and a
+    * fragment is final exactly when `end + gap <= watermark`: any future
+    * admissible event has `ts >= watermark >= end + gap`, which can never
+    * merge backward.
+    *
+    * Batch execution has the whole input at once: the same coalesce runs as
+    * a pure per-group fold and every session emits, including the trailing
+    * open one — the batch lag-window semantics.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
+    def fragments(rows: Seq[Event]): Seq[SessionState] =
+      rows.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+
+    def coalesceFragments(all: Seq[SessionState]): Seq[SessionState] =
+      all.sortBy(s => (s.start, s.end)).foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.start - p.end <= gapMs =>
+            acc.init :+ SessionState(
+              p.start, math.max(p.end, s.end), p.n + s.n, p.total + s.total)
+          case _ => acc :+ s
+        }
+      }
+
+    if (!events.isStreaming)
+      return events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+        coalesceFragments(fragments(rows.toSeq))
+          .map(s => Session(userId, s.start, s.end, s.n, s.total)).iterator
+      }
+
     def update(
         userId: Long,
         rows: Iterator[Event],
-        state: GroupState[SessionState]
+        state: GroupState[SessionsState]
     ): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(Session(userId, s.start, s.end, s.n, s.total))
-      } else {
-        // within one trigger, fold the user's new events in time order;
-        // emit every session that closes (gap exceeded), keep the open one.
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var cur = state.getOption
-        val closed = Seq.newBuilder[Session]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
-            case Some(s) =>
-              closed += Session(userId, s.start, s.end, s.n, s.total)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        closed.result().iterator
-      }
+      val wm = state.getCurrentWatermarkMs()
+      val merged = coalesceFragments(
+        state.getOption.map(_.sessions).getOrElse(Seq.empty) ++ fragments(rows.toSeq))
+      val (fin, keep) = merged.partition(s => s.end + gapMs <= wm)
+      if (keep.nonEmpty) {
+        state.update(SessionsState(keep))
+        // kept fragments have end + gap > wm by construction, so the
+        // timeout is always in the future as EventTimeTimeout requires
+        state.setTimeoutTimestamp(keep.map(_.end + gapMs).min)
+      } else state.remove()
+      fin.map(s => Session(userId, s.start, s.end, s.n, s.total)).iterator
     }
 
     events
@@ -152,16 +188,16 @@ object StreamingOps {
     * `[a-z0-9]+`-on-lowercase contract.
     */
   def scoreDocs(docs: DataFrame, vocabBits: Map[String, Long]): DataFrame = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(vocabBits)
+    // closure-captured, NOT sparkContext.broadcast: an explicit broadcast
+    // per call is never destroyed and leaks across repeated invocations,
+    // while the top-K-bounded map ships fine with the task closure
     val oovBits = if (vocabBits.isEmpty) 1L else vocabBits.values.max + 1L
     val score = udf { (text: String) =>
       if (text == null) (0L, 0L)
       else {
-        val m = bc.value
         var n = 0L; var sum = 0L
         val it = "[a-z0-9]+".r.findAllIn(text.toLowerCase)
-        while (it.hasNext) { sum += m.getOrElse(it.next(), oovBits); n += 1 }
+        while (it.hasNext) { sum += vocabBits.getOrElse(it.next(), oovBits); n += 1 }
         (n, sum)
       }
     }
@@ -248,7 +284,14 @@ object StreamingOps {
     * Within a trigger, documents fold in doc_id order, so batch execution
     * of the same function (empty state, whole group in one call) equals the
     * t8 prefix-sum window exactly when arrival order follows doc_id —
-    * spec'd. State per source is ONE long; sources shard the state store.
+    * spec'd. State per source is ONE long.
+    *
+    * Scaling unit: the sequential-offset contract serializes each `source`
+    * through one task — parallelism equals the number of sources, NOT the
+    * cluster size. That is the honest cost of globally contiguous offsets;
+    * a firehose-scale deployment keys by `(source, shard)` instead and
+    * reconciles per-shard offsets downstream (one add per shard), trading
+    * global contiguity for even sharding.
     */
   def packDocs(docs: Dataset[PackIn], budget: Long = 4096L): Dataset[PackOut] = {
     import docs.sparkSession.implicits._

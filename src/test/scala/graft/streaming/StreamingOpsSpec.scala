@@ -202,6 +202,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late-but-admissible event bridges provisional sessions") {
+    // THE case immediate-emit gets wrong: trigger 1 leaves fragments
+    // [0,20] and [60,60] (gap 40 > 30) and advances the watermark to 45;
+    // trigger 2 delivers t=48 — late (48 < 60) but admissible (48 >= 45) —
+    // whose gaps to both neighbors (28, 12) bridge them into ONE session.
+    // Emitting [0,20] eagerly in trigger 1 would have been unretractable
+    // and wrong; hold-until-watermark emits the single merged session.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val events = Seq(
+      Event(1, ts(0), 7, "view", 1.0), Event(2, ts(20), 7, "view", 1.0),
+      Event(3, ts(60), 7, "view", 1.0))
+    val late = Event(4, ts(48), 7, "view", 1.0)
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_late").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable() // watermark -> ts(60) - 15 min = ts(45)
+      mem.addData(late)
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 9, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = s.table("sessions_late").as[Session].collect()
+        .filter(_.user_id == 7).toSeq
+      assert(got == Seq(Session(7, ts(0).getTime, ts(60).getTime, 4, 4.0)))
+      // and the batch path over the same rows agrees (its trailing open
+      // session is the same closed one here)
+      val batch = StreamingOps.sessionize((events :+ late).toDS(), gapMinutes = 30)
+        .collect().toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("enrichWithDim joins a static broadcast dimension into the stream (stateless J1/J3 lift)") {
     val s = spark
     import s.implicits._
