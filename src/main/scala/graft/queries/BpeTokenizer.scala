@@ -194,13 +194,17 @@ object BpeTokenizer {
     * occurrences back on the word key.
     */
   def pieceCounts(docs: DataFrame, ranks: Map[(String, String), Int]): DataFrame = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(ranks)
-    val nPieces = udf((w: String) => encode(w, bc.value).size)
-    // cache: the occurrence table feeds both the distinct-word encode and
-    // the join-back — without it the corpus tokenize+explode runs twice
+    // closure-captured, NOT sparkContext.broadcast: pieceCounts runs at
+    // query-CONSTRUCTION time for every build of t16a (Verify, Bench, plan
+    // sweeps), and an explicit broadcast per build is never destroyed —
+    // the merge-rank map is vocabulary-bounded and ships fine with the
+    // task closure. No .cache() on the occurrence table for the same
+    // reason (one CacheManager entry per build, unreleasable — the
+    // IvfCentroids.train tradeoff): the two consumers re-run the
+    // tokenize+explode scan instead, which stays map-only and fuses into
+    // each consumer's own stage.
+    val nPieces = udf((w: String) => encode(w, ranks).size)
     val occurrences = docs.select(col("doc_id"), explode(PipelineFns.tokens(col("text"))).as("word"))
-      .cache()
     val encoded = occurrences.select(col("word")).distinct()
       .withColumn("n_pieces", nPieces(col("word")))
     occurrences.join(encoded, "word")

@@ -56,7 +56,13 @@ object CurationQueries extends QueryModule {
         (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
         graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
         size(col("bg")).cast("long").as("n_bigrams"),
-        pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L)).as("bucket"))
+        sampleBucket.as("bucket"))
+
+  /** Seeded per-doc sample bucket in [0, 1000) — the mixing knob's
+    * membership hash, single-sourced for [[curationSignals]] and m6.
+    */
+  def sampleBucket: Column =
+    pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L))
 
   /** Repetition-quality keep gate over [[curationSignals]] columns. */
   def qualityGate: Column =
@@ -530,30 +536,25 @@ object CurationQueries extends QueryModule {
         // doesn't pay for it). `toks` and `bg` are materialized in their
         // own projections so the optimizer doesn't inline the expensive
         // arrays into every consumer.
-        Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"), shingles(col("toks"), 2).as("bg"))
-          .select(
-            col("doc_id"),
-            size(col("toks")).cast("long").as("n_tokens"),
-            (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_dup_tokens"),
-            graft.functions.topRunCount(col("bg")).as("top_bigram_n"),
-            size(col("bg")).cast("long").as("n_bigrams"))
+        // signals and the keep gate come from the shared curationSignals/
+        // qualityGate — the thresholds live in ONE place, so retuning the
+        // production curation stage retunes this audit query too (and its
+        // oracle must follow). qualityGate's leading n_tokens > 0 conjunct
+        // short-circuits the ANSI divide for token-less documents and
+        // yields keep=false, matching the when/otherwise(false) shape;
+        // n_bigrams >= 1 by the shingles floor.
+        curationSignals(Tables.documents(s, d))
           .select(
             col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
             col("top_bigram_n"), col("n_bigrams"),
             // ANSI mode: guard the token-count divide — a document with no
             // alphanumeric tokens (emoji/CJK/punctuation-only, routine in a
-            // real corpus) must yield null fracs + keep=false, not a
-            // DIVIDE_BY_ZERO that kills the whole scan. n_bigrams is >= 1
-            // by the shingles floor, so only n_tokens needs the guard.
+            // real corpus) must yield null fracs, not a DIVIDE_BY_ZERO
+            // that kills the whole scan.
             when(col("n_tokens") > 0,
               round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)).as("dup_token_frac"),
             round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
-            when(col("n_tokens") > 0,
-              col("n_dup_tokens").cast("double") / col("n_tokens") <= 0.5 &&
-                col("top_bigram_n").cast("double") / col("n_bigrams") <= 0.2)
-              .otherwise(lit(false)).as("keep"))
+            qualityGate.as("keep"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
              |ts AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -615,12 +616,12 @@ object CurationQueries extends QueryModule {
         // source gets its own keep-rate, membership decided by a seeded
         // per-doc hash (reproducible across engines, runs, partitionings;
         // no Bernoulli RNG). Single scan, no shuffle before the audit agg.
-        val docs = Tables.documents(s, d)
-        val bucket = pmod(h60(concat(lit("mix1:"), col("doc_id"))), lit(1000L))
-        val rate = when(col("source") === "src1", lit(200L))        // 20%
-          .when(col("source") === "src2", lit(800L))              // 80%
-          .otherwise(lit(500L))                                    // 50%
-        docs.select(col("doc_id"), col("source"), bucket.as("bucket"), rate.as("rate"))
+        // membership hash and per-source rates come from the shared
+        // sampleBucket/sampleRate knobs — retuning the production mixing
+        // stage retunes this audit query (and its oracle must follow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            sampleBucket.as("bucket"), sampleRate.as("rate"))
           .filter(col("bucket") < col("rate"))
           .select(col("doc_id"), col("source"), col("bucket"))
       },

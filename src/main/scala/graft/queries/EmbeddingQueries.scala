@@ -136,8 +136,9 @@ object EmbeddingQueries extends QueryModule {
   private def planeComponentSql(p: Int, i: String): String =
     s"${h60Sql(s"concat('plane$p:', CAST($i AS VARCHAR))")} % 2001 - 1000"
 
-  /** 6-bit LSH bucket id: sign bits of integer dots with 6 pseudo-random
-    * integer hyperplanes (md5-derived — no stored model state).
+  /** `NumPlanes`-bit LSH bucket id (demo preset: 6 planes / 64 buckets;
+    * 100tb preset: 28 planes): sign bits of integer dots with md5-derived
+    * pseudo-random integer hyperplanes — no stored model state.
     */
   private def lshBucket(q: Column): Column =
     (0 until NumPlanes).map { p =>
@@ -198,10 +199,10 @@ object EmbeddingQueries extends QueryModule {
     * [[pqAssignSql]] CTEs in scope.
     */
   private def pqDtableSql =
-    s"""qs AS (SELECT vec_id AS query_id, sub AS qsub, q[8*sub+1:8*sub+8] AS qq
+    s"""qs AS (SELECT vec_id AS query_id, sub AS qsub, q[$PqSubDim*sub+1:$PqSubDim*sub+$PqSubDim] AS qq
        |  FROM pqbase CROSS JOIN subs WHERE vec_id < 10),
        |dt AS (SELECT query_id, qsub AS sub, code,
-       |    list_sum(list_transform(range(1, 9), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
+       |    list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS qd
        |  FROM qs JOIN cb ON qs.qsub = cb.csub)""".stripMargin
 
   private def pqAssignments(s: SparkSession, d: String): DataFrame = {
@@ -228,18 +229,24 @@ object EmbeddingQueries extends QueryModule {
   // def, not val: interpolates quantizedSql, which is declared later in
   // this object (a val here would capture null at init time)
   private def pqAssignSql =
+    {
+    // geometry interpolated from the SAME GraftConfig fields the Spark side
+    // uses (pqShifts / PqSubDim / PqCodes) — a preset changing the PQ split
+    // must move both engines together or the header invariant breaks
+    val subsValues = (0 until PqSub)
+      .map(i => s"($i, ${BigInt(PqCodes).pow(i)})").mkString(", ")
     s"""pqbase AS (SELECT vec_id, q FROM ($quantizedSql)),
-       |subs AS (SELECT * FROM (VALUES (0, 1), (1, 16), (2, 256), (3, 4096),
-       |    (4, 65536), (5, 1048576), (6, 16777216), (7, 268435456)) AS v(sub, shift)),
-       |bs AS (SELECT vec_id, sub, shift, q[8*sub+1:8*sub+8] AS sq FROM pqbase CROSS JOIN subs),
-       |cb AS (SELECT vec_id AS code, sub AS csub, q[8*sub+1:8*sub+8] AS cq
-       |  FROM pqbase CROSS JOIN subs WHERE vec_id < 16),
+       |subs AS (SELECT * FROM (VALUES $subsValues) AS v(sub, shift)),
+       |bs AS (SELECT vec_id, sub, shift, q[$PqSubDim*sub+1:$PqSubDim*sub+$PqSubDim] AS sq FROM pqbase CROSS JOIN subs),
+       |cb AS (SELECT vec_id AS code, sub AS csub, q[$PqSubDim*sub+1:$PqSubDim*sub+$PqSubDim] AS cq
+       |  FROM pqbase CROSS JOIN subs WHERE vec_id < $PqCodes),
        |asg AS (SELECT vec_id, sub, shift, code, dist FROM (
        |  SELECT vec_id, sub, shift, code,
-       |    list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) AS dist,
+       |    list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) AS dist,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY
-       |      list_sum(list_transform(range(1, 9), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) ASC, code ASC) AS crk
+       |      list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> (sq[i] - cq[i]) * (sq[i] - cq[i]))) ASC, code ASC) AS crk
        |  FROM bs JOIN cb ON bs.sub = cb.csub) WHERE crk = 1)""".stripMargin
+  }
 
   private val quantizedSql =
     s"SELECT vec_id, label, $qvecSql AS q FROM embeddings"
@@ -280,7 +287,7 @@ object EmbeddingQueries extends QueryModule {
       Some(s"""SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
              |FROM (SELECT label, $lshBucketSql AS bucket FROM ($quantizedSql))
              |GROUP BY bucket""".stripMargin),
-      "Hyperplane-LSH bucket assignment (6 md5-derived integer hyperplanes → 64 buckets) + occupancy stats."
+      s"Hyperplane-LSH bucket assignment ($NumPlanes md5-derived integer hyperplanes -> ${1L << NumPlanes} buckets) + occupancy stats."
     ),
     QueryDef(
       "v3_lsh_ann",
@@ -376,12 +383,15 @@ object EmbeddingQueries extends QueryModule {
         // sheds the 64-long centroid vector before the shuffle (the window
         // shape shuffles+sorts all 8n expanded rows). struct(dist, cid) is
         // a total order — tie-free deterministic.
+        // no label in the payload struct: nothing downstream reads it, and
+        // aggregate buffers don't get struct-field pruning — a dead field
+        // here ships with every corpus vector through the shuffle
         val assigned = base.join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
           .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("label"), col("q"), col("n2"), col("cid")),
+          .agg(min_by(struct(col("q"), col("n2"), col("cid")),
             struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.label").as("label"), col("m.q").as("q"),
+          .select(col("vec_id"), col("m.q").as("q"),
             col("m.n2").as("n2"), col("m.cid").as("cell"))
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(centroids))
