@@ -29,9 +29,13 @@ object RelationalQueries extends QueryModule {
     * outputs stayed green) show the driver's hash canonicalizes DECIMAL in a
     * way neither engine reproduces. Oracle mirror:
     * CAST(CAST(x AS DECIMAL(18,s)) * 10^scale AS BIGINT). */
-  private def cents(c: Column, scale: Int = 2): Column =
-    (c.cast(s"decimal(18,$scale)") * lit(math.pow(10, scale).toLong).cast("decimal(5,0)"))
+  private def cents(c: Column, scale: Int = 2): Column = {
+    // multiplier precision must hold 10^scale: decimal(5,0) caps at 99999,
+    // so scale >= 5 would silently NULL the whole column in legacy mode
+    require(scale <= 9, s"cents scale $scale overflows the decimal(10,0) multiplier")
+    (c.cast(s"decimal(18,$scale)") * lit(math.pow(10, scale).toLong).cast("decimal(10,0)"))
       .cast("long")
+  }
 
   override val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- scans
@@ -232,11 +236,20 @@ object RelationalQueries extends QueryModule {
           .withColumn("adj", col("p") - lag(col("p"), 1).over(w))
           .withColumn("span", col("p") - first(col("p")).over(w))
           .agg(
-            sum(col("i") - 1).cast("long").as("n_pairs"),
+            coalesce(sum(col("i") - 1), lit(0L)).cast("long").as("n_pairs"),
             sum((col("i").cast("long") * 2 - col("n") - 1) * col("p")).as("gap_sum"),
             min(col("adj")).as("gap_min"),
             max(col("span")).as("gap_max")
           )
+          // degenerate-input parity with the oracle's literal pair join:
+          // no pairs (all-singleton groups, or an empty table) means the
+          // join produces zero rows there — count 0, NULL aggregates —
+          // while the closed form's singletons would contribute 0s
+          .select(
+            col("n_pairs"),
+            when(col("n_pairs") > 0, col("gap_sum")).as("gap_sum"),
+            col("gap_min"),
+            when(col("n_pairs") > 0, col("gap_max")).as("gap_max"))
       },
       Some("""WITH li AS (SELECT l_orderkey,
              |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
@@ -730,7 +743,9 @@ object RelationalQueries extends QueryModule {
         // Deterministic "random" distractor: uniform in [0,1) from the md5 of
         // the row key — reproducible across engines and runs, unlike the
         // reference's unseeded random (SURVEY M3; qa_base.py:68-109).
-        val u = conv(substring(md5(concat(lit("seed1:"), col("o_orderkey"))), 1, 15), 16, 10)
+        // the shared 60-bit md5 primitive (PipelineFns.h60) — every seeded
+        // quantity in the engine derives from the same hash contract
+        val u = PipelineFns.h60(concat(lit("seed1:"), col("o_orderkey")))
           .cast("double") / lit(1152921504606846976.0) // 2^60
         Tables.orders(s, d)
           .filter(col("o_orderkey") <= 1000)
@@ -740,10 +755,10 @@ object RelationalQueries extends QueryModule {
             round(dec(col("o_totalprice")).cast("double") * (lit(0.8) + lit(0.4) * u), 2).as("distractor_price")
           )
       },
-      Some("""SELECT o_orderkey, round(u, 6) AS u,
+      Some(s"""SELECT o_orderkey, round(u, 6) AS u,
              |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * (0.8 + 0.4 * u), 2) AS distractor_price
              |FROM (SELECT o_orderkey, o_totalprice,
-             |  CAST(CAST(concat('0x', substring(md5(concat('seed1:', o_orderkey)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+             |  CAST(${PipelineFns.h60Sql("concat('seed1:', o_orderkey)")} AS DOUBLE) / 1152921504606846976.0 AS u
              |  FROM orders WHERE o_orderkey <= 1000)""".stripMargin),
       "Seeded distractor randomness via md5 → uniform (SURVEY M3): cross-engine-identical."
     ),
@@ -1007,9 +1022,20 @@ object RelationalQueries extends QueryModule {
             min(col("k")).as("min_k"),
             max(col("k")).as("max_k")
           ),
+      // the oracle mirrors from_json's STRICT typed parse, not a loose
+      // string extraction: malformed JSON and non-integer-typed k (the
+      // string "12", booleans, arrays) are NULL on the Spark side, so the
+      // SQL gates on json_valid + json_type before casting — a bare
+      // json_extract_string would abort on malformed input and coerce
+      // string-typed values, diverging the moment props stops being the
+      // generator's well-formed {"k": int}
       Some("""SELECT event_type, count(k) AS n_with_k,
              |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
-             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+             |FROM (SELECT event_type,
+             |  CASE WHEN json_valid(props)
+             |      AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+             |    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+             |  FROM events)
              |GROUP BY event_type""".stripMargin),
       "Semi-structured JSON field extraction with a declared schema + typed aggregation (M5 metadata shape)."
     ),

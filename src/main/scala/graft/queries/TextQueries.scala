@@ -141,13 +141,21 @@ object TextQueries extends QueryModule {
           // BPE-ish piece count: alpha runs, digit runs, other non-space chars
           size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_pieces"),
           aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("n_alnum_chars"),
-          round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks), 6).as("mean_token_len")
+          // token-less documents (emoji/CJK/punctuation-only): mean is NULL
+          // on both engines — Spark's fold yields 0 chars where DuckDB's
+          // list_sum([]) is NULL, so the SQL coalesces the char count and
+          // both sides guard the zero divide
+          when(size(toks) > 0,
+            round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks), 6))
+            .as("mean_token_len")
         )
       },
       Some(s"""SELECT doc_id, len(toks) AS n_tokens,
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces,
-             |  CAST(list_sum(list_transform(toks, t -> len(t))) AS INTEGER) AS n_alnum_chars,
-             |  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 6) AS mean_token_len
+             |  CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS INTEGER) AS n_alnum_chars,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 6)
+             |  END AS mean_token_len
              |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)""".stripMargin),
       "Token counting: whitespace-free alnum tokens + BPE-ish piece segmentation (pipeline text-analysis op)."
     ),

@@ -34,6 +34,20 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("oracle cents rescales pair the DECIMAL scale with the 10^s multiplier") {
+    // the scaled-BIGINT cents contract appears in ~30 oracle strings; the
+    // drift mode that silently breaks a gate is a scale edited without its
+    // multiplier (DECIMAL(18,4) * 100). Pair-check every occurrence.
+    val rescale = """AS DECIMAL\(18,(\d)\)\) \* (\d+) AS BIGINT""".r
+    val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      rescale.findAllMatchIn(sql).collect {
+        case m if BigInt(10).pow(m.group(1).toInt) != BigInt(m.group(2)) =>
+          s"$name: scale ${m.group(1)} with multiplier ${m.group(2)}"
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("the flagship entry returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
