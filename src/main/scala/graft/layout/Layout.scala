@@ -40,6 +40,11 @@ object Layout {
     */
   def zValue(a: Column, b: Column, aMin: Column, aMax: Column, bMin: Column, bMax: Column,
       bits: Int = 20): Column = {
+    // Morton.interleave masks each coordinate to its low 31 bits — a wider
+    // grid would WRAP silently, scattering far-apart rows into the same
+    // z-neighborhood and quietly destroying the footer-stats pruning this
+    // layout exists for (results stay correct, scans stop shrinking)
+    require(bits >= 1 && bits <= 31, s"zValue bits must be in [1, 31], got $bits")
     val buckets = (1L << bits) - 1
     def gridCoord(c: Column, lo: Column, hi: Column): Column =
       least(lit(buckets), floor((c - lo).cast("double") / greatest(hi - lo, lit(1e-300)) * buckets).cast("long"))

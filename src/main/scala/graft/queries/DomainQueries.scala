@@ -45,6 +45,60 @@ object DomainQueries extends QueryModule {
       |  l_tax * 2 + 0.2 AS xl, (l_quantity % 7) / 10 + 0.3 AS yl, (l_linenumber % 3) / 2.0 + 0.4 AS zl
       |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin
 
+  /** The per-box deterministic prediction shift shared by g23 and g24: the
+    * `add_sym <= add` cross-query invariant (ApSweepSpec) holds only while
+    * both queries translate by the SAME shift — one definition each side.
+    */
+  private def shiftCols: (Column, Column, Column) = (
+    (col("frame_id") % 10).cast("double") / 100,
+    (col("idx") % 5).cast("double") / 50,
+    ((col("frame_id") + col("idx")) % 20).cast("double") / 20)
+
+  private val shiftSelectSql =
+    """CAST(frame_id % 10 AS DOUBLE) / 100 AS dx,
+      |      CAST(idx % 5 AS DOUBLE) / 50 AS dy,
+      |      CAST((frame_id + idx) % 20 AS DOUBLE) / 20 AS dz""".stripMargin
+
+  /** DuckDB mirror of [[apSweep]] — the threshold sweep, cumulative-PR
+    * windows, and VOC integration, shared by g22 (hit when m >= t) and g23
+    * (hit when m <= t) so the machinery can never drift between them.
+    * `scoredCte` must yield `(frame_id, m)`; a `b` CTE with the synthetic
+    * boxes is in scope.
+    */
+  private def apSweepSql(scoredCte: String, bins: Int, greater: Boolean): String = {
+    val div = bins - 1
+    val cmp = if (greater) ">=" else "<="
+    s"""WITH b AS ($syntheticBoxesSql),
+       |scored AS ($scoredCte),
+       |sw AS (SELECT frame_id, m, unnest(range(0, $bins)) AS ti FROM scored),
+       |pf AS (SELECT ti, frame_id,
+       |    CAST(sum(CASE WHEN m $cmp ti / $div.0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+       |    count(*) AS n
+       |  FROM sw GROUP BY ti, frame_id),
+       |pr AS (SELECT ti, frame_id,
+       |    CAST(sum(hit) OVER wc AS BIGINT) AS tp,
+       |    CAST(sum(n - hit) OVER wc AS BIGINT) AS fp,
+       |    CAST(sum(n) OVER (PARTITION BY ti) AS BIGINT) AS total
+       |  FROM pf
+       |  WINDOW wc AS (PARTITION BY ti ORDER BY frame_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pr2 AS (SELECT *, CAST(tp AS DOUBLE) / total AS recall,
+       |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec
+       |  FROM pr),
+       |pr3 AS (SELECT *,
+       |    max(prec) OVER (PARTITION BY ti ORDER BY frame_id ASC
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS monoprec,
+       |    recall - lag(recall, 1, 0.0) OVER (PARTITION BY ti ORDER BY frame_id ASC) AS delta
+       |  FROM pr2),
+       |final AS (SELECT ti,
+       |    max(total) AS n_instances, max(tp) AS tp_total, max(fp) AS fp_total,
+       |    round(CAST(sum(CAST(round(delta * monoprec * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ap
+       |  FROM pr3 GROUP BY ti)
+       |SELECT CAST(ti AS BIGINT) AS ti, ti / $div.0 AS threshold,
+       |  n_instances, tp_total, fp_total, ap
+       |FROM final""".stripMargin
+  }
+
   /** VOC-style average precision over a detection-metric threshold sweep —
     * the Objectron evaluation loop (metrics.py:31-99 HitMiss/
     * AveragePrecision, eval.py:139-186) as one relational program. Input:
@@ -321,43 +375,15 @@ object DomainQueries extends QueryModule {
               lit(0.0), lit(0.0), lit(0.0))), 4).as("iou"))
         apSweep(scored, 21)
       },
-      Some(s"""WITH b AS ($syntheticBoxesSql),
-             |scored AS (
-             |  SELECT frame_id,
-             |    round(CASE WHEN 2 * vol - iv > 0 THEN iv / (2 * vol - iv) ELSE 0 END, 4) AS iou
-             |  FROM (
-             |    SELECT frame_id, xl * yl * zl AS vol,
-             |      greatest(0, least(x + xl/2, x + 0.01 + xl/2) - greatest(x - xl/2, x + 0.01 - xl/2)) *
-             |      greatest(0, least(y + yl/2, y + 0.02 + yl/2) - greatest(y - yl/2, y + 0.02 - yl/2)) *
-             |      greatest(0, least(z + zl/2, z + 0.5 + zl/2) - greatest(z - zl/2, z + 0.5 - zl/2)) AS iv
-             |    FROM b)),
-             |sw AS (SELECT frame_id, iou, unnest(range(0, 21)) AS ti FROM scored),
-             |pf AS (SELECT ti, frame_id,
-             |    CAST(sum(CASE WHEN iou >= ti / 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
-             |    count(*) AS n
-             |  FROM sw GROUP BY ti, frame_id),
-             |pr AS (SELECT ti, frame_id,
-             |    CAST(sum(hit) OVER wc AS BIGINT) AS tp,
-             |    CAST(sum(n - hit) OVER wc AS BIGINT) AS fp,
-             |    CAST(sum(n) OVER (PARTITION BY ti) AS BIGINT) AS total
-             |  FROM pf
-             |  WINDOW wc AS (PARTITION BY ti ORDER BY frame_id ASC
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |pr2 AS (SELECT *, CAST(tp AS DOUBLE) / total AS recall,
-             |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec
-             |  FROM pr),
-             |pr3 AS (SELECT *,
-             |    max(prec) OVER (PARTITION BY ti ORDER BY frame_id ASC
-             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS monoprec,
-             |    recall - lag(recall, 1, 0.0) OVER (PARTITION BY ti ORDER BY frame_id ASC) AS delta
-             |  FROM pr2),
-             |final AS (SELECT ti,
-             |    max(total) AS n_instances, max(tp) AS tp_total, max(fp) AS fp_total,
-             |    round(CAST(sum(CAST(round(delta * monoprec * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ap
-             |  FROM pr3 GROUP BY ti)
-             |SELECT CAST(ti AS BIGINT) AS ti, ti / 20.0 AS threshold,
-             |  n_instances, tp_total, fp_total, ap
-             |FROM final""".stripMargin),
+      Some(apSweepSql(
+        """SELECT frame_id,
+          |    round(CASE WHEN 2 * vol - iv > 0 THEN iv / (2 * vol - iv) ELSE 0 END, 4) AS m
+          |  FROM (
+          |    SELECT frame_id, xl * yl * zl AS vol,
+          |      greatest(0, least(x + xl/2, x + 0.01 + xl/2) - greatest(x - xl/2, x + 0.01 - xl/2)) *
+          |      greatest(0, least(y + yl/2, y + 0.02 + yl/2) - greatest(y - yl/2, y + 0.02 - yl/2)) *
+          |      greatest(0, least(z + zl/2, z + 0.5 + zl/2) - greatest(z - zl/2, z + 0.5 - zl/2)) AS iv
+          |    FROM b)""".stripMargin, 21, greater = true)),
       "Objectron 3D-detection AP over a 21-bin IoU sweep (metrics.py HitMiss/AveragePrecision, eval.py loop): per-frame hits, cumulative PR in frame order, VOC integration with monotone precision — windows partitioned per threshold."
     ),
     QueryDef(
@@ -371,49 +397,17 @@ object DomainQueries extends QueryModule {
         // equal-dim boxes every vertex moves by exactly that shift, so ADD
         // is its norm — closed-form on both engines, with the threshold
         // machinery identical to g22's under the flipped comparison.
-        val dx = (col("frame_id") % 10).cast("double") / 100
-        val dy = (col("idx") % 5).cast("double") / 50
-        val dz = ((col("frame_id") + col("idx")) % 20).cast("double") / 20
+        val (dx, dy, dz) = shiftCols
         val scored = syntheticBoxes(s, d).select(
           col("frame_id"),
           round(sqrt(dx * dx + dy * dy + dz * dz), 4).as("iou"))
         apSweep(scored, 21, greater = false)
       },
-      Some(s"""WITH b AS ($syntheticBoxesSql),
-             |scored AS (
-             |  SELECT frame_id, round(sqrt(dx*dx + dy*dy + dz*dz), 4) AS m
-             |  FROM (SELECT frame_id,
-             |      CAST(frame_id % 10 AS DOUBLE) / 100 AS dx,
-             |      CAST(idx % 5 AS DOUBLE) / 50 AS dy,
-             |      CAST((frame_id + idx) % 20 AS DOUBLE) / 20 AS dz
-             |    FROM b)),
-             |sw AS (SELECT frame_id, m, unnest(range(0, 21)) AS ti FROM scored),
-             |pf AS (SELECT ti, frame_id,
-             |    CAST(sum(CASE WHEN m <= ti / 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
-             |    count(*) AS n
-             |  FROM sw GROUP BY ti, frame_id),
-             |pr AS (SELECT ti, frame_id,
-             |    CAST(sum(hit) OVER wc AS BIGINT) AS tp,
-             |    CAST(sum(n - hit) OVER wc AS BIGINT) AS fp,
-             |    CAST(sum(n) OVER (PARTITION BY ti) AS BIGINT) AS total
-             |  FROM pf
-             |  WINDOW wc AS (PARTITION BY ti ORDER BY frame_id ASC
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |pr2 AS (SELECT *, CAST(tp AS DOUBLE) / total AS recall,
-             |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec
-             |  FROM pr),
-             |pr3 AS (SELECT *,
-             |    max(prec) OVER (PARTITION BY ti ORDER BY frame_id ASC
-             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS monoprec,
-             |    recall - lag(recall, 1, 0.0) OVER (PARTITION BY ti ORDER BY frame_id ASC) AS delta
-             |  FROM pr2),
-             |final AS (SELECT ti,
-             |    max(total) AS n_instances, max(tp) AS tp_total, max(fp) AS fp_total,
-             |    round(CAST(sum(CAST(round(delta * monoprec * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ap
-             |  FROM pr3 GROUP BY ti)
-             |SELECT CAST(ti AS BIGINT) AS ti, ti / 20.0 AS threshold,
-             |  n_instances, tp_total, fp_total, ap
-             |FROM final""".stripMargin),
+      Some(apSweepSql(
+        s"""SELECT frame_id, round(sqrt(dx*dx + dy*dy + dz*dz), 4) AS m
+          |  FROM (SELECT frame_id,
+          |      $shiftSelectSql
+          |    FROM b)""".stripMargin, 21, greater = false)),
       "Objectron ADD (average keypoint distance) AP sweep — the error-style hit direction (metric <= threshold), same cumulative-PR/VOC machinery as g22."
     ),
     QueryDef(
@@ -430,9 +424,7 @@ object DomainQueries extends QueryModule {
         // (1:1 correspondence) rides along: under a pure translation it is
         // exactly the shift norm, giving the add_sym <= add invariant a
         // closed form to be checked against.
-        val dx = (col("frame_id") % 10).cast("double") / 100
-        val dy = (col("idx") % 5).cast("double") / 50
-        val dz = ((col("frame_id") + col("idx")) % 20).cast("double") / 20
+        val (dx, dy, dz) = shiftCols
         // keypoint k: 0 = center, 1..8 = corners, sign order (x: k<=4?-:+
         // mirrored below in SQL via the same literal tables)
         val sxs = Seq(0, -1, -1, -1, -1, 1, 1, 1, 1)
@@ -474,9 +466,7 @@ object DomainQueries extends QueryModule {
       },
       Some(s"""WITH b AS ($syntheticBoxesSql),
              |k AS (SELECT frame_id, idx, x, y, z, xl, yl, zl,
-             |    CAST(frame_id % 10 AS DOUBLE) / 100 AS dx,
-             |    CAST(idx % 5 AS DOUBLE) / 50 AS dy,
-             |    CAST((frame_id + idx) % 20 AS DOUBLE) / 20 AS dz,
+             |    $shiftSelectSql,
              |    [0.0, -1, -1, -1, -1, 1, 1, 1, 1] AS sxs,
              |    [0.0, -1, -1, 1, 1, -1, -1, 1, 1] AS sys,
              |    [0.0, -1, 1, -1, 1, -1, 1, -1, 1] AS szs

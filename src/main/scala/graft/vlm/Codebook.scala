@@ -55,17 +55,19 @@ object Codebook {
     * intermediate the reference pickles (build_enhanced_codebook.py:33-86).
     */
   def instanceCache(frames: DataFrame): DataFrame =
-    frames
+    FrameSchema.withSourceTag(frames)
       .select(
         coalesce(col("_source_file"), col("image_id")).as("source_file"),
         posexplode(col("bounding_boxes_3d")).as(Seq("bbox_idx", "bbox"))
       )
-      .filter(col("bbox.category").startsWith("object_")) // F14
-      .select(
-        regexp_extract(col("bbox.category"), "^object_(\\d+)$", 1).cast("long").as("instance_id"),
-        col("source_file"),
-        col("bbox_idx")
-      )
+      // F14 gate, ANSI-safe: cast only under the rlike guard — under Spark
+      // 4's default ANSI mode a category like "object_x" would make the
+      // bare extract-then-cast throw CAST_INVALID_INPUT and kill the whole
+      // build; the digit bound keeps a pathological 20+-digit id from
+      // overflowing the long cast the same way (it filters out instead)
+      .withColumn("instance_id",
+        when(col("bbox.category").rlike("^object_\\d{1,18}$"),
+          regexp_extract(col("bbox.category"), "^object_(\\d+)$", 1).cast("long")))
       .filter(col("instance_id").isNotNull)
       .groupBy(col("instance_id"))
       .agg(
@@ -79,11 +81,14 @@ object Codebook {
   def representatives(cache: DataFrame): Dataset[InstanceLoc] = {
     val spark = cache.sparkSession
     import spark.implicits._
+    // per-row array_min over the already-collected locations (structs are
+    // orderable: source_file then bbox_idx) — the explode + second
+    // groupBy(instance_id) alternative re-shuffles every location the
+    // cache just collected
     cache
-      .select(col("instance_id"), explode(col("locations")).as("loc"))
-      .groupBy(col("instance_id"))
-      .agg(min(struct(col("loc.source_file").as("source_file"), col("loc.bbox_idx").as("bbox_idx"))).as("first"))
-      .select(col("instance_id"), col("first.source_file").as("source_file"), col("first.bbox_idx").as("bbox_idx"))
+      .select(col("instance_id"), array_min(col("locations")).as("first"))
+      .select(col("instance_id"), col("first.source_file").as("source_file"),
+        col("first.bbox_idx").as("bbox_idx"))
       .as[InstanceLoc]
   }
 
@@ -110,27 +115,25 @@ object Codebook {
     * the corpus at any scale.
     */
   def applyCodebook(frames: DataFrame, codebook: DataFrame): DataFrame = {
-    // deterministic frame identity: (_source_file, image_id) is stable
-    // across task retries, unlike monotonically_increasing_id; corpora not
-    // read through Ingest (the per-dataset processors) carry no
-    // _source_file tag, so default it rather than failing analysis
-    val tagged =
-      if (frames.columns.contains("_source_file")) frames
-      else frames.withColumn("_source_file", lit(""))
+    // deterministic frame identity: the full frame column set (including
+    // _source_file and image_id) is stable across task retries, unlike
+    // monotonically_increasing_id
+    val tagged = FrameSchema.withSourceTag(frames)
     val frameCols = tagged.columns.filterNot(_ == "bounding_boxes_3d").map(col).toIndexedSeq
     val exploded = tagged
-      .withColumn("_frame_key", concat_ws("#", col("_source_file"), col("image_id")))
-      .select(col("_frame_key") +: frameCols :+ posexplode(col("bounding_boxes_3d")).as(Seq("bbox_idx", "bbox")): _*)
-      // ANSI-safe: cast only when the category matches (empty extract would throw)
+      .select(frameCols :+ posexplode(col("bounding_boxes_3d")).as(Seq("bbox_idx", "bbox")): _*)
+      // ANSI-safe: cast only when the category matches (an empty extract
+      // would throw, and the digit bound keeps a 20+-digit id from
+      // overflowing the long cast)
       .withColumn("instance_id",
-        when(col("bbox.category").rlike("^object_\\d+$"),
+        when(col("bbox.category").rlike("^object_\\d{1,18}$"),
           regexp_extract(col("bbox.category"), "^object_(\\d+)$", 1).cast("long")))
     val relabeled = exploded
       .join(broadcast(codebook), Seq("instance_id")) // inner: unmatched bboxes dropped
       .withColumn("bbox", col("bbox").withField("category",
         concat(lit("pseudo_"), col("label"), lit("_"), col("instance_id").cast("string"))))
     relabeled
-      .groupBy(col("_frame_key") +: frameCols: _*)
+      .groupBy(frameCols: _*)
       .agg(
         sort_array(collect_list(struct(col("bbox_idx"), col("bbox")))).as("ordered"),
         count(lit(1)).as("labeled_boxes")
@@ -140,7 +143,7 @@ object Codebook {
         col("labeled_boxes"),
         lit("enhanced_clip_codebook_stub").as("labeling_method")
       ))
-      .drop("ordered", "labeled_boxes", "_frame_key")
+      .drop("ordered", "labeled_boxes")
   }
 
   /** A13: cache statistics — min/max/avg locations per instance

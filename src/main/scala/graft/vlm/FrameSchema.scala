@@ -142,6 +142,15 @@ object FrameSchema {
     * aligned. The result of every `*ToFrames`/`*Frames` processor conforms
     * here and then runs through the QA engine unchanged — the F15 contract.
     */
+  /** Ensure the `_source_file` S1 tag exists: corpora not read through
+    * Ingest (the per-dataset processors) carry none — default it rather
+    * than fail analysis. The one definition of this rule, shared by the QA
+    * generators and the codebook pipeline.
+    */
+  def withSourceTag(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("_source_file")) df
+    else df.withColumn("_source_file", org.apache.spark.sql.functions.lit(""))
+
   def conform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, lit, struct, transform, when}

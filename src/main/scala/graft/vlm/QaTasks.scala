@@ -64,8 +64,7 @@ object QaTasks {
 
   /** Ensure the frame DF carries a `_source_file` column (S1 tagging). */
   private def withSource(frames: DataFrame): DataFrame =
-    if (frames.columns.contains("_source_file")) frames
-    else frames.withColumn("_source_file", lit(""))
+    FrameSchema.withSourceTag(frames)
 
   /** Exploded 3D boxes with positional index. */
   private def boxes(frames: DataFrame): DataFrame =

@@ -36,8 +36,7 @@ object QaTasks2D {
     map((metaCommon ++ extra).flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*)
 
   private def withSource(frames: DataFrame): DataFrame =
-    if (frames.columns.contains("_source_file")) frames
-    else frames.withColumn("_source_file", lit(""))
+    FrameSchema.withSourceTag(frames)
 
   /** Exploded 2D boxes; F1 availability gate + F6 count bounds. */
   private def boxes2d(frames: DataFrame): DataFrame =
