@@ -14,6 +14,17 @@ Test / fork := true
 // registered — scalatest's framework alone silently skips them.
 Test / testFrameworks += new TestFramework("org.scalacheck.ScalaCheckFramework")
 run / fork := true
+// The bench driver parses the process's FINAL stdout line as JSON. Two sbt
+// defaults break that: forked-run output is routed through the logger (every
+// line gains an "[info] "/"[error] " prefix), and sbt appends a
+// "[success] Total time: ..." line after the app exits. Pass forked output
+// through verbatim and drop the success line so graft.Bench's JSON line is
+// the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — exempt it from
+// the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

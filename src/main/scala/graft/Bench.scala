@@ -4,12 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the one unavoidable environment WARN (no native hadoop lib in the
+    // image) — silence it so the stderr tail stays a real signal channel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.util.NativeCodeLoader", org.apache.logging.log4j.Level.ERROR)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // wide generated plans (128-slice signatures at the capacity preset)
+      // exceed the 25-field default and WARN-spam plan truncation notices
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,10 +70,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     // durable copy: the stderr tail the driver scrapes is ~2000 chars and
     // has decapitated this line two rounds running ("parsed": null)
     Artifacts.writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"), line)
+    // Stop Spark BEFORE printing: executor/blockmanager shutdown logs land on
+    // stderr first, leaving the JSON as the process's final stdout line (the
+    // driver parses exactly that — build.sbt strips sbt's prefix/success noise).
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

@@ -19,8 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * integer family chosen so every product stays below 2^62: NO 64-bit
   * wraparound anywhere, which is what lets the DuckDB oracle replay the
   * identical math in plain BIGINT SQL (DuckDB errors on signed overflow
-  * rather than wrapping). Empty/null input yields null, matching
-  * [[MinHash8]].
+  * rather than wrapping). Empty, null, and all-null-elements input all
+  * yield null — one degenerate result, matching [[MinHash8]].
   */
 case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
   require(slices >= 1 && slices <= 4096, s"slices out of range: $slices")
@@ -43,9 +43,11 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
     if (n == 0) return null
     val (as, bs, cs) = coefs
     val mins = Array.fill(slices)(Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        seen = true
         val h = arr.getLong(i)
         // the no-wraparound proof needs h < 2^60 (the h60 digest contract);
         // outside it Java would wrap silently while the SQL mirror errors
@@ -63,7 +65,10 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // no hashable element at all (empty OR all-null) → null, ONE degenerate
+    // result: an array of Long.MaxValue sentinels would look like a real
+    // signature to a direct caller and collide in every band
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,8 +85,10 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
       val x2 = ctx.freshName("x2")
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $c.numElements();
+         |boolean $seen = false;
          |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
@@ -89,6 +96,7 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
          |    if (!$c.isNullAt($i)) {
+         |      $seen = true;
          |      long $h = $c.getLong($i);
          |      if (($h & ~((1L << 60) - 1)) != 0)
          |        throw new IllegalArgumentException("minhash_n input outside 60-bit digest range: " + $h);
@@ -100,7 +108,12 @@ case class MinHashN(child: Expression, slices: Int) extends UnaryExpression {
          |      }
          |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  // all-null behaves like empty: no signature, not a sentinel array
+         |  if (!$seen) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  }
          |}
        """.stripMargin
     })

@@ -639,14 +639,17 @@ object CurationQueries extends QueryModule {
       (s, d) => {
         // Offset-based sequence packing (the concatenate-and-chunk model):
         // per source, documents are laid out in doc_id order; a document's
-        // pack is its start offset divided by the token budget. One window
-        // per source partition — the prefix sum IS the pack assignment, no
-        // sequential greedy loop.
-        val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        // pack is its start offset divided by the token budget. The prefix
+        // sum IS the pack assignment — no sequential greedy loop — and it
+        // runs SEGMENTED (parallel per-segment sums + broadcast segment
+        // offsets, [[PipelineFns.segmentedCumSum]]): a plain per-source
+        // cumulative window caps parallelism at #sources whatever the
+        // corpus size.
+        segmentedCumSum(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+          Seq("source"), "doc_id", col("n_tokens"), "cum_tokens", autoSegments(s))
+          .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))
           .select(
             col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
             (col("start_offset") / PackBudget).cast("long").as("pack_id"))

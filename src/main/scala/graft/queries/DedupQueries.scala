@@ -342,17 +342,67 @@ object DedupQueries extends QueryModule {
   private val dedupGroupsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Per-(session, dir) registry of the cached lineages this module shares
+    * across queries. Several catalog entries consume the SAME canonical
+    * plan (d3/d6/d7 all start from the shingle-set scan); an independent
+    * `.cache()` in each would make every call after the first a
+    * CacheManager no-op that still logs "Asked to cache already cached
+    * data" — log noise indistinguishable from a real double-caching bug,
+    * and at scale wasted re-registration work. One registry hands every
+    * consumer the same cached handle, and gives [[release]] the handles it
+    * needs to unpersist. Entries of stopped sessions are evicted on access
+    * so repeated create/stop cycles (test suites, repeated Verify mains in
+    * one JVM) don't pin dead lineages.
+    */
+  private val sharedCacheMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def sharedCache(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
+    sharedCacheMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    sharedCacheMemo
+      .getOrElseUpdate((s, d), scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(key, {
+        val df = build.cache()
+        // Materialize EAGERLY: every registered lineage is consumed by at
+        // least two downstream stages (that's why it's cached), and when
+        // those stages run concurrently inside one job they race to compute
+        // the same cached partitions — one task wins the BlockManager write,
+        // the rest log "Block already exists" after doing the work twice.
+        // One up-front pass turns all consumers into pure cache readers.
+        df.count()
+        df
+      })
+  }
+
+  /** Handles currently registered for (session, dir) — test hook for the
+    * lifecycle spec (storage-level assertions need the exact frames).
+    */
+  private[graft] def cachedHandles(s: SparkSession, d: String): Map[String, DataFrame] =
+    sharedCacheMemo.get((s, d)).map(_.toMap).getOrElse(Map.empty)
+
+  /** Release every cached lineage this module holds for (session, dir):
+    * unpersists the shared caches (shingle sets, band signatures, simhash
+    * signatures, the d8/d13 pipeline intermediates) and evicts the
+    * memoized group pipeline so the next call rebuilds from scratch.
+    * Verify/Bench mains skip this — session-lifetime caches are the point
+    * there — but a long-lived production session calls it after
+    * materializing downstream results, or storage accumulates one pipeline
+    * per corpus dir touched.
+    */
+  def release(s: SparkSession, d: String): Unit = {
+    sharedCacheMemo.remove((s, d)).foreach(_.values.foreach(_.unpersist()))
+    dedupGroupsMemo.remove((s, d))
+  }
+
   private def dedupGroups(s: SparkSession, d: String): DataFrame = {
     // memoized per (session, dir): d8 and d13 then share the SAME cached
     // lineages, so the LSH band join + Jaccard verification + CC loop run
-    // once per session, not once per query. The four caches below are
-    // testdata-scale and live for the session (the learnedMerges
-    // tradeoff); a long-lived production session would unpersist after
-    // materializing downstream results. Entries of stopped sessions are
-    // evicted on access so repeated create/stop cycles (test suites,
-    // repeated Verify mains in one JVM) don't pin dead lineages.
+    // once per session, not once per query. The four caches (registered in
+    // sharedCacheMemo, so [[release]] can unpersist them) are testdata-
+    // scale and live until released.
     dedupGroupsMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    dedupGroupsMemo.getOrElseUpdate((s, d), buildDedupGroups(s, d))
+    dedupGroupsMemo.getOrElseUpdate((s, d),
+      buildDedupGroups(s, d, (key, df) => sharedCache(s, d, key)(df)))
   }
 
   /** Non-memoized pipeline builder. Exposed package-private so invariance
@@ -360,16 +410,20 @@ object DedupQueries extends QueryModule {
     * lineage per run — the memo would otherwise hand both runs the same
     * cached intermediates and make the comparison vacuous.
     */
-  private[graft] def buildDedupGroups(s: SparkSession, d: String): DataFrame = {
-    val docsCh = Tables.documents(s, d)
+  private[graft] def buildDedupGroups(s: SparkSession, d: String): DataFrame =
+    buildDedupGroups(s, d, (_, df) => df.cache())
+
+  private def buildDedupGroups(
+      s: SparkSession, d: String, cacheAs: (String, DataFrame) => DataFrame): DataFrame = {
+    val docsCh = cacheAs("d8.docsCh", Tables.documents(s, d)
       .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
-      .cache() // read twice: representative election + final group expansion
+    ) // read twice: representative election + final group expansion
     val reps = docsCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
-    val repSets = shingleSets(s, d)
-      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-      .cache()
-    val edges = verifiedEdges(repSets).cache()
-    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    val repSets = cacheAs("d8.repSets", shingleSets(s, d)
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val edges = cacheAs("d8.edges", verifiedEdges(repSets))
+    val undirected = cacheAs("d8.undirected",
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
     val comp = minLabelComponents(undirected)
     docsCh.join(reps, Seq("ch"))
       .join(comp, col("rep") === col("v"), "left")
@@ -428,9 +482,10 @@ object DedupQueries extends QueryModule {
         val docs = Tables.documents(s, d)
         // cache: the band self-join consumes the signatures twice, and the
         // shingle md5 pass is the expensive part (same hygiene as d3)
-        val sigs = signatures(docs.select(col("doc_id"),
-            graft.functions.shingleHashes(col("text"), 3).as("sh")))
-          .select(col("doc_id") +: bandCols: _*).cache()
+        val sigs = sharedCache(s, d, "bandSigs")(
+          signatures(docs.select(col("doc_id"),
+              graft.functions.shingleHashes(col("text"), 3).as("sh")))
+            .select(col("doc_id") +: bandCols: _*))
         val cand = bandCandidatePairs(sigs)
         val raw = docs.select(col("doc_id"), col("text"))
         val withA = broadcast(cand)
@@ -508,7 +563,10 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "d3_lsh_near_dup_pairs",
       (s, d) => {
-        val sets = shingleSets(s, d).cache()
+        // shared cached handle: d6 and d7 consume the identical canonical
+        // plan — independent .cache() calls would be CacheManager-warning
+        // no-ops after the first
+        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
         val sigs = signatures(sets)
           .select(col("doc_id") +: bandCols: _*)
         // bucketed candidate generation: explode band keys, equi-join per
@@ -545,7 +603,7 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "d5_simhash_near_dup_pairs",
       (s, d) => {
-        val sims = simhashed(s, d).cache()
+        val sims = sharedCache(s, d, "simhashed")(simhashed(s, d))
         // hamming <= 3 over 56 bits ⇒ at least one of the 4 14-bit chunks is
         // identical (pigeonhole) — chunk equality is the bucketed join key.
         val chunks = sims.select(
@@ -590,7 +648,7 @@ object DedupQueries extends QueryModule {
         // end-to-end dedup decision: LSH candidates → Jaccard >= 0.5 →
         // connected representative = min doc_id over each doc's neighbors
         // (single-link 1-hop approximation, deterministic).
-        val sets = shingleSets(s, d).cache()
+        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
         val sigs = signatures(sets)
           .select(col("doc_id") +: bandCols: _*)
         // first-shared-band dedup, as in d3 — directed pairs here; one
@@ -631,9 +689,10 @@ object DedupQueries extends QueryModule {
         // 2-3 in practice). Each round is one shuffle join + one
         // aggregation; the driver loop only reads a 1-row convergence
         // count.
-        val sets = shingleSets(s, d).cache()
-        val edges = verifiedEdges(sets).cache()
-        val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val edges = sharedCache(s, d, "fullEdges")(verifiedEdges(sets))
+        val undirected = sharedCache(s, d, "fullUndirected")(
+          edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
         minLabelComponents(undirected)
           .select(col("v").as("doc_id"), col("label").as("group_id"))
       },

@@ -115,36 +115,28 @@ object DomainQueries extends QueryModule {
     * exact integer tp/fp/total; the order-sensitive Σ delta×precision is
     * scaled to integer nano-units per term first, so the sum is
     * order-independent. Scale shape: the sweep multiplies rows by the
-    * constant `bins`; every window partitions on the threshold index
-    * (the per-threshold prefix sum is the t8 token-packing shape).
+    * constant `bins`; the cumulative-PR pass runs SEGMENTED by default
+    * ([[segmentedCumPr]] — two-level prefix sums, parallelism = bins ×
+    * segments), with the per-threshold single-task window kept as the
+    * small-N path (`segments = 1`).
     */
-  def apSweep(scored: DataFrame, bins: Int, greater: Boolean = true): DataFrame = {
-    val wCum = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("ti"))
-    val wSeq = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
-    val wSuffix = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+  def apSweep(scored: DataFrame, bins: Int, greater: Boolean = true, segments: Int = 0): DataFrame = {
     // the reference's two hit directions (metrics.py record_hit_miss):
     // IoU-style hits at metric >= t, error-style (pixel/ADD) at metric <= t
     val threshold = col("ti").cast("double") / (bins - 1)
     val isHit = if (greater) col("iou") >= threshold else col("iou") <= threshold
-    scored
+    val perFrame = scored
       .select(col("frame_id"), col("iou"),
         explode(sequence(lit(0), lit(bins - 1))).as("ti"))
       .groupBy(col("ti"), col("frame_id"))
       .agg(
         sum(when(isHit, 1L).otherwise(0L)).as("hit"),
         count(lit(1)).as("n"))
-      .withColumn("tp", sum(col("hit")).over(wCum))
-      .withColumn("fp", sum(col("n") - col("hit")).over(wCum))
-      .withColumn("total", sum(col("n")).over(wAll))
-      .withColumn("recall", col("tp").cast("double") / col("total"))
-      .withColumn("prec",
-        when(col("tp") + col("fp") > 0,
-          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
-      .withColumn("monoprec", max(col("prec")).over(wSuffix))
-      .withColumn("delta", col("recall") - lag(col("recall"), 1, 0.0).over(wSeq))
+    val segs = if (segments > 0) segments else PipelineFns.autoSegments(scored.sparkSession)
+    val cumulated =
+      if (segs <= 1) singleTaskCumPr(perFrame)
+      else segmentedCumPr(scored, perFrame, segs)
+    cumulated
       .withColumn("term", round(col("delta") * col("monoprec") * 1e9, 0).cast("long"))
       .groupBy(col("ti"))
       .agg(
@@ -155,6 +147,99 @@ object DomainQueries extends QueryModule {
       .select(col("ti").cast("long").as("ti"),
         (col("ti").cast("double") / (bins - 1)).as("threshold"),
         col("n_instances"), col("tp_total"), col("fp_total"), col("ap"))
+  }
+
+  /** The small-N cumulative-PR shape: per-threshold windows. One task per
+    * threshold — fine for a metadata-scale eval set, a hard parallelism
+    * ceiling (= bins) past it; [[segmentedCumPr]] is the scale path.
+    */
+  private def singleTaskCumPr(perFrame: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("ti"))
+    val wSeq = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
+    val wSuffix = Window.partitionBy(col("ti")).orderBy(col("frame_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perFrame
+      .withColumn("tp", sum(col("hit")).over(wCum))
+      .withColumn("fp", sum(col("n") - col("hit")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("recall", col("tp").cast("double") / col("total"))
+      .withColumn("prec",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+      .withColumn("monoprec", max(col("prec")).over(wSuffix))
+      .withColumn("delta", col("recall") - lag(col("recall"), 1, 0.0).over(wSeq))
+  }
+
+  /** Segmented (two-level) cumulative PR — the same doubles as
+    * [[singleTaskCumPr]] from finer-partitioned windows, lifting the
+    * one-task-per-threshold ceiling.
+    *
+    * Every serialized quantity is reconstructed exactly: tp/fp are INTEGER
+    * prefix sums (segment-local sum + per-segment offsets, like
+    * [[PipelineFns.segmentedCumSum]]); recall/precision divide the exact
+    * same integers as the single-level windows, so the IEEE results are
+    * bit-identical; the suffix-max of precision composes as
+    * max(local suffix-max, max over LATER segments) — max is selection,
+    * not arithmetic, so also exact; and lag(recall) at a segment's first
+    * row is the previous segment's last recall = otp/total, the identical
+    * division. Only metadata-scale frames (bins × segments rows) ever pass
+    * through a per-threshold serialized window.
+    */
+  private def segmentedCumPr(scored: DataFrame, perFrame: DataFrame, segments: Int): DataFrame = {
+    // segment bounds from the pre-explode eval set: one tiny broadcast row
+    val bounds = scored.agg(
+      min(col("frame_id")).cast("long").as("fmin"),
+      max(col("frame_id")).cast("long").as("fmax"))
+    val withSeg = perFrame.crossJoin(broadcast(bounds))
+      .withColumn("seg",
+        PipelineFns.segmentOf(col("frame_id").cast("long"), col("fmin"), col("fmax"), segments))
+      .drop("fmin", "fmax")
+    val wLoc = Window.partitionBy(col("ti"), col("seg")).orderBy(col("frame_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withSeg
+      .withColumn("ltp", sum(col("hit")).over(wLoc))
+      .withColumn("lfp", sum(col("n") - col("hit")).over(wLoc))
+    // per-segment totals + exclusive prefix offsets: bins × segments rows,
+    // aggregated map-side (local is already partitioned by (ti, seg))
+    val segTot = local.groupBy(col("ti"), col("seg"))
+      .agg(sum(col("hit")).as("shit"), sum(col("n")).as("sn"))
+    val wOff = Window.partitionBy(col("ti")).orderBy(col("seg").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTi = Window.partitionBy(col("ti"))
+    val offsets = segTot
+      .withColumn("otp", coalesce(sum(col("shit")).over(wOff), lit(0L)))
+      .withColumn("ofp", coalesce(sum(col("sn") - col("shit")).over(wOff), lit(0L)))
+      .withColumn("total", sum(col("sn")).over(wTi))
+      .select(col("ti"), col("seg"), col("otp"), col("ofp"), col("total"))
+    val wLocSuffix = Window.partitionBy(col("ti"), col("seg")).orderBy(col("frame_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wLocSeq = Window.partitionBy(col("ti"), col("seg")).orderBy(col("frame_id").asc)
+    val pr = local.join(broadcast(offsets), Seq("ti", "seg"))
+      .withColumn("tp", col("ltp") + col("otp"))
+      .withColumn("fp", col("lfp") + col("ofp"))
+      .withColumn("recall", col("tp").cast("double") / col("total"))
+      .withColumn("prec",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+      .withColumn("lsuffix", max(col("prec")).over(wLocSuffix))
+      .withColumn("lprev", lag(col("recall"), 1).over(wLocSeq))
+    // cross-segment suffix max of precision: per-segment maxima (map-side
+    // again), strictly-later-segment running max, broadcast back
+    val segMax = pr.groupBy(col("ti"), col("seg")).agg(max(col("prec")).as("segmax"))
+    val wLater = Window.partitionBy(col("ti")).orderBy(col("seg").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val later = segMax
+      .withColumn("latermax", max(col("segmax")).over(wLater))
+      .select(col("ti"), col("seg"), col("latermax"))
+    pr.join(broadcast(later), Seq("ti", "seg"))
+      .withColumn("monoprec", greatest(col("lsuffix"), coalesce(col("latermax"), col("lsuffix"))))
+      // first row of a segment: previous row lives in the prior segment,
+      // whose last recall is exactly otp/total (and 0/total = 0.0 for the
+      // very first row — the single-level lag default)
+      .withColumn("delta",
+        col("recall") - coalesce(col("lprev"), col("otp").cast("double") / col("total")))
   }
 
   override val defs: Seq[QueryDef] = Seq(

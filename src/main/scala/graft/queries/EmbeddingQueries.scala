@@ -606,9 +606,14 @@ object EmbeddingQueries extends QueryModule {
         // ANN index-quality evaluation: recall@5 of the LSH-bucketed index
         // (the v3 shape at k=5) against exact brute force (v1) — the
         // measurement every index deployment runs before trading recall
-        // for cost. Both sides broadcast the same sampled query set and
-        // scan the corpus map-only; the recall join operates on 2×(k ×
-        // n_queries) rank rows, metadata-scale whatever the corpus size.
+        // for cost. Both sides broadcast the same sampled query set into
+        // the corpus scan; the rank windows filter on row_number <= 5,
+        // which Spark's WindowGroupLimit rewrites into a PER-PARTITION
+        // partial top-5 BELOW the exchange (asserted in PlanSpec), so the
+        // shuffle carries at most k × n_queries rows per input partition —
+        // the corpus×queries candidate expansion itself never shuffles.
+        // The recall join then operates on 2×(k × n_queries) rank rows,
+        // metadata-scale whatever the corpus size.
         val base = quantized(s, d)
           .withColumn("n2", inorm2(col("q")))
           .withColumn("bucket", lshBucket(col("q")))

@@ -54,6 +54,73 @@ object PipelineFns {
 
   def shinglesSql(toksExpr: String, n: Int): String =
     s"list_transform(range(1, greatest(len($toksExpr) - ${n - 1}, 1) + 1), i -> array_to_string(($toksExpr)[i:i+${n - 2 + 1}], ' '))"
+
+  /** Segment count for the two-level window programs below: one segment per
+    * core keeps every row-level window task busy without slicing the data
+    * thinner than the cluster can use.
+    */
+  def autoSegments(s: SparkSession): Int =
+    math.max(1, s.sparkContext.defaultParallelism)
+
+  /** Monotone bucketing of `orderCol` into `segments` contiguous ranges of
+    * its [minCol, maxCol] domain — the segment key for two-level prefix
+    * programs. All-integral arithmetic (SQL `div`, never `/`, which is
+    * double division and loses exactness past 2^53): width = range div
+    * segments + 1, so seg ∈ [0, segments) and rows ordered by `orderCol`
+    * are ordered by (seg, orderCol). Inputs must be LongType.
+    */
+  def segmentOf(orderCol: Column, minCol: Column, maxCol: Column, segments: Int): Column = {
+    val width = call_function("div", maxCol - minCol, lit(segments.toLong)) + lit(1L)
+    call_function("div", orderCol - minCol, width)
+  }
+
+  /** Exact two-level (segmented) running sum: adds `cumName` = inclusive
+    * prefix sum of `valueCol` over rows ordered by `orderCol` within
+    * `partCols` — the same integers a single
+    * `sum().over(partitionBy(partCols).orderBy(orderCol))` window yields,
+    * WITHOUT its one-task-per-partition ceiling. A global cumulative window
+    * with few partition values (t8 packs per SOURCE; the AP sweep's
+    * cumulative PR per THRESHOLD) funnels the whole corpus through
+    * #partitions tasks; here each (partition, segment) sorts locally in
+    * parallel and only the per-segment totals — `partitions × segments`
+    * rows, metadata-scale — pay a serialized prefix pass before a broadcast
+    * join puts the global offsets back on every row.
+    *
+    * Caller contract: `orderCol` is LongType and unique within its
+    * partition (total order), and column names must not collide with the
+    * `__seg`/`__lsum`/`__osum`/`__omin`/`__omax` working names.
+    * `segments <= 1` degrades to the single-level window — the small-N
+    * path with zero extra plan nodes.
+    */
+  def segmentedCumSum(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCol: Column, cumName: String, segments: Int): DataFrame = {
+    val pcols = partCols.map(col)
+    if (segments <= 1) {
+      val w = Window.partitionBy(pcols: _*).orderBy(col(orderCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(cumName, sum(valueCol).over(w))
+    }
+    val bounds = df.agg(min(col(orderCol)).as("__omin"), max(col(orderCol)).as("__omax"))
+    val withSeg = df.crossJoin(broadcast(bounds))
+      .withColumn("__seg", segmentOf(col(orderCol), col("__omin"), col("__omax"), segments))
+      .drop("__omin", "__omax")
+    val wLoc = Window.partitionBy(pcols :+ col("__seg"): _*).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withSeg.withColumn("__lsum", sum(valueCol).over(wLoc))
+    // Per-segment totals, aggregated from the window output: `local` is
+    // already hash-partitioned by (part, seg), so this groupBy plans with
+    // no exchange, and the shuffle below it is reused (ReusedExchange)
+    // rather than recomputed.
+    val segTot = local.groupBy(pcols :+ col("__seg"): _*).agg(sum(valueCol).as("__ssum"))
+    val wOff = Window.partitionBy(pcols: _*).orderBy(col("__seg").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = segTot
+      .withColumn("__osum", coalesce(sum(col("__ssum")).over(wOff), lit(0L)))
+      .drop("__ssum")
+    local.join(broadcast(offsets), partCols :+ "__seg")
+      .withColumn(cumName, col("__lsum") + col("__osum"))
+      .drop("__seg", "__lsum", "__osum")
+  }
 }
 
 /** Text-analysis operators a large-scale training-data pipeline needs,

@@ -49,6 +49,19 @@ object Ingest {
     * json.dump) BEFORE the path exclusion runs: the corrupt check is one
     * And-guarded predicate behind the exclusion, so excluded files can
     * never trip it.
+    *
+    * Scope under column pruning (the precise contract): malformed JSON
+    * (unparseable document) ALWAYS fails, whatever the consumer projects.
+    * Per-FIELD type corruption in a well-formed document is detected for
+    * exactly the fields the consuming plan references — pruned fields are
+    * never parsed, so their corruption is invisible (and also cannot reach
+    * any produced result). I.e. every value a downstream plan can observe
+    * is either schema-valid or the job fails; fields nobody reads are not
+    * validated. For a full-schema validation pass regardless of the
+    * consumer's projection, run [[auditFrames]] (it parses every field and
+    * reports per-file corrupt counts) — deliberately a separate audit scan
+    * rather than a pruning-defeating default, which would force a
+    * full-schema parse on every 2-column query at 100 TB.
     */
   def readFramesStrict(spark: SparkSession, dir: String, limit: Option[Int] = None): DataFrame = {
     val df = frameScan(spark, dir, withCorrupt = true)
@@ -68,7 +81,10 @@ object Ingest {
   }
 
   /** Per-file corruption audit: `(file, bytes, rows, corrupt_rows,
-    * sample_image_id)` for EVERY file in the corpus — including zero-record
+    * sample_image_id, content_hash)` for EVERY file in the corpus —
+    * full-schema (the checksum references every frame field, defeating
+    * column pruning, so corrupt_rows counts type corruption in ANY field,
+    * unlike a pruned read path) — including zero-record
     * files (a truncated-to-empty document yields no parsed rows at all, so
     * a parse-side-only audit would silently omit exactly the fully-lost
     * files it exists to find; the binaryFile listing side reads paths and
@@ -107,12 +123,21 @@ object Ingest {
         // legal at all (Spark rejects JSON scans whose referenced columns
         // are only the corrupt-record column; an unreferenced aggregate
         // would be pruned back into that error)
-        first(col("image_id"), ignoreNulls = true).as("sample_image_id"))
+        first(col("image_id"), ignoreNulls = true).as("sample_image_id"),
+        // order-independent per-file checksum over EVERY frame field. The
+        // column references are the point as much as the value: JSON parsing
+        // is pruned to referenced columns, and PERMISSIVE only flags
+        // per-field type corruption in fields it actually parses — this
+        // audit's corrupt_rows must reflect the FULL schema, not whichever
+        // two columns this aggregation happens to touch (readFramesStrict's
+        // scaladoc documents that narrower read-path contract)
+        bit_xor(xxhash64(FrameSchema.frameType.fieldNames.map(col).toIndexedSeq: _*))
+          .as("content_hash"))
     files.join(parsed, Seq("file"), "left")
       .select(col("file"), col("bytes"),
         coalesce(col("rows"), lit(0L)).as("rows"),
         coalesce(col("corrupt_rows"), lit(0L)).as("corrupt_rows"),
-        col("sample_image_id"))
+        col("sample_image_id"), col("content_hash"))
   }
 
   /** S2: single-document load. */

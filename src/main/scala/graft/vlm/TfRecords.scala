@@ -62,6 +62,13 @@ object TfRecords {
     override def next(): Array[Byte] = {
       require(p + 12 <= bytes.length, s"truncated TFRecord header at $p")
       val len = u64le(bytes, p)
+      // u64le yields the raw 64-bit value as a SIGNED long: a corrupt or
+      // crafted length near 2^63 is negative (or huge), and `dataOff + len`
+      // would wrap negative and slip past the bounds check below, failing
+      // later with a confusing copyOfRange error instead of this message —
+      // bound it BEFORE any arithmetic that can overflow
+      require(len >= 0 && len <= bytes.length,
+        s"corrupt TFRecord length $len at offset $p (shard is ${bytes.length} bytes)")
       require(maskedCrc32c(bytes, p, 8) == u32le(bytes, p + 8),
         s"TFRecord length CRC mismatch at offset $p")
       val dataOff = p + 12

@@ -41,6 +41,16 @@ class MinHashNSpec extends SparkSpec {
     val empty = Seq(Tuple1(Seq.empty[Long])).toDF("sh")
       .select(minhashN(col("sh"), 16)).collect().head
     assert(empty.isNullAt(0))
+    // a non-empty array whose elements are ALL null must behave like empty
+    // (null), not like a zero-shingle doc with a Long.MaxValue sentinel
+    // signature that would band-collide with every other such doc
+    val allNull = Seq(Tuple1(Seq[Option[Long]](None, None))).toDF("sh")
+      .select(minhashN(col("sh"), 16)).collect().head
+    assert(allNull.isNullAt(0), "all-null elements must yield null")
+    // and a mixed array hashes only its non-null elements
+    val mixed = Seq(Tuple1(Seq[Option[Long]](None, Some(7L), None))).toDF("sh")
+      .select(minhashN(col("sh"), 16).as("m")).as[Seq[Long]].head()
+    assert(mixed === reference(Seq(7L), 16))
   }
 
   test("coefficient bounds guarantee no signed-64 overflow") {

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.vlm.SparkSpec
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.logging.log4j.core.config.Property
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle + hygiene contract for the dedup module's shared caches.
+  *
+  * Two failure modes this guards at 100 TB:
+  *   - UNRELEASABLE storage: a long-lived session touching many corpus
+  *     dirs would pin one pipeline's caches per dir forever without
+  *     [[DedupQueries.release]] — the spec proves release() actually
+  *     drops storage and the next build starts from scratch.
+  *   - DOUBLE-CACHING: plan-identical `.cache()` calls from different
+  *     queries (d3/d6/d7 all consume the shingle-set scan) are silent
+  *     no-ops that log CacheManager warnings — noise indistinguishable
+  *     from a real bug, and wasted registration work. The log-capture
+  *     test runs the whole dedup family twice and asserts the
+  *     CacheManager/BlockManager loggers stay silent, the runtime
+  *     counterpart of PlanSpec's partition-less-Window assertion.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val dedupFamily = Seq(
+    "d2_minhash_signatures", "d3_lsh_near_dup_pairs", "d5_simhash_near_dup_pairs",
+    "d6_jaccard_verified_groups", "d7_dup_groups_cc", "d8_scalable_dedup",
+    "d12_edit_distance_verify", "d13_leakage_safe_split")
+
+  private def run(name: String): Unit = {
+    val n = SparkEntry.queries(name)(spark, sf).count()
+    assert(n > 0, s"$name returned no rows")
+  }
+
+  test("release() unpersists every shared handle and evicts the memoized pipeline") {
+    DedupQueries.release(spark, sf) // clean slate regardless of suite order
+    run("d8_scalable_dedup")
+    val handles = DedupQueries.cachedHandles(spark, sf)
+    assert(handles.nonEmpty, "d8 registered no shared caches")
+    for ((k, df) <- handles)
+      assert(df.storageLevel != StorageLevel.NONE, s"$k not marked cached")
+    DedupQueries.release(spark, sf)
+    assert(DedupQueries.cachedHandles(spark, sf).isEmpty, "registry not evicted")
+    for ((k, df) <- handles)
+      assert(df.storageLevel == StorageLevel.NONE, s"$k still cached after release")
+  }
+
+  test("the memo hands out ONE pipeline per (session, dir) until released") {
+    DedupQueries.release(spark, sf)
+    run("d8_scalable_dedup")
+    val h1 = DedupQueries.cachedHandles(spark, sf)
+    run("d13_leakage_safe_split") // shares the memoized pipeline
+    val h2 = DedupQueries.cachedHandles(spark, sf)
+    assert(h1.keySet.subsetOf(h2.keySet))
+    for (k <- h1.keySet)
+      assert(h1(k) eq h2(k), s"$k rebuilt despite live memo")
+    DedupQueries.release(spark, sf)
+    run("d8_scalable_dedup")
+    val h3 = DedupQueries.cachedHandles(spark, sf)
+    for (k <- h1.keySet.intersect(h3.keySet))
+      assert(!(h1(k) eq h3(k)), s"$k survived release — memo not evicted")
+    DedupQueries.release(spark, sf)
+  }
+
+  test("build/release cycles leave no residual storage (no per-cycle growth)") {
+    DedupQueries.release(spark, sf)
+    val seen = Seq.newBuilder[(String, org.apache.spark.sql.DataFrame)]
+    for (i <- 1 to 3) {
+      run("d13_leakage_safe_split")
+      val hs = DedupQueries.cachedHandles(spark, sf)
+      assert(hs.nonEmpty, s"cycle $i registered nothing")
+      seen ++= hs
+      DedupQueries.release(spark, sf)
+    }
+    for ((k, df) <- seen.result())
+      assert(df.storageLevel == StorageLevel.NONE, s"$k leaked across cycles")
+  }
+
+  test("dedup family logs zero CacheManager/BlockManager warnings (incl. re-runs)") {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+        "graft-cache-hygiene", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        val logger = e.getLoggerName
+        if (e.getLevel.isMoreSpecificThan(Level.WARN) &&
+            (logger.endsWith("CacheManager") || logger.endsWith("BlockManager")))
+          events.add(s"$logger: ${e.getMessage.getFormattedMessage}")
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(appender, Level.WARN, null)
+    try {
+      DedupQueries.release(spark, sf)
+      // twice: the second pass exercises the shared-handle reuse path —
+      // exactly where the pre-registry code re-cached identical plans
+      for (_ <- 1 to 2; name <- dedupFamily) run(name)
+    } finally {
+      root.removeAppender(appender.getName)
+      appender.stop()
+      DedupQueries.release(spark, sf)
+    }
+    val warns = events.toArray.mkString("\n")
+    assert(events.isEmpty, s"cache-hygiene warnings:\n$warns")
+  }
+}

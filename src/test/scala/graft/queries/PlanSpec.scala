@@ -107,9 +107,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
-  test("t8_token_packing plans exactly one exchange (the per-source window partitioning)") {
+  test("t8_token_packing: segmented prefix sum — row-level window partitioned by (source, seg)") {
+    // the two-level shape: the corpus-scale cumulative window must NOT
+    // partition by source alone (one task per source); only the
+    // metadata-scale offset window (ordered by the segment id) may
+    val df = SparkEntry.queries("t8_token_packing")(spark, sf)
+    val rowWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.orderSpec.exists(_.child.references.exists(_.name == "doc_id")) => w
+    }
+    assert(rowWindows.nonEmpty, "t8 lost its cumulative window")
+    for (w <- rowWindows)
+      assert(w.partitionSpec.size >= 2,
+        s"t8 row-level window partitions only by ${w.partitionSpec}: one task per source")
+    // the offsets ride back on a broadcast join — the corpus side must
+    // never shuffle for it
     val p = plan("t8_token_packing")
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("g22/g23 AP sweeps: cumulative-PR windows are segmented (no one-task-per-threshold sort)") {
+    for (name <- Seq("g22_ap_sweep", "g23_ap_add_sweep")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // every window that orders the eval rows by frame_id must carry the
+      // segment key next to ti — partitioning by ti alone serializes the
+      // whole eval set into `bins` tasks
+      val rowWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.orderSpec.exists(_.child.references.exists(_.name == "frame_id")) => w
+      }
+      assert(rowWindows.nonEmpty, s"$name lost its cumulative windows")
+      for (w <- rowWindows)
+        assert(w.partitionSpec.size >= 2,
+          s"$name window partitions only by ${w.partitionSpec}: parallelism ceiling = bins")
+      // segment offsets / suffix maxima join back via broadcast — never a
+      // shuffle join of the row-level frame
+      val p = plan(name)
+      assert(p.contains("BroadcastExchange"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
   }
 
   test("t10_gopher_rules and t12_denylist_scrub plan NO shuffle (single-scan column programs)") {
@@ -196,6 +234,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("v11_ann_recall pre-reduces per partition: WindowGroupLimit below every rank exchange") {
+    // both the exact and approx top-5 sides must shuffle only partial
+    // top-k rows (k × n_queries per input partition), never the full
+    // corpus×queries candidate expansion
+    val p = plan("v11_ann_recall")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p) // partial + final, × 2 sides
   }
 
   test("w1_rank_topk benefits from WindowGroupLimit (partial top-k before the shuffle)") {

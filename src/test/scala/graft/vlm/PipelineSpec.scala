@@ -14,6 +14,11 @@ class PipelineSpec extends SparkSpec {
       """{"dataset":"ds","split":"s0","image_id":"ok","scene_id":"scene0","bounding_boxes_2d":[],"bounding_boxes_3d":[]}""")
     Files.writeString(new java.io.File(sceneDir, "bad.json").toPath,
       """{"dataset":"ds","split":"s0","image_id":"truncated""")
+    // well-formed JSON, type-corrupt in a field (timestamp is LongType)
+    // that the audit's counting aggregates never touch: only a full-schema
+    // parse flags it — a column-pruned audit would report 0 corrupt rows
+    Files.writeString(new java.io.File(sceneDir, "badfield.json").toPath,
+      """{"dataset":"ds","split":"s0","image_id":"typo","scene_id":"scene0","bounding_boxes_2d":[],"bounding_boxes_3d":[],"timestamp":"not-a-long"}""")
     // truncated-to-empty: zero parsed rows, zero corrupt rows — only the
     // listing side of the audit can see it
     Files.writeString(new java.io.File(sceneDir, "empty.json").toPath, "")
@@ -33,6 +38,8 @@ class PipelineSpec extends SparkSpec {
       .contains((1L, 1L)))
     assert(audit.collectFirst { case ("good.json", _, rows, corrupt) => (rows, corrupt) }
       .contains((1L, 0L)))
+    assert(audit.collectFirst { case ("badfield.json", _, rows, corrupt) => (rows, corrupt) }
+      .contains((1L, 1L)), "full-schema audit must flag type corruption in unprojected fields")
     assert(audit.collectFirst { case ("empty.json", bytes, rows, _) => (bytes, rows) }
       .contains((0L, 0L)), "zero-record files must appear in the audit")
     assert(audit.forall(_._1 != "summary.json"))
@@ -50,7 +57,16 @@ class PipelineSpec extends SparkSpec {
     // matches readFrames' schema
     new java.io.File(sceneDir, "bad.json").delete()
     val strict = Ingest.readFramesStrict(spark, dir)
-    assert(strict.count() == 1)
+    // 2 rows = good + badfield: strict's documented scope is per-REFERENCED-
+    // field — count() never parses timestamp, so badfield.json's type
+    // corruption is invisible to this plan (the audit above is the
+    // full-schema gate)...
+    assert(strict.count() == 2)
+    // ...but any plan that actually reads the corrupt field fails loudly
+    // (collect, not count — count prunes the projection away entirely)
+    val e2 = intercept[Exception](
+      Ingest.readFramesStrict(spark, dir).select("image_id", "timestamp").collect())
+    assert(msgs(e2).exists(_.toLowerCase.contains("malformed")), msgs(e2).mkString(" | "))
     assert(strict.columns.toSeq == Ingest.readFrames(spark, dir).columns.toSeq)
     assert(Ingest.readFramesStrict(spark, dir, limit = Some(0)).count() == 0)
   }

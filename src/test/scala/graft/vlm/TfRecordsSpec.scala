@@ -78,6 +78,20 @@ class TfRecordsSpec extends SparkSpec {
     assert(e.getMessage.contains("CRC"))
   }
 
+  test("a crafted u64 length near 2^63 fails with the corrupt-length message, not an overflow artifact") {
+    // length bytes = 0xFF.. (reads as a negative signed long): the bounds
+    // arithmetic `dataOff + len + 4` would wrap negative and pass the
+    // truncation check — the reader must reject the length itself first
+    val evil = Array.fill[Byte](12)(0xFF.toByte) ++ Array[Byte](1, 2, 3)
+    val e = intercept[IllegalArgumentException](TfRecords.records(evil).toSeq)
+    assert(e.getMessage.contains("corrupt TFRecord length"), e.getMessage)
+    // a huge-but-positive length (> shard size) gets the same message
+    val big = tfrecord(Seq(fixtureExample)).clone()
+    big(6) = 0x7f.toByte // length byte 6: len ≈ 2^55, positive, way past EOF
+    val e2 = intercept[IllegalArgumentException](TfRecords.records(big).toSeq)
+    assert(e2.getMessage.contains("corrupt TFRecord length"), e2.getMessage)
+  }
+
   test("parseExample decodes all three feature kinds") {
     val fm = TfRecords.parseExample(fixtureExample)
     assert(fm("object/visibility").floats === Seq(0.9f, 0.05f))
