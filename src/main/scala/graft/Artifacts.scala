@@ -18,6 +18,18 @@ object Artifacts {
         System.err.println(s"[artifact] write $path failed: ${e.getMessage}")
     }
 
+  /** Append `line` (one JSON object) to `path`, creating it if missing —
+    * for multi-run artifacts (one line per preset/run).
+    */
+  def appendLine(path: String, line: String): Unit =
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(path), (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[artifact] append $path failed: ${e.getMessage}")
+    }
+
   /** Host-speed calibration: a fixed pure-CPU job (2B xxhash64 reduced by bit_xor, no
     * I/O, no shuffle beyond the one partial-agg exchange) timed on its
     * second run (the first absorbs its own codegen/JIT). Cross-round

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness for the dedup + ANN families — the measured
+  * counterpart to the README's 100 TB design claims. The driver's testdata
+  * stops at sf0.1 (5k docs / 2k vectors), which verifies correctness but
+  * says nothing about GROWTH; this main synthesizes k× corpora from sf0.1
+  * by deterministic reseeding and times the band-join/IVF query families
+  * at each scale, at whichever GraftConfig preset the JVM was launched
+  * under. One JSON line per run is appended to `bench_scale_last.json`.
+  *
+  * Reseeding is built so corpus STATISTICS stay scale-invariant — the
+  * point is to grow n, not to inject artificial duplicate mass:
+  *  - documents: replica r rewrites text through a Caesar rotation of the
+  *    alphabet by r. Token counts, lengths, and repetition structure are
+  *    preserved; shingle sets decorrelate across replicas (rotated tokens
+  *    hash independently), so each replica contributes its own copy of the
+  *    original near-dup pair distribution and the global dup RATE is
+  *    unchanged. Plain duplication would instead let d8's exact-dup
+  *    collapse erase the added work; appending marker tokens would
+  *    near-dup every replica against its original and grow pair counts
+  *    quadratically by construction. Both would measure the wrong thing.
+  *  - embeddings: replica r cyclically shifts the vector by r positions —
+  *    norms (and so all within-replica cosine structure) are preserved
+  *    exactly; cross-replica cosines scramble.
+  *  - ids offset by r × n so replicas never collide; the fixed probe sets
+  *    (vec_id < 10 etc.) stay in replica 0, as a production query set
+  *    would stay fixed while the corpus grows.
+  *
+  * Protocol: scales ascend (the 1× pass plus an explicit warmup absorbs
+  * codegen/JIT — plans are scale-invariant, so later scales hit the
+  * codegen cache); before every measured query the shared dedup caches
+  * are released and the session cache cleared, so each number is the full
+  * pipeline cost at that scale, not a memo hit.
+  *
+  *   runMain graft.ScaleBench [srcDir] [workDir] [scalesCsv]
+  *   GRAFT_PRESET=100tb runMain graft.ScaleBench   # capacity geometry
+  */
+object ScaleBench {
+
+  private val Families = Seq(
+    "d8_scalable_dedup", "d12_edit_distance_verify", "d13_leakage_safe_split",
+    "v6_ivf_ann", "v10_ivfpq_ann", "v11_ann_recall")
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Write the k×-reseeded documents + embeddings tables under `dst`.
+    * Returns (docRows, vecRows) at this scale.
+    */
+  def synthesize(spark: SparkSession, src: String, dst: String, k: Int): (Long, Long) = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val scaledDocs = (0 until k).map { r =>
+      val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+      val text = if (r % 26 == 0) col("text") else translate(col("text"), Alpha, rot)
+      docs.select(
+        (col("doc_id") + lit(r * nDocs)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    scaledDocs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val scaledEmb = (0 until k).map { r =>
+      val sh = r % dim
+      val e =
+        if (sh == 0) col("embedding")
+        else concat(slice(col("embedding"), sh + 1, dim - sh), slice(col("embedding"), 1, sh))
+      emb.select((col("vec_id") + lit(r * nVec)).as("vec_id"), e.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    scaledEmb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    (nDocs * k, nVec * k)
+  }
+
+  private def coldRun(spark: SparkSession, dir: String, name: String): Double = {
+    graft.queries.DedupQueries.release(spark, dir)
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    val scales = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+    require(scales == scales.sorted, "run scales ascending (warmup discipline)")
+    val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.util.NativeCodeLoader", org.apache.logging.log4j.Level.ERROR)
+    try Class.forName("org.apache.hadoop.util.NativeCodeLoader")
+    catch { case _: Throwable => () }
+    val spark = GraftSession.builder()
+      .config("spark.sql.debug.maxToStringFields", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val calib = Artifacts.calibrate(spark)
+
+    val rows = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+    for (k <- scales)
+      rows(k) = synthesize(spark, src, s"$workDir/x$k", k)
+
+    // codegen/JIT warmup at the smallest scale, unmeasured
+    Families.foreach(coldRun(spark, s"$workDir/x${scales.head}", _))
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    for (name <- Families)
+      times(name) = scales.map(k => coldRun(spark, s"$workDir/x$k", name))
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = times.map { case (n, ts) => "\"" + n + "\":[" + ts.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_curve","preset":"$preset","calib":${fmt(calib)},"src":"$src"""" +
+        s""","scales":[${scales.mkString(",")}]""" +
+        s""","doc_rows":[${scales.map(rows(_)._1).mkString(",")}]""" +
+        s""","vec_rows":[${scales.map(rows(_)._2).mkString(",")}]""" +
+        s""","queries":$qs}"""
+    Artifacts.appendLine(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_scale_last.json"), line)
+    spark.stop()
+    println(line)
+    Console.out.flush()
+  }
+}

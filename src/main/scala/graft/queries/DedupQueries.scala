@@ -32,6 +32,7 @@ object DedupQueries extends QueryModule {
   private val NumBands = graft.GraftConfig.active.numBands
   private val RowsPerBand = graft.GraftConfig.active.rowsPerBand
   private val JaccardThreshold = 0.5
+  private val ContainmentThreshold = 0.6
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
 
@@ -285,7 +286,14 @@ object DedupQueries extends QueryModule {
       throw new IllegalStateException(
         s"minLabelComponents did not converge within $maxIters rounds — " +
           "component diameter exceeds the cap; raise it or pre-collapse the graph")
-    labels
+    // Hand back a checkpoint, not the loop's cache: a returned .cache()
+    // has no release path for callers (the CacheManager pins it for the
+    // session), while localCheckpoint blocks are freed by the context
+    // cleaner once the result goes unreferenced. The copy is label-table
+    // sized (vertices in dup components), not corpus-sized.
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    out
   }
 
   /** Verified near-dup edge list `(a, b)` with `a < b`, built from the given
@@ -711,6 +719,45 @@ object DedupQueries extends QueryModule {
              |  SELECT e.b AS v, r.m FROM edges e JOIN reach r ON r.v = e.a)
              |SELECT v AS doc_id, min(m) AS group_id FROM reach GROUP BY v""".stripMargin),
       "Connected-components dup groups: iterative min-label propagation over verified near-dup edges (transitive closure)."
+    ),
+    QueryDef(
+      "d14_containment_dedup",
+      (s, d) => {
+        // Asymmetric CONTAINMENT dedup — the excerpt/sub-document detector
+        // Jaccard misses: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is ~1 when A
+        // is quoted inside B even though symmetric Jaccard is small.
+        // Candidates come from the same LSH band machinery as d3/d6
+        // (directed pairs, first-shared-band in-row dedup — no distinct
+        // shuffle); exact containment verifies each direction separately.
+        // Known recall bound, documented rather than hidden: minhash bands
+        // collide by JACCARD, so containment pairs with a large size ratio
+        // (tiny excerpt in a huge doc) may never band-collide — this
+        // operator catches near-size containment; small-in-large detection
+        // needs the t11 span-hash shapes.
+        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sigs = signatures(sets).select(col("doc_id") +: bandCols: _*)
+        val cands = bandCandidatePairs(sigs, directed = true)
+          .select(col("a").as("did"), col("b").as("cid"))
+        cands
+          .join(sets.as("sa"), col("did") === col("sa.doc_id"))
+          .join(sets.as("sb"), col("cid") === col("sb.doc_id"))
+          .select(col("did"), col("cid"),
+            size(array_intersect(col("sa.sh"), col("sb.sh"))).as("isect"),
+            size(col("sa.sh")).as("na"))
+          .withColumn("containment", round(col("isect").cast("double") / col("na"), 6))
+          .filter(col("containment") >= ContainmentThreshold)
+          .select(col("did").as("doc_id"), col("cid").as("container_id"), col("containment"))
+      },
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |sigs AS (SELECT doc_id, $bandColsSql FROM (SELECT doc_id, $minhashColsSql FROM sets))
+             |SELECT doc_id, container_id, containment FROM (
+             |  SELECT sa.doc_id AS doc_id, sb.doc_id AS container_id,
+             |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
+             |  FROM sigs sa JOIN sigs sb ON sa.doc_id <> sb.doc_id
+             |    AND ${bandOrSql("sa", "sb")}
+             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id)
+             |WHERE containment >= $ContainmentThreshold""".stripMargin),
+      "Asymmetric containment dedup: |A∩B|/|A| over banded candidates — flags documents largely contained in another (excerpts/quotes), which symmetric Jaccard under-scores."
     ),
     QueryDef(
       "d8_scalable_dedup",

@@ -446,6 +446,43 @@ object TextQueries extends QueryModule {
              |FROM big JOIN bits ON big.w1 = bits.w1 AND big.w2 = bits.w2
              |GROUP BY doc_id""".stripMargin),
       "Bigram-LM conditional surprisal (second-order t14): whole-bit floor(log2(c(w1.)/c(w1,w2))) per bigram, prefix counts derived from bigram counts, exact integer sums."
+    ),
+    QueryDef(
+      "t18_ngram_novelty",
+      (s, d) => {
+        // Novelty / memorization scoring: the fraction of a document's
+        // DISTINCT 8-gram shingles that appear in no other document — low
+        // novelty = boilerplate-heavy or near-memorized content (the
+        // complement of the d9/d10 decontamination view: those ask "does
+        // this overlap a BENCHMARK", this asks "does it overlap ANYTHING").
+        // Shapes: the fused ShingleHashes scan emits distinct 60-bit
+        // digests (strings never leave the scan — the t11 rule), one
+        // shuffle keyed by the digest (high-cardinality, shards evenly by
+        // construction) for the global document-frequency window, then a
+        // per-doc aggregate. Because the sets are per-doc distinct, the
+        // window count IS the document frequency.
+        val sets = Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.shingleHashes(col("text"), 8).as("sh"))
+        val pairs = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+        val w = Window.partitionBy(col("h"))
+        pairs
+          .withColumn("nd", count(lit(1)).over(w))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("toks", 8)}, x -> ${h60Sql("x")}))) AS h
+             |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+             |cnt AS (SELECT h, count(*) AS nd FROM sh GROUP BY h)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN cnt.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN cnt.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+             |FROM sh JOIN cnt USING (h)
+             |GROUP BY doc_id""".stripMargin),
+      "8-gram novelty scoring: fraction of a doc's distinct shingles unique to it corpus-wide — low novelty flags boilerplate/memorized content; digest-keyed shuffle, strings never leave the scan."
     )
   )
 }
