@@ -18,16 +18,24 @@ object Artifacts {
         System.err.println(s"[artifact] write $path failed: ${e.getMessage}")
     }
 
-  /** Append `line` (one JSON object) to `path`, creating it if missing —
-    * for multi-run artifacts (one line per preset/run).
+  /** Upsert one JSON line into a multi-line artifact: drop any existing
+    * line containing `marker` (e.g. the preset key), then append `line`.
+    * Re-runs thus REPLACE their own prior record instead of accumulating
+    * stale lines a consumer would pick between nondeterministically —
+    * the file stays canonical: at most one line per marker.
     */
-  def appendLine(path: String, line: String): Unit =
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(path), (line + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    catch {
+  def upsertLine(path: String, marker: String, line: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      val kept =
+        if (java.nio.file.Files.exists(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(p))
+            .asScala.filterNot(l => l.contains(marker) || l.trim.isEmpty).toSeq
+        else Seq.empty
+      java.nio.file.Files.write(p, ((kept :+ line).mkString("\n") + "\n").getBytes("UTF-8"))
+    } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[artifact] append $path failed: ${e.getMessage}")
+        System.err.println(s"[artifact] upsert $path failed: ${e.getMessage}")
     }
 
   /** Host-speed calibration: a fixed pure-CPU job (2B xxhash64 reduced by bit_xor, no

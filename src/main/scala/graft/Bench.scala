@@ -4,15 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // the one unavoidable environment WARN (no native hadoop lib in the
-    // image) — silence it so the stderr tail stays a real signal channel.
-    // The warn fires in NativeCodeLoader's static block, and Spark
-    // REINITIALIZES log4j2 during session creation (wiping this level), so
-    // force the class to load NOW, while the suppression is in effect.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.hadoop.util.NativeCodeLoader", org.apache.logging.log4j.Level.ERROR)
-    try Class.forName("org.apache.hadoop.util.NativeCodeLoader")
-    catch { case _: Throwable => () }
+    GraftSession.quietStartupWarnings()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   * default, UTC session time zone for oracle parity.
   */
 object GraftSession {
+
+  /** Silence the one unavoidable environment WARN (no native hadoop lib in
+    * the image) so main stderr stays a real signal channel. Must run
+    * BEFORE session creation, and must FORCE the class to load while the
+    * level is suppressed: the warn fires in NativeCodeLoader's static
+    * block, and Spark reinitializes log4j2 during session creation, wiping
+    * the level before a lazy classload would get there.
+    */
+  def quietStartupWarnings(): Unit = {
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.util.NativeCodeLoader", org.apache.logging.log4j.Level.ERROR)
+    try Class.forName("org.apache.hadoop.util.NativeCodeLoader")
+    catch { case _: Throwable => () }
+  }
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
     SparkSession
       .builder()

@@ -44,32 +44,49 @@ object ScaleBench {
     "d8_scalable_dedup", "d12_edit_distance_verify", "d13_leakage_safe_split",
     "v6_ivf_ann", "v10_ivfpq_ann", "v11_ann_recall")
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+  private val Digits = "0123456789"
+
+  /** Replica transforms repeat once letter AND digit rotations both wrap:
+    * lcm(26, 10). Past it, replicas byte-duplicate earlier ones and the
+    * exact-dup collapse would erase the added work — the measurement bias
+    * this reseeding exists to avoid — so the scale list is bounded loudly.
+    */
+  val MaxReplicas = 130
 
   /** Write the k×-reseeded documents + embeddings tables under `dst`.
     * Returns (docRows, vecRows) at this scale.
     */
   def synthesize(spark: SparkSession, src: String, dst: String, k: Int): (Long, Long) = {
+    require(k >= 1 && k <= MaxReplicas,
+      s"scale $k exceeds the $MaxReplicas distinct replica transforms (rotations would wrap)")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
+    // id stride = max(id)+1, NOT the row count: sparse id spaces would
+    // otherwise overlap replica ranges and pair unrelated rows
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val scaledDocs = (0 until k).map { r =>
-      val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
-      val text = if (r % 26 == 0) col("text") else translate(col("text"), Alpha, rot)
+      // independent letter/digit rotations: every token class decorrelates
+      // across replicas, and the combined period is lcm(26,10) = 130
+      val rot = Letters.drop(r % 26) + Letters.take(r % 26) +
+        Digits.drop(r % 10) + Digits.take(r % 10)
+      val text = if (r == 0) col("text") else translate(col("text"), Letters + Digits, rot)
       docs.select(
-        (col("doc_id") + lit(r * nDocs)).as("doc_id"), text.as("text"),
+        (col("doc_id") + lit(r * docStride)).as("doc_id"), text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
     scaledDocs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVec = emb.count()
+    val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val scaledEmb = (0 until k).map { r =>
       val sh = r % dim
       val e =
         if (sh == 0) col("embedding")
         else concat(slice(col("embedding"), sh + 1, dim - sh), slice(col("embedding"), 1, sh))
-      emb.select((col("vec_id") + lit(r * nVec)).as("vec_id"), e.as("embedding"), col("label"))
+      emb.select((col("vec_id") + lit(r * vecStride)).as("vec_id"), e.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     scaledEmb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     (nDocs * k, nVec * k)
@@ -89,10 +106,7 @@ object ScaleBench {
     val scales = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
     require(scales == scales.sorted, "run scales ascending (warmup discipline)")
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.hadoop.util.NativeCodeLoader", org.apache.logging.log4j.Level.ERROR)
-    try Class.forName("org.apache.hadoop.util.NativeCodeLoader")
-    catch { case _: Throwable => () }
+    GraftSession.quietStartupWarnings()
     val spark = GraftSession.builder()
       .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
@@ -119,7 +133,9 @@ object ScaleBench {
         s""","doc_rows":[${scales.map(rows(_)._1).mkString(",")}]""" +
         s""","vec_rows":[${scales.map(rows(_)._2).mkString(",")}]""" +
         s""","queries":$qs}"""
-    Artifacts.appendLine(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_scale_last.json"), line)
+    Artifacts.upsertLine(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_scale_last.json"),
+      s""""preset":"$preset"""", line)
     spark.stop()
     println(line)
     Console.out.flush()

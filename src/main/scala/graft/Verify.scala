@@ -7,13 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // same log hygiene as Bench: the stderr tail should carry real signal
-    // (classload NOW — Spark's logging re-init would wipe the level before
-    // the static-block warn fires)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.hadoop.util.NativeCodeLoader", org.apache.logging.log4j.Level.ERROR)
-    try Class.forName("org.apache.hadoop.util.NativeCodeLoader")
-    catch { case _: Throwable => () }
+    GraftSession.quietStartupWarnings()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

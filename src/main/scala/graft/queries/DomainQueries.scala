@@ -133,8 +133,17 @@ object DomainQueries extends QueryModule {
         sum(when(isHit, 1L).otherwise(0L)).as("hit"),
         count(lit(1)).as("n"))
     val segs = if (segments > 0) segments else PipelineFns.autoSegments(scored.sparkSession)
+    // non-integral frame ids can't be range-bucketed monotonically (a
+    // failed cast would null the segment key and silently drop rows at
+    // the offset join) — those take the single-task path, which orders by
+    // the column's own type and is correct for any orderable frame id
+    val integralFrameId = scored.schema("frame_id").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
     val cumulated =
-      if (segs <= 1) singleTaskCumPr(perFrame)
+      if (segs <= 1 || !integralFrameId) singleTaskCumPr(perFrame)
       else segmentedCumPr(scored, perFrame, segs)
     cumulated
       .withColumn("term", round(col("delta") * col("monoprec") * 1e9, 0).cast("long"))
@@ -494,6 +503,43 @@ object DomainQueries extends QueryModule {
           |      $shiftSelectSql
           |    FROM b)""".stripMargin, 21, greater = false)),
       "Objectron ADD (average keypoint distance) AP sweep — the error-style hit direction (metric <= threshold), same cumulative-PR/VOC machinery as g22."
+    ),
+    QueryDef(
+      "g25_viewpoint_sweep",
+      (s, d) => {
+        // The Objectron viewpoint-error leg of the eval loop (eval.py
+        // azimuth error): angle between the GT and predicted view
+        // directions in the azimuth (xy) plane, camera at origin,
+        // prediction = center translated by the deterministic per-box
+        // shift. Measured as the angle's COSINE, not degrees: cosine has a
+        // closed form in +,×,÷,sqrt — all correctly-rounded IEEE ops that
+        // both engines compute bit-identically — where acos/atan2 are
+        // library-rounded transcendentals with no cross-engine guarantee
+        // (the t14 no-transcendentals rule). Hit at cos >= t, swept over
+        // the same 21 bins / cumulative-PR / VOC machinery as g22.
+        // Degenerate guard: a center on the z-axis has no azimuth; the
+        // pair scores cos = 1 (no azimuth error), identically both sides.
+        // `+ 0.0` before round: the numerator can be an IEEE -0.0.
+        val (dx, dy, _) = shiftCols
+        val x2 = col("x") + dx
+        val y2 = col("y") + dy
+        val rho1 = col("x") * col("x") + col("y") * col("y")
+        val rho2 = x2 * x2 + y2 * y2
+        val cosAz = when(rho1 * rho2 > 0,
+          (col("x") * x2 + col("y") * y2) / sqrt(rho1 * rho2)).otherwise(lit(1.0))
+        val scored = syntheticBoxes(s, d).select(
+          col("frame_id"), round(cosAz + lit(0.0), 4).as("iou"))
+        apSweep(scored, 21)
+      },
+      Some(apSweepSql(
+        s"""SELECT frame_id,
+          |    round(CASE WHEN (x*x + y*y) * ((x+dx)*(x+dx) + (y+dy)*(y+dy)) > 0
+          |      THEN (x*(x+dx) + y*(y+dy)) / sqrt((x*x + y*y) * ((x+dx)*(x+dx) + (y+dy)*(y+dy)))
+          |      ELSE 1.0 END + 0.0, 4) AS m
+          |  FROM (SELECT frame_id, x, y,
+          |      $shiftSelectSql
+          |    FROM b)""".stripMargin, 21, greater = true)),
+      "Objectron viewpoint (azimuth) AP sweep: GT-vs-predicted view-direction angle as its transcendental-free cosine, hit at cos >= t, over the shared cumulative-PR/VOC machinery."
     ),
     QueryDef(
       "g24_add_sym",

@@ -68,10 +68,26 @@ object PipelineFns {
     * double division and loses exactness past 2^53): width = range div
     * segments + 1, so seg ∈ [0, segments) and rows ordered by `orderCol`
     * are ordered by (seg, orderCol). Inputs must be LongType.
+    *
+    * Degenerate domains stay CORRECT, just unparallel: when the range
+    * max − min overflows a signed long (full-range keys, e.g. raw xxhash64
+    * ids — detectable as a negative diff, since max ≥ min always) or the
+    * bounds are null (empty/uncastable input), every row lands in segment
+    * 0 — the single-window case — rather than getting a null/non-monotone
+    * segment that would silently drop or misorder rows at the offset join.
     */
   def segmentOf(orderCol: Column, minCol: Column, maxCol: Column, segments: Int): Column = {
-    val width = call_function("div", maxCol - minCol, lit(segments.toLong)) + lit(1L)
-    call_function("div", orderCol - minCol, width)
+    // try_subtract, not `-`: under ANSI (the Spark 4 default) a full-range
+    // domain would THROW on the subtraction; try_subtract nulls instead,
+    // and the null routes every row to segment 0. The otherwise-branch
+    // subtraction is safe: it only evaluates when diff did not overflow,
+    // and |orderCol − min| <= |max − min| within the branch.
+    val diff = call_function("try_subtract", maxCol, minCol)
+    val width = call_function("div", diff, lit(segments.toLong)) + lit(1L)
+    coalesce(
+      when(diff.isNull || diff < 0, lit(0L))
+        .otherwise(call_function("div", orderCol - minCol, width)),
+      lit(0L))
   }
 
   /** Exact two-level (segmented) running sum: adds `cumName` = inclusive
@@ -86,16 +102,23 @@ object PipelineFns {
     * rows, metadata-scale — pay a serialized prefix pass before a broadcast
     * join puts the global offsets back on every row.
     *
-    * Caller contract: `orderCol` is LongType and unique within its
+    * Caller contract: `orderCol` is an integral column, unique within its
     * partition (total order), and column names must not collide with the
     * `__seg`/`__lsum`/`__osum`/`__omin`/`__omax` working names.
-    * `segments <= 1` degrades to the single-level window — the small-N
-    * path with zero extra plan nodes.
+    * `segments <= 1` — or a NON-integral `orderCol`, whose values cannot
+    * be range-bucketed monotonically — degrades to the single-level
+    * window, which orders by the column's own type: correct for any
+    * orderable type, without the ceiling lift.
     */
   def segmentedCumSum(df: DataFrame, partCols: Seq[String], orderCol: String,
       valueCol: Column, cumName: String, segments: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val pcols = partCols.map(col)
-    if (segments <= 1) {
+    val integral = df.schema(orderCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (segments <= 1 || !integral) {
       val w = Window.partitionBy(pcols: _*).orderBy(col(orderCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return df.withColumn(cumName, sum(valueCol).over(w))

@@ -32,9 +32,10 @@ class DeterminismSpec extends SparkSpec {
     // partitioning), PII scrub counts, and keyframe selection ties
     "g23_ap_add_sweep", "g24_add_sym", "d13_leakage_safe_split",
     "t17_pii_scrub", "mm6_keyframes",
-    // round 7: containment dedup (directed band candidates + ratio round)
-    // and 8-gram novelty (digest-keyed document-frequency window)
-    "d14_containment_dedup", "t18_ngram_novelty")
+    // round 7: containment dedup (directed band candidates + ratio round),
+    // 8-gram novelty (digest-keyed document-frequency window), and the
+    // azimuth-cosine viewpoint sweep
+    "d14_containment_dedup", "t18_ngram_novelty", "g25_viewpoint_sweep")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
