@@ -42,6 +42,7 @@ object ScaleBench {
 
   private val Families = Seq(
     "d8_scalable_dedup", "d12_edit_distance_verify", "d13_leakage_safe_split",
+    "d14_containment_dedup", "t18_ngram_novelty",
     "v6_ivf_ann", "v10_ivfpq_ann", "v11_ann_recall")
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"

@@ -542,6 +542,40 @@ object DomainQueries extends QueryModule {
       "Objectron viewpoint (azimuth) AP sweep: GT-vs-predicted view-direction angle as its transcendental-free cosine, hit at cos >= t, over the shared cumulative-PR/VOC machinery."
     ),
     QueryDef(
+      "g26_polar_sweep",
+      (s, d) => {
+        // g25's sibling: the POLAR (elevation) viewpoint error. With
+        // θ measured from the +z axis, cos θ = z/r and sin θ = ρ/r with
+        // ρ = sqrt(x²+y²) >= 0, so the error angle's cosine has the closed
+        // form cos(θ1−θ2) = (z1·z2 + ρ1·ρ2)/(r1·r2) — again only
+        // +,×,÷,sqrt (no transcendentals; see g25). Degenerate guard: a
+        // zero-length center vector has no polar angle; the pair scores 1.
+        val (dx, dy, dz) = shiftCols
+        val x2 = col("x") + dx
+        val y2 = col("y") + dy
+        val z2 = col("z") + dz
+        val rho1 = sqrt(col("x") * col("x") + col("y") * col("y"))
+        val rho2 = sqrt(x2 * x2 + y2 * y2)
+        val r1 = sqrt(col("x") * col("x") + col("y") * col("y") + col("z") * col("z"))
+        val r2 = sqrt(x2 * x2 + y2 * y2 + z2 * z2)
+        val cosPolar = when(r1 * r2 > 0,
+          (col("z") * z2 + rho1 * rho2) / (r1 * r2)).otherwise(lit(1.0))
+        val scored = syntheticBoxes(s, d).select(
+          col("frame_id"), round(cosPolar + lit(0.0), 4).as("iou"))
+        apSweep(scored, 21)
+      },
+      Some(apSweepSql(
+        s"""SELECT frame_id,
+          |    round(CASE WHEN sqrt(x*x + y*y + z*z) * sqrt((x+dx)*(x+dx) + (y+dy)*(y+dy) + (z+dz)*(z+dz)) > 0
+          |      THEN (z*(z+dz) + sqrt(x*x + y*y) * sqrt((x+dx)*(x+dx) + (y+dy)*(y+dy)))
+          |        / (sqrt(x*x + y*y + z*z) * sqrt((x+dx)*(x+dx) + (y+dy)*(y+dy) + (z+dz)*(z+dz)))
+          |      ELSE 1.0 END + 0.0, 4) AS m
+          |  FROM (SELECT frame_id, x, y, z,
+          |      $shiftSelectSql
+          |    FROM b)""".stripMargin, 21, greater = true)),
+      "Objectron viewpoint (polar/elevation) AP sweep: error-angle cosine via (z1·z2 + ρ1·ρ2)/(r1·r2) — transcendental-free — over the shared cumulative-PR/VOC machinery."
+    ),
+    QueryDef(
       "g24_add_sym",
       (s, d) => {
         // The PoseCNN symmetric average-distance metric (ADD-S,

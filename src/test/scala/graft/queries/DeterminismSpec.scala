@@ -35,7 +35,8 @@ class DeterminismSpec extends SparkSpec {
     // round 7: containment dedup (directed band candidates + ratio round),
     // 8-gram novelty (digest-keyed document-frequency window), and the
     // azimuth-cosine viewpoint sweep
-    "d14_containment_dedup", "t18_ngram_novelty", "g25_viewpoint_sweep")
+    "d14_containment_dedup", "t18_ngram_novelty", "g25_viewpoint_sweep",
+    "g26_polar_sweep")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
