@@ -24,6 +24,8 @@ import org.apache.spark.sql.expressions.Window
 object DedupQueries extends QueryModule {
   import PipelineFns._
 
+  private def qualitySqlFromToks: String = TextQueries.qualityScoreSql
+
   // LSH geometry from the active GraftConfig (demo: 8 minhashes → 4 bands
   // × 2 rows; the 100 TB preset widens to 32 × 4 — see GraftConfig and
   // README "Capacity math"). Query code AND oracle SQL derive from the
@@ -781,6 +783,45 @@ object DedupQueries extends QueryModule {
       Some(s"""WITH RECURSIVE $dedupGroupsSql
              |SELECT doc_id, group_id FROM groups""".stripMargin),
       "Scalable dedup: exact-dup collapse -> LSH near-dup CC on representatives -> group expansion (every doc labeled)."
+    ),
+    QueryDef(
+      "d15_best_in_group",
+      (s, d) => {
+        // Quality-aware representative election — what production dedup
+        // actually keeps: within each near-dup group (the d8 pipeline,
+        // memoized, so d8/d13/d15 share one build), retain the HIGHEST
+        // t3-quality member, not the arbitrary min-id. The t3 composite is
+        // one shared expression ([[TextQueries.qualityScore]]) so the two
+        // queries can never score differently. Deterministic tiebreak:
+        // equal quality keeps the lower doc_id, via one max(struct) —
+        // (quality, -doc_id) lexicographic max == ORDER BY quality DESC,
+        // doc_id ASC — a partial-aggregating shape (no per-group sort).
+        // Metadata-scale on top of d8: one scan for scores, one join, one
+        // group agg, one join-back keyed on group_id.
+        val groups = dedupGroups(s, d)
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), TextQueries.qualityScore.as("quality"))
+        val jg = groups.join(scored, "doc_id")
+        val best = jg
+          .groupBy(col("group_id"))
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+          .select(col("group_id"), (-col("b.nid")).as("keep_id"))
+        jg.join(best, "group_id")
+          .select(col("doc_id"), col("group_id"), col("quality"), col("keep_id"),
+            (col("doc_id") === col("keep_id")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE $dedupGroupsSql,
+             |q AS (SELECT doc_id, $qualitySqlFromToks AS quality
+             |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+             |jg AS (SELECT g.doc_id, g.group_id, q.quality FROM groups g JOIN q USING (doc_id)),
+             |ranked AS (SELECT doc_id, group_id,
+             |    row_number() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id ASC) AS rk
+             |  FROM jg),
+             |best AS (SELECT group_id, doc_id AS keep_id FROM ranked WHERE rk = 1)
+             |SELECT jg.doc_id, jg.group_id, jg.quality, best.keep_id,
+             |  jg.doc_id = best.keep_id AS keep
+             |FROM jg JOIN best USING (group_id)""".stripMargin),
+      "Quality-aware dedup representative election: within each d8 near-dup group keep the highest t3-quality member (min doc_id tiebreak) — the production keep rule, as one partial-aggregating max(struct)."
     ),
     QueryDef(
       "d13_leakage_safe_split",

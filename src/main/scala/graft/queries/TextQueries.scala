@@ -168,6 +168,29 @@ object TextQueries extends QueryModule {
   private def stopScoreSql(ws: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN ${sqlList(ws)}))"
 
+  /** The t3 quality composite over a `text` column, as one expression —
+    * shared with d15's best-in-group dedup so the two queries can never
+    * score differently. Identical op order to the t3 formula (the rounded
+    * double must match the oracle bit-for-bit).
+    */
+  private[queries] def qualityScore: Column = {
+    val toks = tokens(col("text"))
+    val allStop = stopEn ++ stopEs ++ stopDe ++ stopFr
+    round(
+      least(size(toks), lit(100)).cast("double") / 100 * 0.5
+        + stopScore(toks, allStop).cast("double") / size(toks) * 0.2
+        + size(array_distinct(toks)).cast("double") / size(toks) * 0.3,
+      6)
+  }
+
+  /** DuckDB mirror of [[qualityScore]]; expects a relation exposing
+    * `doc_id` and `toks` (the tokenized text).
+    */
+  private[queries] def qualityScoreSql: String =
+    s"""round(CAST(least(len(toks), 100) AS DOUBLE) / 100 * 0.5
+       |    + CAST(${stopScoreSql(stopEn ++ stopEs ++ stopDe ++ stopFr)} AS DOUBLE) / len(toks) * 0.2
+       |    + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3, 6)""".stripMargin
+
   /** Unigram-LM quality scoring — the CCNet/perplexity-filter shape — in
     * exact integer arithmetic: per-token surprisal is measured in WHOLE
     * BITS, floor(log2(N/cnt)), computed as the binary-string length of the

@@ -81,10 +81,13 @@ class CacheLifecycleSpec extends SparkSpec {
       assert(df.storageLevel == StorageLevel.NONE, s"$k leaked across cycles")
   }
 
-  test("dedup family logs zero CacheManager/BlockManager warnings (incl. re-runs)") {
+  /** Run `body` while capturing WARN+ events from the CacheManager and
+    * BlockManager loggers; returns the captured lines.
+    */
+  private def capturingCacheWarnings(body: => Unit): Seq[String] = {
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val appender = new AbstractAppender(
-        "graft-cache-hygiene", null, null, false, Property.EMPTY_ARRAY) {
+        s"graft-cache-hygiene-${System.nanoTime()}", null, null, false, Property.EMPTY_ARRAY) {
       override def append(e: LogEvent): Unit = {
         val logger = e.getLoggerName
         if (e.getLevel.isMoreSpecificThan(Level.WARN) &&
@@ -96,17 +99,49 @@ class CacheLifecycleSpec extends SparkSpec {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val root = ctx.getConfiguration.getRootLogger
     root.addAppender(appender, Level.WARN, null)
-    try {
+    try body
+    finally {
+      root.removeAppender(appender.getName)
+      appender.stop()
+    }
+    events.toArray(Array.empty[String]).toSeq
+  }
+
+  test("dedup family logs zero CacheManager/BlockManager warnings (incl. re-runs)") {
+    val warns = capturingCacheWarnings {
       DedupQueries.release(spark, sf)
       // twice: the second pass exercises the shared-handle reuse path —
       // exactly where the pre-registry code re-cached identical plans
-      for (_ <- 1 to 2; name <- dedupFamily) run(name)
-    } finally {
-      root.removeAppender(appender.getName)
-      appender.stop()
-      DedupQueries.release(spark, sf)
+      try for (_ <- 1 to 2; name <- dedupFamily) run(name)
+      finally DedupQueries.release(spark, sf)
     }
-    val warns = events.toArray.mkString("\n")
-    assert(events.isEmpty, s"cache-hygiene warnings:\n$warns")
+    assert(warns.isEmpty, s"cache-hygiene warnings:\n${warns.mkString("\n")}")
+  }
+
+  test("concurrent first-touch of one shared lineage builds it once, warning-free") {
+    // d3 and d6 both register the "shingleSets" key; raced from two threads
+    // on a fresh registry, a non-atomic build would cache() two
+    // plan-identical frames — the loser logs the CacheManager warning this
+    // test hunts (TrieMap.getOrElseUpdate alone runs its thunk in BOTH
+    // threads; the registry serializes builds per key)
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    for (attempt <- 1 to 3) {
+      val warns = capturingCacheWarnings {
+        DedupQueries.release(spark, sf)
+        val pool = Executors.newFixedThreadPool(2)
+        try {
+          val futs = Seq("d3_lsh_near_dup_pairs", "d6_jaccard_verified_groups").map { n =>
+            pool.submit(new Callable[Long] {
+              override def call(): Long = SparkEntry.queries(n)(spark, sf).count()
+            })
+          }
+          futs.foreach(f => assert(f.get(120, TimeUnit.SECONDS) > 0))
+        } finally {
+          pool.shutdown()
+          DedupQueries.release(spark, sf)
+        }
+      }
+      assert(warns.isEmpty, s"attempt $attempt raced into warnings:\n${warns.mkString("\n")}")
+    }
   }
 }

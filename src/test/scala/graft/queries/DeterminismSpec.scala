@@ -36,7 +36,10 @@ class DeterminismSpec extends SparkSpec {
     // 8-gram novelty (digest-keyed document-frequency window), and the
     // azimuth-cosine viewpoint sweep
     "d14_containment_dedup", "t18_ngram_novelty", "g25_viewpoint_sweep",
-    "g26_polar_sweep")
+    "g26_polar_sweep",
+    // quality-aware representative election: the max(struct) tiebreak must
+    // not depend on partitioning
+    "d15_best_in_group")
 
   private def resultSet(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
