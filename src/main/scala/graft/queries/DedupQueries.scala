@@ -24,8 +24,6 @@ import org.apache.spark.sql.expressions.Window
 object DedupQueries extends QueryModule {
   import PipelineFns._
 
-  private def qualitySqlFromToks: String = TextQueries.qualityScoreSql
-
   // LSH geometry from the active GraftConfig (demo: 8 minhashes → 4 bands
   // × 2 rows; the 100 TB preset widens to 32 × 4 — see GraftConfig and
   // README "Capacity math"). Query code AND oracle SQL derive from the
@@ -811,7 +809,7 @@ object DedupQueries extends QueryModule {
             (col("doc_id") === col("keep_id")).as("keep"))
       },
       Some(s"""WITH RECURSIVE $dedupGroupsSql,
-             |q AS (SELECT doc_id, $qualitySqlFromToks AS quality
+             |q AS (SELECT doc_id, ${TextQueries.qualityScoreSql} AS quality
              |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
              |jg AS (SELECT g.doc_id, g.group_id, q.quality FROM groups g JOIN q USING (doc_id)),
              |ranked AS (SELECT doc_id, group_id,

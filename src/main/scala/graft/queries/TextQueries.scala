@@ -168,28 +168,35 @@ object TextQueries extends QueryModule {
   private def stopScoreSql(ws: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN ${sqlList(ws)}))"
 
-  /** The t3 quality composite over a `text` column, as one expression —
-    * shared with d15's best-in-group dedup so the two queries can never
-    * score differently. Identical op order to the t3 formula (the rounded
-    * double must match the oracle bit-for-bit).
+  /** The t3 quality composite over a `text` column, as ONE expression
+    * consumed by BOTH t3_quality_score and d15's best-in-group election —
+    * a single definition is what makes "the two queries can never score
+    * differently" actually true. Tokenless documents (no [a-z0-9] at all)
+    * score 0.0 under an explicit guard: the unguarded ratio would divide
+    * by zero, and IEEE NaN ordering is exactly the class of cross-engine
+    * divergence (Spark struct-max vs DuckDB ORDER BY) this codebase hunts.
     */
   private[queries] def qualityScore: Column = {
     val toks = tokens(col("text"))
     val allStop = stopEn ++ stopEs ++ stopDe ++ stopFr
-    round(
-      least(size(toks), lit(100)).cast("double") / 100 * 0.5
-        + stopScore(toks, allStop).cast("double") / size(toks) * 0.2
-        + size(array_distinct(toks)).cast("double") / size(toks) * 0.3,
-      6)
+    when(size(toks) > 0,
+      round(
+        least(size(toks), lit(100)).cast("double") / 100 * 0.5
+          + stopScore(toks, allStop).cast("double") / size(toks) * 0.2
+          + size(array_distinct(toks)).cast("double") / size(toks) * 0.3,
+        6)
+    ).otherwise(lit(0.0))
   }
 
   /** DuckDB mirror of [[qualityScore]]; expects a relation exposing
     * `doc_id` and `toks` (the tokenized text).
     */
   private[queries] def qualityScoreSql: String =
-    s"""round(CAST(least(len(toks), 100) AS DOUBLE) / 100 * 0.5
-       |    + CAST(${stopScoreSql(stopEn ++ stopEs ++ stopDe ++ stopFr)} AS DOUBLE) / len(toks) * 0.2
-       |    + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3, 6)""".stripMargin
+    s"""CASE WHEN len(toks) > 0
+       |    THEN round(CAST(least(len(toks), 100) AS DOUBLE) / 100 * 0.5
+       |      + CAST(${stopScoreSql(stopEn ++ stopEs ++ stopDe ++ stopFr)} AS DOUBLE) / len(toks) * 0.2
+       |      + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3, 6)
+       |    ELSE 0.0 END""".stripMargin
 
   /** Unigram-LM quality scoring — the CCNet/perplexity-filter shape — in
     * exact integer arithmetic: per-token surprisal is measured in WHOLE
@@ -314,37 +321,37 @@ object TextQueries extends QueryModule {
       (s, d) => {
         val toks = tokens(col("text"))
         val allStop = stopEn ++ stopEs ++ stopDe ++ stopFr
+        // the quality column comes from the SHARED composite (also d15's
+        // election score — one definition, no drift); the ratio columns
+        // carry the same tokenless guard so no output ever divides by zero
         Tables.documents(s, d)
           .select(
             col("doc_id"),
             col("n_chars"),
             size(toks).as("n_tokens"),
             stopScore(toks, allStop).as("n_stop"),
-            size(array_distinct(toks)).as("n_unique")
+            size(array_distinct(toks)).as("n_unique"),
+            qualityScore.as("quality")
           )
-          .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
-          .withColumn("ttr", round(col("n_unique").cast("double") / col("n_tokens"), 6))
-          .withColumn(
-            "quality",
-            round(
-              least(col("n_tokens"), lit(100)).cast("double") / 100 * 0.5
-                + col("n_stop").cast("double") / col("n_tokens") * 0.2
-                + col("n_unique").cast("double") / col("n_tokens") * 0.3,
-              6
-            )
-          )
+          .withColumn("stop_ratio",
+            when(col("n_tokens") > 0,
+              round(col("n_stop").cast("double") / col("n_tokens"), 6)).otherwise(lit(0.0)))
+          .withColumn("ttr",
+            when(col("n_tokens") > 0,
+              round(col("n_unique").cast("double") / col("n_tokens"), 6)).otherwise(lit(0.0)))
+          .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_stop"),
+            col("n_unique"), col("stop_ratio"), col("ttr"), col("quality"))
       },
       Some(s"""SELECT doc_id, n_chars, n_tokens, n_stop, n_unique,
-             |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-             |  round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS ttr,
-             |  round(CAST(least(n_tokens, 100) AS DOUBLE) / 100 * 0.5
-             |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
-             |    + CAST(n_unique AS DOUBLE) / n_tokens * 0.3, 6) AS quality
+             |  CASE WHEN n_tokens > 0 THEN round(CAST(n_stop AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stop_ratio,
+             |  CASE WHEN n_tokens > 0 THEN round(CAST(n_unique AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS ttr,
+             |  quality
              |FROM (SELECT doc_id, n_chars, CAST(len(toks) AS INTEGER) AS n_tokens,
              |    CAST(${stopScoreSql(stopEn ++ stopEs ++ stopDe ++ stopFr)} AS INTEGER) AS n_stop,
-             |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique
+             |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+             |    $qualityScoreSql AS quality
              |  FROM (SELECT doc_id, n_chars, $tokensSql AS toks FROM documents))""".stripMargin),
-      "Document quality scoring: length / stopword-ratio / type-token-ratio composite (pipeline text-analysis op)."
+      "Document quality scoring: length / stopword-ratio / type-token-ratio composite (pipeline text-analysis op; the quality column is the shared d15 election score)."
     ),
     QueryDef(
       "t4_fingerprint",

@@ -30,7 +30,8 @@ class CacheLifecycleSpec extends SparkSpec {
   private val dedupFamily = Seq(
     "d2_minhash_signatures", "d3_lsh_near_dup_pairs", "d5_simhash_near_dup_pairs",
     "d6_jaccard_verified_groups", "d7_dup_groups_cc", "d8_scalable_dedup",
-    "d12_edit_distance_verify", "d13_leakage_safe_split")
+    "d12_edit_distance_verify", "d13_leakage_safe_split",
+    "d14_containment_dedup", "d15_best_in_group")
 
   private def run(name: String): Unit = {
     val n = SparkEntry.queries(name)(spark, sf).count()

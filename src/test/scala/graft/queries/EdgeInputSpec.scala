@@ -30,6 +30,19 @@ class EdgeInputSpec extends SparkSpec {
     assert(!kept.contains(2L) && !kept.contains(3L) && !kept.contains(5L), kept)
   }
 
+  test("qualityScore scores tokenless docs 0.0 — never NaN/Inf/null (the d15 election key)") {
+    // without the guard, a no-[a-z0-9] doc divides by zero and IEEE NaN
+    // ordering diverges between Spark's struct-max and the oracle's
+    // ORDER BY DESC — the representative election would flip engines
+    val q = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      TextQueries.qualityScore.as("quality")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(q(1L).exists(v => v > 0 && !v.isNaN && !v.isInfinite))
+    for (id <- Seq(3L, 5L)) assert(q(id).contains(0.0), s"doc $id: ${q(id)}")
+    // null text propagates null (nullSafe regexp chain), never NaN
+    assert(q(2L).isEmpty || q(2L).contains(0.0))
+  }
+
   test("docBandRows / nearDup stages survive degenerate text") {
     val rows = DedupQueries.docBandRows(docs)
     assert(rows.collect().nonEmpty)
