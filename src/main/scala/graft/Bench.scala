@@ -65,8 +65,11 @@ object Bench {
       val rounded = if (v < 0) "-1" else fmt(v)
       "\"" + short(k) + "\":" + rounded
     }.mkString("{", ",", "}")
+    // headline total covers SURVIVING queries only; failed ones are counted
+    // explicitly so a partial run can never masquerade as a comparable total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
+    val nFailed = results.count(_._2 < 0)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"n":${results.size},"failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     // durable copy: the stderr tail the driver scrapes is ~2000 chars and
     // has decapitated this line two rounds running ("parsed": null)
     Artifacts.writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"), line)

@@ -58,15 +58,37 @@ object GraftSession {
   */
 object Tables {
 
-  /** Epoch-nanos for a UTC date literal — the testdata timestamps surface as
-    * nanos longs (see nanosAsLong above), so date predicates compare raw
-    * longs and stay pushdown-eligible at the parquet scan.
+  /** Epoch-nanos for a UTC date literal — kept for nanos-long-encoded
+    * fixtures, where date predicates compare raw longs and stay
+    * pushdown-eligible at the parquet scan.
     */
   def nanos(isoDate: String): Long =
     java.time.LocalDate.parse(isoDate).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
 
   /** Nanos-long column → TimestampType (micros). */
   def tsFromNanos(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+
+  /** Normalize a physically-variant timestamp column to the engine-internal
+    * representation: epoch-micros LONG. The driver has shipped the testdata
+    * with two encodings so far — TIMESTAMP(NANOS), which Spark surfaces as
+    * an epoch-nanos long under `nanosAsLong`, and TIMESTAMP_MICROS
+    * (isAdjustedToUTC=false), which surfaces as TIMESTAMP_NTZ. Branching on
+    * the observed dtype here means every downstream query keeps seeing
+    * epoch-micros longs regardless of which physical encoding the parquet
+    * carries. The NTZ→timestamp cast is identity because the session time
+    * zone is pinned to UTC (builder above).
+    */
+  def toEpochMicros(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType                          => df.withColumn(colName, expr(s"`$colName` div 1000"))
+      case TimestampType                     => df.withColumn(colName, unix_micros(col(colName)))
+      case TimestampNTZType                  => df.withColumn(colName, unix_micros(col(colName).cast("timestamp")))
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported physical type for $colName: $other (expected nanos LONG or TIMESTAMP[_NTZ])")
+    }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -78,13 +100,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events with `ts` as epoch-micros long. The raw parquet column is
-    * TIMESTAMP(NANOS) (surfacing as a nanos long under nanosAsLong); we
-    * truncate to micros — the precision every downstream engine (and the
-    * DuckDB oracle) actually sees — once, at the source.
+  /** events with `ts` as epoch-micros long — the engine-internal
+    * representation, normalized once at the source from whatever physical
+    * encoding the parquet carries (see toEpochMicros). Downstream queries
+    * and the DuckDB oracle (`epoch_us(ts)`) both see the same micros.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts", expr("ts div 1000"))
+    toEpochMicros(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

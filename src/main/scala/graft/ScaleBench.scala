@@ -43,7 +43,11 @@ object ScaleBench {
   private val Families = Seq(
     "d8_scalable_dedup", "d12_edit_distance_verify", "d13_leakage_safe_split",
     "d14_containment_dedup", "t18_ngram_novelty",
-    "v6_ivf_ann", "v10_ivfpq_ann", "v11_ann_recall")
+    "v6_ivf_ann", "v10_ivfpq_ann", "v11_ann_recall",
+    // events family (round 8): sessionize = the window-heavy shape, asof =
+    // the sort-merge-ish self-join shape — the two stateful/temporal plans
+    // that had never been on the curve
+    "e_sessionize", "j_asof")
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val Digits = "0123456789"
@@ -90,6 +94,25 @@ object ScaleBench {
       emb.select((col("vec_id") + lit(r * vecStride)).as("vec_id"), e.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     scaledEmb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // events: replica r offsets event_id and user_id by their strides; the
+    // physical ts column passes through UNTOUCHED (same encoding as the
+    // source, so Tables.events normalizes the synthetic corpus exactly as
+    // it does the driver's). Offsetting user_id grows the number of
+    // session/asof groups linearly while keeping per-group event counts
+    // and timestamp structure identical — the growth a real corpus shows
+    // when more users arrive, and the right shape for measuring
+    // window/sessionize/asof scaling (state per key constant, keys × k).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val scaledEv = (0 until k).map { r =>
+      ev.select(
+        (col("event_id") + lit(r * evStride)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    scaledEv.write.mode("overwrite").parquet(s"$dst/events.parquet")
     (nDocs * k, nVec * k)
   }
 

@@ -23,11 +23,21 @@ object Verify {
     // same plans GraftSession produces
     GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
+    // A failed query must surface as a RED row in the driver's compare, not
+    // as a silently-missing key (round 7 lost 28 queries to absence): write
+    // a sentinel single-row result whose schema can never match any oracle,
+    // and collect the messages into errors.json for humans.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        import spark.implicits._
+        Seq(s"QUERY BUILD FAILED: $msg").toDF("graft_query_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +55,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  // via Tables.events so ts is the engine-internal epoch-micros long
+  // regardless of the parquet's physical timestamp encoding
   private def events: DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
 
   private def tmp(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-layout-$name")
@@ -66,7 +68,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("writeZClustered bounds per-file spans of BOTH columns (1-D sort does not)") {
-    val ev01 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val ev01 = graft.Tables.events(spark, "/root/testdata/sf0.01")
     val zPath = tmp("z")
     val onedPath = tmp("oned")
     Layout.writeZClustered(ev01, zPath, "user_id", "value", numFiles = 16)

@@ -252,6 +252,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("PlanContracts: flagship shape rules hold at the demo preset") {
+    // the same contract object PlanAudit runs per-preset in its own JVM
+    // (GraftConfig.active is frozen at class load, so the 100tb-geometry
+    // run can't live in this suite); demo coverage belongs here
+    val violations = graft.PlanContracts.check(spark, sf)
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("no checked query emits a DECIMAL output column") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when

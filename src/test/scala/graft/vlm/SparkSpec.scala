@@ -23,7 +23,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       // reference semantics: Python dict building is last-wins on key collision
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-      // testdata events.ts is parquet TIMESTAMP(NANOS)
+      // tolerate nanos-encoded fixtures (Tables.toEpochMicros normalizes)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
