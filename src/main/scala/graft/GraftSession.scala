@@ -90,6 +90,24 @@ object Tables {
     }
   }
 
+  /** Normalize a physically-variant date/timestamp column to the
+    * representation date-predicate queries are written against:
+    * TIMESTAMP_NTZ. Same drift-tolerance as toEpochMicros, for the columns
+    * whose queries compare against `lit(...).cast("timestamp_ntz")`
+    * literals rather than doing micros arithmetic.
+    */
+  def toNtz(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType          => df.withColumn(colName, tsFromNanos(col(colName)).cast(TimestampNTZType))
+      case TimestampType     => df.withColumn(colName, col(colName).cast(TimestampNTZType))
+      case TimestampNTZType  => df
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported physical type for $colName: $other (expected nanos LONG or TIMESTAMP[_NTZ])")
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -98,8 +116,8 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = toNtz(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame  = toNtz(load(s, d, "lineitem"), "l_shipdate")
   /** events with `ts` as epoch-micros long — the engine-internal
     * representation, normalized once at the source from whatever physical
     * encoding the parquet carries (see toEpochMicros). Downstream queries

@@ -47,7 +47,7 @@ object ScaleBench {
     // events family (round 8): sessionize = the window-heavy shape, asof =
     // the sort-merge-ish self-join shape — the two stateful/temporal plans
     // that had never been on the curve
-    "e_sessionize", "j_asof")
+    "e_sessionize", "j_asof_recent_purchase")
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val Digits = "0123456789"

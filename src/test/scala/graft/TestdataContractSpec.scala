@@ -78,6 +78,23 @@ class TestdataContractSpec extends SparkSpec {
       "label" -> IntegerType))
   }
 
+  test("toNtz handles all three physical encodings and rejects others") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1577836800000000L // 2020-01-01T00:00:00 UTC
+    def ntzOf(df: org.apache.spark.sql.DataFrame): java.time.LocalDateTime = {
+      val out = Tables.toNtz(df, "d")
+      assert(out.schema("d").dataType === TimestampNTZType)
+      out.head().getAs[java.time.LocalDateTime]("d")
+    }
+    val expect = java.time.LocalDateTime.of(2020, 1, 1, 0, 0)
+    assert(ntzOf(Seq(us * 1000L).toDF("d")) === expect) // nanos long
+    assert(ntzOf(Seq(us).toDF("u").select(timestamp_micros(col("u")).as("d"))) === expect)
+    assert(ntzOf(Seq(us).toDF("u")
+      .select(timestamp_micros(col("u")).cast(TimestampNTZType).as("d"))) === expect)
+    intercept[IllegalStateException](Tables.toNtz(Seq("x").toDF("d"), "d"))
+  }
+
   test("toEpochMicros handles all three physical encodings and rejects others") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
