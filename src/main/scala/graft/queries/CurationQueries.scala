@@ -610,6 +610,45 @@ object CurationQueries extends QueryModule {
       "Benchmark decontamination: 5-gram overlap against a broadcast eval shingle set as a left-semi join (training side map-only) — the contamination gate every pretraining corpus runs."
     ),
     QueryDef(
+      "d16_contamination_fraction",
+      (s, d) => {
+        // Per-document contamination SCORE — the graded companion to d9's
+        // binary gate, the overlap-fraction metric pretraining reports
+        // publish (share of a doc's distinct 5-grams found in the eval
+        // set). d9 answers "is it contaminated?"; this answers "how much",
+        // which is what threshold-tuning and audit dashboards need. Same
+        // scale shape: the benchmark shingle set is eval-set-sized at any
+        // corpus scale, broadcast into the per-shingle left join; the
+        // training side streams map-only into one partial-aggregated
+        // groupBy(doc_id). array_distinct BEFORE explode: the fraction is
+        // over a doc's distinct shingles, and deduping per-row also sheds
+        // repeated-shingle rows before the shuffle.
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(shingles(col("toks"), 5)).as("s")).distinct()
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 5))).as("s"))
+          .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("s"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+          .withColumn("contamination",
+            round(col("n_hits").cast("double") / col("n_shingles"), 6))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+             |bench AS (SELECT DISTINCT unnest(${shinglesSql("toks", 5)}) AS s
+             |  FROM docs WHERE doc_id % 97 = 0),
+             |ds AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 5)})) AS s
+             |  FROM docs WHERE doc_id % 97 <> 0)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |  round(CAST(sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
+             |FROM ds GROUP BY doc_id""".stripMargin),
+      "Per-doc contamination fraction: distinct-5-gram overlap share against the broadcast eval shingle set — the graded decontamination metric (d9 is the binary gate)."
+    ),
+    QueryDef(
       "m6_stratified_sample",
       (s, d) => {
         // Deterministic stratified sampling — the data-mixing knob: each

@@ -667,6 +667,49 @@ object EmbeddingQueries extends QueryModule {
              |  GROUP BY ex.query_id) e
              |LEFT JOIN na ON na.query_id = e.query_id""".stripMargin),
       "ANN recall@5 evaluation: LSH-bucketed index vs exact brute force over the same broadcast query set — per-query hit counts and recall, the index-quality gate."
+    ),
+    QueryDef(
+      "v12_cluster_balanced_sample",
+      (s, d) => {
+        // Cluster-balanced corpus downsampling: assign every vector to its
+        // nearest coarse cell (broadcast codebook, map-side argmin — the v7
+        // assignment), then keep a fixed per-cell quota chosen by seeded
+        // hash rank. The semantic-diversity-preserving cut a curation
+        // pipeline runs before training: uniform sampling keeps the modal
+        // clusters modal, per-cluster quotas flatten them. Scale shape: one
+        // shuffle for the argmin agg (on vec_id), one for the per-cell rank
+        // window; the rk <= quota filter triggers WindowGroupLimit, so only
+        // ~quota rows per input partition reach the window exchange.
+        // Deterministic: the h60 seeded rank is engine- and
+        // partitioning-independent (same contract as m6/w7).
+        val quota = 40
+        val base = quantized(s, d)
+        val assigned = base.join(broadcast(cellSeed(s, d)))
+          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+        assigned
+          .withColumn("u", h60(concat(lit("cbs:"), col("vec_id"))))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col("u").asc, col("vec_id").asc)))
+          .filter(col("rk") <= quota)
+          .select(col("vec_id"), col("cell"), col("rk").cast("long").as("rk"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT b.vec_id, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
+             |    FROM base b CROSS JOIN cent c)
+             |  WHERE crk = 1)
+             |SELECT vec_id, cell, rk FROM (
+             |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+             |    ORDER BY ${h60Sql("concat('cbs:', vec_id)")} ASC, vec_id ASC) AS rk
+             |  FROM assigned)
+             |WHERE rk <= 40""".stripMargin),
+      "Cluster-balanced sampling: broadcast-codebook cell assignment, then a seeded-hash per-cell quota — diversity-preserving downsampling for training-corpus curation."
     )
   )
 }

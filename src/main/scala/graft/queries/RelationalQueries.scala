@@ -557,6 +557,39 @@ object RelationalQueries extends QueryModule {
       "Order-pinned first-per-group dedup (SURVEY W4; object_3d_size_qa.py:31-42)."
     ),
     QueryDef(
+      "w8_user_rate_cap",
+      (s, d) => {
+        // Per-user rate capping — the log-curation op that keeps at most
+        // `cap` events per (user, hour) before a corpus enters training
+        // (heavy-hitter users otherwise dominate the behavioral mix).
+        // Deterministic keep-set: rank by (ts, event_id) inside each
+        // (user, hour) window — a fine-grained key whose cardinality grows
+        // with the corpus, so the window shuffle scales out; no global or
+        // per-user-only window anywhere. The audit output tallies
+        // kept/dropped per event_type.
+        val cap = 3
+        Tables.events(s, d)
+          .withColumn("hr", expr("ts div 3600000000"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"), col("hr"))
+              .orderBy(col("ts").asc, col("event_id").asc)))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("long").as("kept"),
+            sum(when(col("rk") > cap, 1L).otherwise(0L)).cast("long").as("dropped"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_type, row_number() OVER (
+             |    PARTITION BY user_id, epoch_us(ts) // 3600000000
+             |    ORDER BY ts ASC, event_id ASC) AS rk
+             |  FROM events)
+             |SELECT event_type,
+             |  CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(sum(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+             |FROM ranked GROUP BY event_type""".stripMargin),
+      "Per-user hourly rate capping: deterministic keep-at-most-k per (user, hour) window, kept/dropped audit per event type — heavy-hitter flattening for log corpora."
+    ),
+    QueryDef(
       "w6_id_assignment",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey").asc)
