@@ -252,6 +252,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("v12_cluster_balanced_sample: broadcast codebook, quota pre-reduced below the rank exchange") {
+    val p = plan("v12_cluster_balanced_sample")
+    assert(p.contains("BroadcastExchange"), p)
+    // rk <= quota over row_number must rewrite to a per-partition partial
+    // top-k below the cell exchange — only ~quota rows per input partition
+    // shuffle, whatever the corpus size
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("d16_contamination_fraction broadcasts the benchmark shingles (training side map-only)") {
+    val p = plan("d16_contamination_fraction")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("PlanContracts: flagship shape rules hold at the demo preset") {
     // the same contract object PlanAudit runs per-preset in its own JVM
     // (GraftConfig.active is frozen at class load, so the 100tb-geometry
