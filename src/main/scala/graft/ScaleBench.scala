@@ -144,9 +144,16 @@ object ScaleBench {
     // codegen/JIT warmup at the smallest scale, unmeasured
     Families.foreach(coldRun(spark, s"$workDir/x${scales.head}", _))
 
+    // two cold samples per point, min recorded: each sample is a full
+    // released-cache pipeline run, so the min is still the honest cold
+    // cost — but a GC pause or JIT recompile landing in a single sample
+    // no longer prints as a fake scaling knee (round 8 observed a 3×
+    // one-sample outlier on d13-x1 that a re-measure dissolved)
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     for (name <- Families)
-      times(name) = scales.map(k => coldRun(spark, s"$workDir/x$k", name))
+      times(name) = scales.map { k =>
+        Seq.fill(2)(coldRun(spark, s"$workDir/x$k", name)).min
+      }
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = times.map { case (n, ts) => "\"" + n + "\":[" + ts.map(fmt).mkString(",") + "]" }
