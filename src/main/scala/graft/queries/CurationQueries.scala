@@ -649,6 +649,57 @@ object CurationQueries extends QueryModule {
       "Per-doc contamination fraction: distinct-5-gram overlap share against the broadcast eval shingle set — the graded decontamination metric (d9 is the binary gate)."
     ),
     QueryDef(
+      "m10_temperature_mix",
+      (s, d) => {
+        // Temperature-based source resampling (τ = 0.5) — the multilingual-
+        // corpus mixing rule: per-source keep probability ∝ n^τ / Σ n^τ
+        // scaled to a target budget, flattening head sources while keeping
+        // tail sources intact (rate caps at 1). Determinism discipline:
+        // √n is IEEE-correctly-rounded on both engines (pow is NOT — why
+        // τ is 0.5 and not 0.7), the weight denominator is an EXACT
+        // integer sum of quantized √n (float summation order could flip a
+        // doc at the keep boundary otherwise), and membership is the
+        // seeded-h60 uniform against identically-sequenced double ops.
+        // Scale shape: per-source agg, 1-row exact total broadcast, rates
+        // broadcast back into a map-only membership scan + one audit agg.
+        val budget = 200.0
+        val docs = Tables.documents(s, d)
+        val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("sq", round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+        val z = per.agg(sum(col("sq")).as("z"))
+        val rates = per.crossJoin(broadcast(z))
+          .withColumn("weight", col("sq").cast("double") / col("z").cast("double"))
+          .withColumn("rate",
+            least(lit(1.0), col("weight") * lit(budget) / col("n_docs").cast("double")))
+        val u = h60(concat(lit("m10:"), col("doc_id")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        val kept = docs.join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+          .filter(u < col("rate"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), round(col("weight"), 6).as("weight"),
+            round(col("rate"), 6).as("rate"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some(s"""WITH per AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+             |  FROM documents GROUP BY source),
+             |z AS (SELECT CAST(sum(sq) AS BIGINT) AS z FROM per),
+             |rates AS (SELECT source, n_docs,
+             |    CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) AS weight,
+             |    least(1.0, CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) * 200.0 / CAST(n_docs AS DOUBLE)) AS rate
+             |  FROM per CROSS JOIN z),
+             |kept AS (SELECT d.source, count(*) AS n_kept
+             |  FROM documents d JOIN rates r ON d.source = r.source
+             |  WHERE CAST(${h60Sql("concat('m10:', doc_id)")} AS DOUBLE) / 1152921504606846976.0 < r.rate
+             |  GROUP BY d.source)
+             |SELECT r.source, r.n_docs, round(r.weight, 6) AS weight, round(r.rate, 6) AS rate,
+             |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+             |FROM rates r LEFT JOIN kept k ON k.source = r.source""".stripMargin),
+      "Temperature (τ=0.5) source resampling: keep rate ∝ √n/Σ√n scaled to a budget, seeded-hash membership — the multilingual head-flattening mix rule, exact-integer weight arithmetic."
+    ),
+    QueryDef(
       "m6_stratified_sample",
       (s, d) => {
         // Deterministic stratified sampling — the data-mixing knob: each
