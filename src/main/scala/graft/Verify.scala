@@ -35,9 +35,17 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
-        import spark.implicits._
-        Seq(s"QUERY BUILD FAILED: $msg").toDF("graft_query_error")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // The sentinel write itself can throw on session-fatal failures
+        // (stopped context, OOM, full disk); it must not abort the rest of
+        // the catalog dump — errors.json still records the query.
+        try {
+          import spark.implicits._
+          Seq(s"QUERY BUILD FAILED: $msg").toDF("graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write also failed: " +
+            Option(e2.getMessage).getOrElse(e2.getClass.getName))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -56,7 +64,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    try Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] errors.json write failed: ${e.getMessage}")
+    }
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
