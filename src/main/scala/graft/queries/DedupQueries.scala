@@ -365,6 +365,15 @@ object DedupQueries extends QueryModule {
   private val sharedCacheMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), scala.collection.concurrent.TrieMap[String, DataFrame]]
 
+  /** When false, [[sharedCache]] registers lineages WITHOUT the eager
+    * materialization pass — for plan-only audits (PlanAudit builds all 126
+    * queries just to inspect their plans; paying a real dedup-pipeline job
+    * per corpus dir for that would dominate the audit). Leave true for any
+    * JVM that EXECUTES catalog queries: the eager pass is what prevents
+    * concurrent consumers racing to compute the same cached partitions.
+    */
+  @volatile private[graft] var eagerMaterialize: Boolean = true
+
   private def sharedCache(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
     sharedCacheMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     val m = sharedCacheMemo.getOrElseUpdate((s, d), scala.collection.concurrent.TrieMap.empty)
@@ -389,9 +398,9 @@ object DedupQueries extends QueryModule {
           // Tradeoff, deliberate: the first CONSTRUCTION of a registered
           // query per (session, dir) runs this job — plan-only inspection
           // pays one materialization. The catalog is an execution surface
-          // (Verify/Bench run everything they build); plan browsing goes
-          // through PlanDump at sf0.001 where the cost is milliseconds.
-          df.count()
+          // (Verify/Bench run everything they build); plan-only audits
+          // (PlanAudit) flip [[eagerMaterialize]] off instead.
+          if (eagerMaterialize) df.count()
           df
         })
       }

@@ -40,12 +40,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
-  test("no query plans a cartesian product") {
-    for (name <- SparkEntry.queries.keys) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
-    }
-  }
+  // ("no query plans a cartesian product" moved into the PlanContracts
+  // catalog sweep below — one build-once pass applies ALL universal rules)
 
   test("q1_agg does two-phase (partial then final) hash aggregation inside codegen") {
     val p = plan("q1_agg")
@@ -273,6 +269,21 @@ class PlanSpec extends SparkSpec {
     // run can't live in this suite); demo coverage belongs here
     val violations = graft.PlanContracts.check(spark, sf)
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("PlanContracts: universal catalog rules hold for all queries at the demo preset") {
+    // full-catalog sweep (r8 verdict ask): no CartesianProduct, no
+    // partition-less Window, no uncapped off-spine global Sort, no
+    // single-partition exchange — for every catalog entry, with deliberate
+    // exceptions forced through the justified allowlist
+    val cache = new graft.PlanContracts.PlanCache(spark, sf)
+    val (violations, allowed) = graft.PlanContracts.checkCatalog(spark, sf, cache)
+    assert(violations.isEmpty, violations.mkString("\n"))
+    // every allowlist entry must actually FIRE — a stale exception is a
+    // rule silently not being checked
+    val fired = allowed.map { case (v, _) => v.query }.toSet
+    val listed = graft.PlanContracts.Allow.keys.map(_._1).toSet
+    assert(listed == fired, s"stale allowlist entries: ${listed -- fired}")
   }
 
   test("no checked query emits a DECIMAL output column") {
