@@ -309,6 +309,72 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Rate-cap output: one decision per event (kept = admitted to the
+    * capped corpus). Emitting the decision rather than only survivors keeps
+    * the downstream audit (w8's kept/dropped tallies) a stateless
+    * aggregation over this stream.
+    */
+  final case class RateDecision(event_id: Long, user_id: Long, hr: Long,
+      event_type: String, kept: Boolean)
+
+  /** Streaming per-user hourly rate capping — the stateful lift of the
+    * batch `w8_user_rate_cap` query: at most `cap` events survive per
+    * (user, hour), decided in (ts, event_id) order.
+    *
+    * State per (user, hour) key is ONE long (the kept-count, saturating at
+    * `cap`), and EventTimeTimeout evicts a key as soon as the watermark
+    * passes its hour close — no admissible event can land in a closed hour,
+    * so total state is bounded by the number of user-hour keys inside the
+    * watermark horizon, independent of stream length. Key cardinality
+    * (user × hour) grows with the corpus, so the state store shards evenly —
+    * the same scaling argument as the batch window's (user, hr) partition.
+    *
+    * Within one trigger, events fold in (ts, event_id) order, so batch
+    * execution of the same decision function (empty state, whole group in
+    * one call) equals the w8 rank exactly; across triggers the stream is
+    * order-faithful when arrival follows event time within each key — the
+    * same arrival contract as [[packDocs]] and [[nearDupHits]], and what a
+    * watermark-disciplined source delivers.
+    */
+  def rateCapEvents(events: Dataset[Event], cap: Int = 3): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+
+    def decide(user: Long, hr: Long, kept0: Long, rows: Seq[Event]): (Long, Seq[RateDecision]) = {
+      var kept = kept0
+      val out = rows.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        val keep = kept < cap
+        if (keep) kept += 1
+        RateDecision(e.event_id, user, hr, e.event_type, keep)
+      }
+      (kept, out)
+    }
+
+    if (!events.isStreaming)
+      return events.groupByKey(e => (e.user_id, e.ts.getTime / hourMs))
+        .flatMapGroups { (key: (Long, Long), rows: Iterator[Event]) =>
+          decide(key._1, key._2, 0L, rows.toSeq)._2.iterator
+        }
+
+    def update(key: (Long, Long), rows: Iterator[Event],
+        state: GroupState[Long]): Iterator[RateDecision] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val (user, hr) = key
+      val (kept, out) = decide(user, hr, state.getOption.getOrElse(0L), rows.toSeq)
+      state.update(kept)
+      // evict once the watermark passes the hour close (timeout timestamps
+      // must sit strictly past the current watermark, hence the max for
+      // hours that are already closing when their last event arrives)
+      state.setTimeoutTimestamp(math.max((hr + 1) * hourMs, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupByKey(e => (e.user_id, e.ts.getTime / hourMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** File-source ingest of an event directory as a stream — the S1
     * JSON-directory scan lifted to `readStream` (SURVEY.md §2.10). One file
     * per micro-batch keeps replays deterministic.

@@ -407,4 +407,64 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("rateCapEvents: batch decisions equal the w8 window rank") {
+    val s = spark
+    import s.implicits._
+    import StreamingOps.RateDecision
+
+    // user 1: five events inside one hour (cap=3 → last two dropped);
+    // user 2: two events (all kept). ts(m) keeps everything in hour 16.
+    val evs = Seq(
+      Event(10, ts(0), 1, "view", 1.0), Event(11, ts(1), 1, "click", 1.0),
+      Event(12, ts(2), 1, "view", 1.0), Event(13, ts(3), 1, "view", 1.0),
+      Event(14, ts(4), 1, "error", 1.0),
+      Event(20, ts(2), 2, "view", 1.0), Event(21, ts(3), 2, "click", 1.0)
+    )
+    val got = StreamingOps.rateCapEvents(evs.toDS(), cap = 3)
+      .collect().sortBy(_.event_id)
+
+    // reference: the batch w8 formulation — rank by (ts, event_id) within
+    // (user, hour), kept ⇔ rank ≤ cap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("hr")).orderBy(col("ts").asc, col("event_id").asc)
+    val expected = evs.toDS().toDF()
+      .withColumn("hr", expr("floor(unix_millis(ts) / 3600000)"))
+      .withColumn("kept", row_number().over(w) <= 3)
+      .select(col("event_id"), col("user_id"), col("hr"), col("event_type"), col("kept"))
+      .as[RateDecision].collect().sortBy(_.event_id)
+    assert(got.toSeq == expected.toSeq)
+    assert(got.count(d => d.user_id == 1 && !d.kept) == 2)
+  }
+
+  test("rateCapEvents: cap enforced across micro-batches through the state store") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import StreamingOps.RateDecision
+
+    val evs = Seq(
+      Event(10, ts(0), 1, "view", 1.0), Event(11, ts(1), 1, "click", 1.0),
+      Event(12, ts(2), 1, "view", 1.0), Event(13, ts(3), 1, "view", 1.0),
+      Event(14, ts(4), 1, "error", 1.0),
+      Event(20, ts(2), 2, "view", 1.0), Event(21, ts(3), 2, "click", 1.0)
+    )
+    val batch = StreamingOps.rateCapEvents(evs.toDS(), cap = 3)
+      .collect().sortBy(_.event_id)
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.rateCapEvents(mem.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("ratecap").outputMode("append").start()
+    try {
+      // split MID-HOUR for user 1: events 12-14 must see the kept-count the
+      // state store carried over from the first trigger (2), not zero
+      mem.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = s.table("ratecap").as[RateDecision].collect().sortBy(_.event_id)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.count(_.kept) == 5)
+    } finally q.stop()
+  }
 }
