@@ -11,18 +11,19 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PipelineDemo [nFrames] [outDir]
   */
 object PipelineDemo {
-  def main(args: Array[String]): Unit = {
-    val nFrames = args.headOption.map(_.toInt).getOrElse(20000)
-    val outDir = args.lift(1).getOrElse("/tmp/graft_pipeline_demo")
-    val spark = GraftSession.getOrCreate()
-    import spark.implicits._
 
+  /** Deterministic synthetic frame corpus (seeded hash, no RNG state):
+    * `nFrames` frames over 4 splits / 50-frame scenes with 1–6 boxes each.
+    * Shared by the pipeline and write-path benches so both measure the
+    * same corpus shape.
+    */
+  def synthFrames(spark: SparkSession, nFrames: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     val cats = Vector("chair", "table", "lamp", "sofa", "monitor", "class_84", "object_7")
     def rng(i: Int, k: Int): Double =
       (graft.queries.PipelineFns.h60Jvm(s"demo:$i:$k") % 1000).toDouble / 1000.0
 
-    val t0 = System.nanoTime()
-    val frames = spark.range(nFrames).map { id =>
+    spark.range(nFrames).map { id =>
       val i = id.toInt
       val nBoxes = 1 + (i % 6)
       val boxes = (0 until nBoxes).map { b =>
@@ -45,6 +46,15 @@ object PipelineDemo {
         depth_stats = None, bounding_boxes_2d = boxes2d, bounding_boxes_3d = boxes, timestamp = None)
     }.toDF().withColumn("_source_file", org.apache.spark.sql.functions.concat(
       org.apache.spark.sql.functions.lit("mem://"), org.apache.spark.sql.functions.col("image_id")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFrames = args.headOption.map(_.toInt).getOrElse(20000)
+    val outDir = args.lift(1).getOrElse("/tmp/graft_pipeline_demo")
+    val spark = GraftSession.getOrCreate()
+
+    val t0 = System.nanoTime()
+    val frames = synthFrames(spark, nFrames)
 
     val counts = QaPipeline.run(spark, frames, "demo", outDir)
     val secs = (System.nanoTime() - t0) / 1e9

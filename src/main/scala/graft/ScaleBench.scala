@@ -35,8 +35,14 @@ import org.apache.spark.sql.functions._
   * are released and the session cache cleared, so each number is the full
   * pipeline cost at that scale, not a memo hit.
   *
-  *   runMain graft.ScaleBench [srcDir] [workDir] [scalesCsv]
+  *   runMain graft.ScaleBench [srcDir] [workDir] [scalesCsv] [familiesCsv]
   *   GRAFT_PRESET=100tb runMain graft.ScaleBench   # capacity geometry
+  *
+  * `familiesCsv` restricts the run to a subset of [[Families]] — for deep
+  * single-family curves (e.g. the dedup family at ×30) whose full-family
+  * runtime would be prohibitive. Subset runs should redirect
+  * `SPARK_GRAFT_SCALE_OUT` to their own artifact so the full-family line in
+  * bench_scale_last.json (upsert-keyed on preset alone) isn't clobbered.
   */
 object ScaleBench {
 
@@ -129,6 +135,14 @@ object ScaleBench {
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale")
     val scales = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
     require(scales == scales.sorted, "run scales ascending (warmup discipline)")
+    val families = args.lift(3) match {
+      case None => Families
+      case Some(csv) =>
+        val req = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = req.filterNot(Families.contains)
+        require(unknown.isEmpty, s"unknown families: ${unknown.mkString(",")} (known: ${Families.mkString(",")})")
+        req
+    }
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     GraftSession.quietStartupWarnings()
     val spark = GraftSession.builder()
@@ -142,7 +156,7 @@ object ScaleBench {
       rows(k) = synthesize(spark, src, s"$workDir/x$k", k)
 
     // codegen/JIT warmup at the smallest scale, unmeasured
-    Families.foreach(coldRun(spark, s"$workDir/x${scales.head}", _))
+    families.foreach(coldRun(spark, s"$workDir/x${scales.head}", _))
 
     // two cold samples per point, BOTH recorded ("queries" = min is the
     // headline, "queries_max" keeps outliers auditable): each sample is a
@@ -156,7 +170,7 @@ object ScaleBench {
     // min inherits it equally), so the CURVE SHAPE — the artifact's
     // purpose — is unaffected; absolute seconds read slightly low.
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
-    for (name <- Families)
+    for (name <- families)
       times(name) = scales.map { k =>
         val samples = Seq.fill(2)(coldRun(spark, s"$workDir/x$k", name))
         (samples.min, samples.max)
