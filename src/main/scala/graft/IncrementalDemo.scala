@@ -54,7 +54,13 @@ object IncrementalDemo {
     for (b <- 0 to nBatches) {
       val t0 = System.nanoTime()
       val in = batch(b)
-      val store = storePath.map(spark.read.parquet(_)).getOrElse(emptyStore)
+      // canonical column order + type on read-back: partition-column
+      // inference returns band_idx last and as INT regardless of how the
+      // store schema declares it
+      val store = storePath
+        .map(p => spark.read.parquet(p)
+          .select(col("band_idx").cast("int"), col("band"), col("rep")))
+        .getOrElse(emptyStore)
       val (kept, updated) = graft.queries.DedupQueries.incrementalNearDup(in, store)
       // checkpoint the store the production way: band-partitioned parquet,
       // so the next batch's claim join co-locates on the band key

@@ -165,7 +165,11 @@ object DedupQueries extends QueryModule {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id")).distinct()
     val kept = newDocs.join(dups, Seq("doc_id"), "left_anti")
-    val updated = store.union(
+    // unionByName, not positional union: a store checkpointed as
+    // band_idx-PARTITIONED parquet reads back with the partition column
+    // moved to the end, and a positional union would silently misalign
+    // (band under band_idx, rep under band → cast failure or corruption)
+    val updated = store.unionByName(
       claims.join(store, Seq("band_idx", "band"), "left_anti")
         .select(col("band_idx"), col("band"), col("new_rep").as("rep")))
     (kept, updated)

@@ -54,6 +54,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(reps == expected)
   }
 
+  test("store survives a band_idx-partitioned parquet checkpoint between batches") {
+    // the production checkpoint shape (IncrementalDemo): the store lives
+    // as band-partitioned parquet between batches. Partition-column
+    // read-back moves band_idx to the END of the schema — the fold must be
+    // immune to that reordering (regression: positional union misaligned
+    // band under band_idx and failed casting an md5 band string to long)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-store").toString
+    val (kept1, store1) = DedupQueries.incrementalNearDup(docsDF(docs.take(2)), emptyStore)
+    store1.write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+    val readBack = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.col("band_idx").cast("int"),
+        org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("rep"))
+    val (kept2, store2) = DedupQueries.incrementalNearDup(docsDF(docs.drop(2)), readBack)
+    val keptIds = (kept1.select("doc_id").collect() ++ kept2.select("doc_id").collect())
+      .map(_.getLong(0)).toSet
+    assert(keptIds == Set(0L, 1L, 3L))
+    // the post-checkpoint store still matches the in-memory fold's content
+    val inMem = DedupQueries.incrementalNearDup(docsDF(docs.drop(2)),
+      DedupQueries.incrementalNearDup(docsDF(docs.take(2)), emptyStore)._2)._2
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band_idx", "band", "rep").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(asSet(store2) == asSet(inMem))
+  }
+
   test("property: EVERY 2-way batch split folds to the one-shot result (randomized corpora)") {
     // randomized mini-corpora with a tiny vocabulary to force real band
     // collisions; every 2-way split of the arrival order must fold to the
