@@ -36,28 +36,21 @@ object EmbeddingQueries extends QueryModule {
   private val TrainIters = 2 // sampled-Lloyd rounds for the IVF codebook
   private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
 
-  /** The faiss ~39-points-per-centroid floor — the single constant BOTH the
-    * Spark seed and the oracle SQL derive from (a divergence here fails
-    * every v6/v7/v10 gate comparison). Without the cap, the capacity preset
-    * (numCells=1e5) run against a small corpus seeds EVERY vector as a
-    * centroid and cell assignment goes quadratic (v10 measured 1.6 s ->
-    * 78 s at sf0.1).
-    */
-  private val MinPointsPerCell = IvfCentroids.MinPointsPerCell
-
   /** Data-adaptive cell seed `(cid, cq)`: the first
-    * `least(NumCells, greatest(1, floor(n / MinPointsPerCell)))` vectors
-    * (IvfCentroids.cappedSeed — broadcast 1-row count, no driver action;
-    * `count(lit(1))` references no columns so parquet answers from footer
-    * row counts). The oracle SQL computes the identical cap from the
-    * identical table.
+    * `least(NumCells, greatest(1, floor(sqrt(n / 2))))` vectors
+    * (IvfCentroids.cappedSeed — √-scaling so assignment (n·C) and
+    * within-cell work (n²/2C) both stay O(n^1.5); rationale on the method.
+    * Broadcast 1-row count, no driver action; `count(lit(1))` references
+    * no columns so parquet answers from footer row counts). The oracle SQL
+    * computes the identical cap from the identical table — a divergence
+    * here fails every v6/v7/v10 gate comparison.
     */
   private def cellSeed(s: SparkSession, d: String): DataFrame =
-    IvfCentroids.cappedSeed(quantized(s, d), NumCells, MinPointsPerCell)
+    IvfCentroids.cappedSeed(quantized(s, d), NumCells)
 
   /** The same cap as a SQL scalar subquery over the base CTE. */
   private def cellCapSql(baseCte: String): String =
-    s"(SELECT least($NumCells, greatest(1, CAST(floor(count(*) / $MinPointsPerCell.0) AS BIGINT))) FROM $baseCte)"
+    s"(SELECT least($NumCells, greatest(1, CAST(floor(sqrt(count(*) / 2.0)) AS BIGINT))) FROM $baseCte)"
 
   /** DuckDB mirror of [[IvfCentroids.train]]: `TrainIters` unrolled
     * assign + floor-mean rounds over the deterministic sample, starting from

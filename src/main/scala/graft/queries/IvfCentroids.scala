@@ -79,27 +79,34 @@ object IvfCentroids {
     cent
   }
 
-  /** One centroid per this many corpus vectors is the minimum useful cell
-    * granularity (the faiss sizing guideline): cells beyond n/39 sit empty
-    * while still costing a full argmin term per vector.
+  /** First-`k` seed `(cid, cq)` capped at `least(k, max(1,
+    * floor(sqrt(n / 2))))` — √-scaling, the cost-balance point for the
+    * flat-codebook workloads this seam feeds. Cell count C trades the two
+    * halves of every IVF-family query against each other: broadcast-argmin
+    * assignment costs n·C distance terms, within-cell work (SemDeDup
+    * pairs, probe rerank) costs ~n²/(2C), and n·C + n²/(2C) is minimized
+    * at C = √(n/2), making BOTH halves O(n^1.5) instead of one of them
+    * quadratic. The previous constant-occupancy cap (n/39) pinned cell
+    * size instead — linear within-cell work, but C ∝ n made assignment
+    * O(n²/39), and the ×10 full-catalog bench measured exactly that knee
+    * (v7 ~50× for ×10 data; v6/v10/v12 inflated the same way). The faiss
+    * guideline (4√n..16√n cells) is the same √ law shifted toward serving
+    * throughput, where assignment is amortized per query, not paid over
+    * the whole corpus per run.
+    *
+    * Also the small-corpus guard: without the cap, a capacity-sized `k`
+    * against a small corpus seeds EVERY vector as a centroid and
+    * assignment goes quadratic. Declarative (broadcast 1-row count;
+    * `count(lit(1))` references no columns, so the parquet scan answers
+    * from footer row counts). The configured budget `k` binds only past
+    * n = 2k² (NumCells=1e5 → n = 2·10¹⁰), where the broadcast-size
+    * ceiling takes over.
     */
-  val MinPointsPerCell = 39
-
-  /** First-`k` seed `(cid, cq)` capped at `least(k, max(1, floor(n /
-    * minPointsPerCell)))` — without the cap, a capacity-sized `k` against a
-    * small corpus seeds every vector as a centroid and cell assignment goes
-    * quadratic. Declarative (broadcast 1-row count; `count(lit(1))`
-    * references no columns, so the parquet scan answers from footer row
-    * counts). At real scale n/39 dwarfs any configured budget and the cap
-    * never binds.
-    */
-  def cappedSeed(
-      quantized: DataFrame, k: Int,
-      minPointsPerCell: Int = MinPointsPerCell): DataFrame = {
+  def cappedSeed(quantized: DataFrame, k: Int): DataFrame = {
     val cap = quantized.groupBy().agg(
       least(lit(k.toLong),
         greatest(lit(1L),
-          floor(count(lit(1)) / minPointsPerCell.toDouble).cast("long"))).as("cell_cap"))
+          floor(sqrt(count(lit(1)) / 2.0)).cast("long"))).as("cell_cap"))
     quantized.crossJoin(broadcast(cap))
       .filter(col("vec_id") < col("cell_cap"))
       .select(col("vec_id").as("cid"), col("q").as("cq"))

@@ -31,19 +31,19 @@ class IvfCentroidsSpec extends SparkSpec {
     assert(a.exists { case (cid, cq) => seed(cid) != cq })
   }
 
-  test("cappedSeed: one centroid per 39 vectors bounds the budget, never the fit") {
+  test("cappedSeed: √-scaling cell count bounds the budget, never the fit") {
     val tiny = quantized.filter(col("vec_id") < 100) // 100 vectors
-    // oversized budget → floor(100/39) = 2 cells, not 100 quadratic ones
-    assert(IvfCentroids.cappedSeed(tiny, 1000).count() == 2)
+    // oversized budget → floor(sqrt(100/2)) = 7 cells, not 100 quadratic ones
+    assert(IvfCentroids.cappedSeed(tiny, 1000).count() == 7)
     // budget under the cap → untouched
     assert(IvfCentroids.cappedSeed(tiny, 2).count() == 2)
     assert(IvfCentroids.cappedSeed(tiny, 1).count() == 1)
-    // greatest(1, …): a sub-39-vector corpus still gets one cell
-    assert(IvfCentroids.cappedSeed(quantized.filter(col("vec_id") < 10), 1000).count() == 1)
+    // greatest(1, …): a 1-vector corpus still gets one cell (sqrt(0.5) → 0)
+    assert(IvfCentroids.cappedSeed(quantized.filter(col("vec_id") < 1), 1000).count() == 1)
     // the offline trainer persists the capped codebook, not k cells
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cap").toString + "/codebook"
     IvfCentroids.save(tiny, dir, k = 1000, iters = 1, sampleMod = 4)
-    assert(IvfCentroids.load(spark, dir).count() == 2)
+    assert(IvfCentroids.load(spark, dir).count() == 7)
   }
 
   test("v6 with the trained codebook keeps recall@3 against exact brute force") {
