@@ -210,8 +210,8 @@ object PlanAudit {
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     GraftSession.quietStartupWarnings()
     // plan-only JVM: building the dedup queries must not pay the shared
-    // pipeline's eager materialization pass (see DedupQueries.eagerMaterialize)
-    graft.queries.DedupQueries.eagerMaterialize = false
+    // pipeline's eager materialization pass (see SharedCaches.eagerMaterialize)
+    graft.queries.SharedCaches.eagerMaterialize = false
     val spark = GraftSession.builder()
       .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()

@@ -354,80 +354,31 @@ object DedupQueries extends QueryModule {
   private val dedupGroupsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Per-(session, dir) registry of the cached lineages this module shares
-    * across queries. Several catalog entries consume the SAME canonical
-    * plan (d3/d6/d7 all start from the shingle-set scan); an independent
-    * `.cache()` in each would make every call after the first a
-    * CacheManager no-op that still logs "Asked to cache already cached
-    * data" — log noise indistinguishable from a real double-caching bug,
-    * and at scale wasted re-registration work. One registry hands every
-    * consumer the same cached handle, and gives [[release]] the handles it
-    * needs to unpersist. Entries of stopped sessions are evicted on access
-    * so repeated create/stop cycles (test suites, repeated Verify mains in
-    * one JVM) don't pin dead lineages.
+  /** Shared-cache registration — the generic registry lives in
+    * [[SharedCaches]] (the IVF codebooks register there too); this module
+    * contributes the shingle-set scan, band/simhash signatures, and the
+    * d8/d13 pipeline intermediates.
     */
-  private val sharedCacheMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), scala.collection.concurrent.TrieMap[String, DataFrame]]
-
-  /** When false, [[sharedCache]] registers lineages WITHOUT the eager
-    * materialization pass — for plan-only audits (PlanAudit builds all 126
-    * queries just to inspect their plans; paying a real dedup-pipeline job
-    * per corpus dir for that would dominate the audit). Leave true for any
-    * JVM that EXECUTES catalog queries: the eager pass is what prevents
-    * concurrent consumers racing to compute the same cached partitions.
-    */
-  @volatile private[graft] var eagerMaterialize: Boolean = true
-
-  private def sharedCache(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
-    sharedCacheMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    val m = sharedCacheMemo.getOrElseUpdate((s, d), scala.collection.concurrent.TrieMap.empty)
-    // Fast path without locking; the build itself runs under the map's
-    // lock because TrieMap.getOrElseUpdate does NOT evaluate its thunk
-    // atomically — two driver threads first-touching the same key would
-    // both build+cache+count (duplicate jobs AND the plan-identical
-    // second .cache() logs the CacheManager warning this registry
-    // exists to eliminate). Builds are rare; serializing them per
-    // (session, dir) is free.
-    m.get(key) match {
-      case Some(df) => df
-      case None => m.synchronized {
-        m.getOrElseUpdate(key, {
-          val df = build.cache()
-          // Materialize EAGERLY: every registered lineage is consumed by at
-          // least two downstream stages (that's why it's cached), and when
-          // those stages run concurrently inside one job they race to compute
-          // the same cached partitions — one task wins the BlockManager write,
-          // the rest log "Block already exists" after doing the work twice.
-          // One up-front pass turns all consumers into pure cache readers.
-          // Tradeoff, deliberate: the first CONSTRUCTION of a registered
-          // query per (session, dir) runs this job — plan-only inspection
-          // pays one materialization. The catalog is an execution surface
-          // (Verify/Bench run everything they build); plan-only audits
-          // (PlanAudit) flip [[eagerMaterialize]] off instead.
-          if (eagerMaterialize) df.count()
-          df
-        })
-      }
-    }
-  }
+  private def sharedCache(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
+    SharedCaches.get(s, d, key)(build)
 
   /** Handles currently registered for (session, dir) — test hook for the
     * lifecycle spec (storage-level assertions need the exact frames).
     */
   private[graft] def cachedHandles(s: SparkSession, d: String): Map[String, DataFrame] =
-    sharedCacheMemo.get((s, d)).map(_.toMap).getOrElse(Map.empty)
+    SharedCaches.handles(s, d)
 
-  /** Release every cached lineage this module holds for (session, dir):
-    * unpersists the shared caches (shingle sets, band signatures, simhash
-    * signatures, the d8/d13 pipeline intermediates) and evicts the
-    * memoized group pipeline so the next call rebuilds from scratch.
-    * Verify/Bench mains skip this — session-lifetime caches are the point
-    * there — but a long-lived production session calls it after
+  /** Release every cached lineage registered for (session, dir) — the
+    * shared caches of ALL modules (dedup sets/signatures/pipeline
+    * intermediates, IVF codebooks) via [[SharedCaches.release]], plus this
+    * module's memoized group pipeline so the next call rebuilds from
+    * scratch. Verify/Bench mains skip this — session-lifetime caches are
+    * the point there — but a long-lived production session calls it after
     * materializing downstream results, or storage accumulates one pipeline
     * per corpus dir touched.
     */
   def release(s: SparkSession, d: String): Unit = {
-    sharedCacheMemo.remove((s, d)).foreach(_.values.foreach(_.unpersist()))
+    SharedCaches.release(s, d)
     dedupGroupsMemo.remove((s, d))
   }
 

@@ -37,20 +37,63 @@ object EmbeddingQueries extends QueryModule {
   private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
 
   /** Data-adaptive cell seed `(cid, cq)`: the first
-    * `least(NumCells, greatest(1, floor(sqrt(n / 2))))` vectors
-    * (IvfCentroids.cappedSeed — √-scaling so assignment (n·C) and
-    * within-cell work (n²/2C) both stay O(n^1.5); rationale on the method.
-    * Broadcast 1-row count, no driver action; `count(lit(1))` references
-    * no columns so parquet answers from footer row counts). The oracle SQL
-    * computes the identical cap from the identical table — a divergence
-    * here fails every v6/v7/v10 gate comparison.
+    * `least(NumCells, greatest(1, floor((n/2)^(3/4))))` vectors
+    * (IvfCentroids.cappedSeed — the two-level-assignment geometry; full
+    * cost model and the sqrt-only/correct-rounding oracle argument on that
+    * method. Broadcast 1-row count, no driver action; `count(lit(1))`
+    * references no columns so parquet answers from footer row counts). The
+    * oracle SQL computes the identical cap from the identical table — a
+    * divergence here fails every v6/v7/v10 gate comparison.
     */
   private def cellSeed(s: SparkSession, d: String): DataFrame =
-    IvfCentroids.cappedSeed(quantized(s, d), NumCells)
+    SharedCaches.get(s, d, "ivfSeed")(IvfCentroids.cappedSeed(quantized(s, d), NumCells))
 
-  /** The same cap as a SQL scalar subquery over the base CTE. */
+  /** The sampled-Lloyd-trained codebook (v6's cells), registered as a
+    * shared cache: a k-row table referenced several times per query on top
+    * of unrolled training rounds would otherwise re-execute its whole
+    * lineage per reference ([[SharedCaches]] has the measured blowup). The
+    * in-session analog of serving the [[IvfCentroids.save]] parquet.
+    */
+  private def trainedCodebook(s: SparkSession, d: String): DataFrame =
+    SharedCaches.get(s, d, "ivfTrained")(
+      IvfCentroids.train(quantized(s, d), cellSeed(s, d), TrainIters, SampleMod))
+
+  /** The same cap as a SQL scalar subquery over the base CTE — the exact
+    * Spark op sequence (divide, sqrt, multiply, sqrt, floor: all IEEE
+    * correctly-rounded, hence bit-identical across engines).
+    */
   private def cellCapSql(baseCte: String): String =
-    s"(SELECT least($NumCells, greatest(1, CAST(floor(sqrt(count(*) / 2.0)) AS BIGINT))) FROM $baseCte)"
+    s"(SELECT least($NumCells, greatest(1, CAST(floor(sqrt((count(*) / 2.0) * sqrt(count(*) / 2.0))) AS BIGINT))) FROM $baseCte)"
+
+  /** Exact-integer squared-L2 between two BIGINT lists (DuckDB). */
+  private def l2ListSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"
+
+  /** SQL mirror of [[IvfCentroids.assignHier]] — emits four CTEs
+    * (`<pfx>g` coarse, `<pfx>cg` fine→group, `<pfx>rt` routed, `<out>`
+    * assigned with columns vec_id, payload…, cell), replaying the identical
+    * two-level argmin with the identical (dist, id)-ascending tie-breaks.
+    * `baseCte` must expose (vec_id, payload…); `centCte` (cid, cq).
+    */
+  private def hierAssignSql(baseCte: String, centCte: String,
+                            payload: Seq[String], pfx: String, out: String): String = {
+    def cols(q: String) = payload.map(c => s"$q.$c").mkString(", ")
+    val bare = payload.mkString(", ")
+    s"""${pfx}g AS (SELECT cid AS gid, cq AS gq FROM $centCte
+       |  WHERE cid < (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $centCte)),
+       |${pfx}cg AS (SELECT gid, cid, cq FROM (
+       |    SELECT g.gid, c.cid, c.cq,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY ${l2ListSql("c.cq", "g.gq")} ASC, g.gid ASC) AS grk
+       |    FROM $centCte c CROSS JOIN ${pfx}g g) WHERE grk = 1),
+       |${pfx}rt AS (SELECT vec_id, $bare, gid FROM (
+       |    SELECT b.vec_id, ${cols("b")}, g.gid,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${l2ListSql("b.q", "g.gq")} ASC, g.gid ASC) AS grk
+       |    FROM $baseCte b CROSS JOIN ${pfx}g g) WHERE grk = 1),
+       |$out AS (SELECT vec_id, $bare, cell FROM (
+       |    SELECT r.vec_id, ${cols("r")}, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY r.vec_id ORDER BY ${l2ListSql("r.q", "c.cq")} ASC, c.cid ASC) AS crk
+       |    FROM ${pfx}rt r JOIN ${pfx}cg c ON c.gid = r.gid) WHERE crk = 1)""".stripMargin
+  }
 
   /** DuckDB mirror of [[IvfCentroids.train]]: `TrainIters` unrolled
     * assign + floor-mean rounds over the deterministic sample, starting from
@@ -59,16 +102,14 @@ object EmbeddingQueries extends QueryModule {
     * The final centroids are CTE `cent` (cid, cq).
     */
   private def centroidTrainSql: String = {
-    def l2Sql(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, $Dim + 1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"
     val init =
       s"""samp AS (SELECT vec_id, q FROM base WHERE vec_id % $SampleMod = 0),
          |cent0 AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")})""".stripMargin
     val rounds = (1 to TrainIters).map { t =>
-      s"""asg$t AS (SELECT cid, q FROM (
-         |    SELECT s.q, c.cid, row_number() OVER (PARTITION BY s.vec_id
-         |      ORDER BY ${l2Sql("s.q", "c.cq")} ASC, c.cid ASC) AS crk
-         |    FROM samp s CROSS JOIN cent${t - 1} c) WHERE crk = 1),
+      // per-round two-level routed assignment of the sample (the Scala
+      // train() calls assignHier per iteration — same CTEs, same tie-breaks)
+      s"""${hierAssignSql("samp", s"cent${t - 1}", Seq("q"), s"h$t", s"hasg$t")},
+         |asg$t AS (SELECT cell AS cid, q FROM hasg$t),
          |mean$t AS (SELECT cid, list(m ORDER BY pos) AS mq FROM (
          |    SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
          |    FROM (SELECT cid, unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM asg$t)
@@ -361,31 +402,22 @@ object EmbeddingQueries extends QueryModule {
         // Real IVF probe path: a sampled-Lloyd-trained centroid codebook
         // ([[IvfCentroids]] — deterministic integer k-means; at scale it is
         // its own offline job writing a codebook parquet, IvfCentroids.save/
-        // load), broadcast to (a) assign every vector to its nearest cell
-        // map-side and (b) give each query its nprobe=2 closest cells.
+        // load), broadcast to (a) route every vector to its cell via the
+        // two-level assignment ([[IvfCentroids.assignHier]] — ~2√C distance
+        // terms per vector, not C) and (b) give each query its nprobe=2
+        // closest cells (flat argmin — exact global probes, 10 queries only).
         // Candidates = vectors in probed cells; exact cosine rerank, top-3.
         // The only shuffle is the candidate equi-join on cell id.
+        // No label in the assignment payload: nothing downstream reads it,
+        // and aggregate buffers don't get struct-field pruning — a dead
+        // field here ships with every corpus vector through the shuffle.
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
-        val centroids = IvfCentroids.train(
-          quantized(s, d), cellSeed(s, d), TrainIters, SampleMod)
+        val centroids = trainedCodebook(s, d)
         // exact-integer identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (no zipped
         // diff array; all three terms are codegen'd LongDot loops)
         def l2(a: Column, b: Column): Column = IvfCentroids.l2(a, b)
-        // cell assignment is a min_by aggregation, not a row_number window:
-        // partial agg collapses the 8 joined centroid copies map-side and
-        // sheds the 64-long centroid vector before the shuffle (the window
-        // shape shuffles+sorts all 8n expanded rows). struct(dist, cid) is
-        // a total order — tie-free deterministic.
-        // no label in the payload struct: nothing downstream reads it, and
-        // aggregate buffers don't get struct-field pruning — a dead field
-        // here ships with every corpus vector through the shuffle
-        val assigned = base.join(broadcast(centroids))
-          .withColumn("dist", l2(col("q"), col("cq")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("q"), col("n2"), col("cid")),
-            struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.q").as("q"),
-            col("m.n2").as("n2"), col("m.cid").as("cell"))
+        val assigned = IvfCentroids.assignHier(
+          base.select(col("vec_id"), col("q"), col("n2")), centroids, Seq("q", "n2"))
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
@@ -403,13 +435,7 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
              |$centroidTrainSql,
-             |assigned AS (
-             |  SELECT vec_id, q, n2, cell FROM (
-             |    SELECT b.vec_id, b.q, b.n2, c.cid AS cell,
-             |      row_number() OVER (PARTITION BY b.vec_id
-             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
-             |    FROM base b CROSS JOIN cent c)
-             |  WHERE crk = 1),
+             |${hierAssignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
              |probes AS (
              |  SELECT query_id, qq, qn2, cell FROM (
              |    SELECT b.vec_id AS query_id, b.q AS qq, b.n2 AS qn2, c.cid AS cell,
@@ -424,7 +450,7 @@ object EmbeddingQueries extends QueryModule {
              |      ORDER BY ${cosineSql(idotSql("a.q", "p.qq"), "a.n2", "p.qn2")} DESC, a.vec_id ASC) AS rk
              |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id)
              |WHERE rk <= 3""".stripMargin),
-      "IVF ANN: sampled-Lloyd-trained centroid codebook (IvfCentroids, deterministic integer k-means), broadcast, map-side cell assignment, nprobe=2 probing, exact cosine rerank top-3."
+      "IVF ANN: sampled-Lloyd-trained centroid codebook (IvfCentroids, deterministic integer k-means), broadcast, two-level routed cell assignment, nprobe=2 probing, exact cosine rerank top-3."
     ),
     QueryDef(
       "v7_semdedup",
@@ -439,14 +465,12 @@ object EmbeddingQueries extends QueryModule {
         val theta = 0.35
         val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
         val cent = cellSeed(s, d)
-        // min_by argmin instead of a row_number window — see v6
-        val assigned = base.join(broadcast(cent))
-          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("q"), col("n2"), col("cid")),
-            struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.q").as("q"), col("m.n2").as("n2"),
-            col("m.cid").as("cell"))
+        // two-level routed assignment — see [[IvfCentroids.assignHier]];
+        // at the (n/2)^(3/4) cell geometry the in-cell pair work below is
+        // O(n^(5/4)) and this routing O(n^(11/8)) — the flat argmin + √
+        // geometry this replaces made both halves O(n^(3/2))
+        val assigned = IvfCentroids.assignHier(
+          base.select(col("vec_id"), col("q"), col("n2")), cent, Seq("q", "n2"))
         val dups = assigned.as("a")
           .join(assigned.as("b"),
             col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -458,19 +482,13 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
              |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
-             |assigned AS (
-             |  SELECT vec_id, q, n2, cell FROM (
-             |    SELECT b.vec_id, b.q, b.n2, c.cid AS cell,
-             |      row_number() OVER (PARTITION BY b.vec_id
-             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
-             |    FROM base b CROSS JOIN cent c)
-             |  WHERE crk = 1),
+             |${hierAssignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
              |dups AS (SELECT DISTINCT b.vec_id FROM assigned a
              |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
              |  WHERE ${cosineSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= 0.35)
              |SELECT a.vec_id, a.cell, a.vec_id IN (SELECT vec_id FROM dups) AS is_dup
              |FROM assigned a""".stripMargin),
-      "SemDeDup: broadcast coarse codebook -> cell assignment, within-cell cosine >= 0.35 against any lower-id mate marks a duplicate (keep-first representative rule)."
+      "SemDeDup: broadcast coarse codebook -> two-level routed cell assignment, within-cell cosine >= 0.35 against any lower-id mate marks a duplicate (keep-first representative rule)."
     ),
     QueryDef(
       "v8_pq_codes",
@@ -540,11 +558,10 @@ object EmbeddingQueries extends QueryModule {
         // Corpus-side state per vector: one cell id + one 8-byte PQ code.
         val base = quantized(s, d)
         val coarse = cellSeed(s, d)
-        // min_by argmin instead of a row_number window — see v6
-        val assigned = base.join(broadcast(coarse))
-          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+        // two-level routed assignment — see [[IvfCentroids.assignHier]]
+        val assigned = IvfCentroids.assignHier(
+          base.select(col("vec_id"), col("q")), coarse, Seq("q"))
+          .select(col("vec_id"), col("cell"))
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(coarse))
           .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
@@ -569,11 +586,8 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH $pqAssignSql,
              |coarse AS (SELECT vec_id AS cid, q AS cq FROM pqbase WHERE vec_id < ${cellCapSql("pqbase")}),
-             |assigned AS (SELECT vec_id, cell FROM (
-             |    SELECT b.vec_id, c.cid AS cell,
-             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
-             |        list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
-             |    FROM pqbase b CROSS JOIN coarse c) WHERE crk = 1),
+             |${hierAssignSql("pqbase", "coarse", Seq("q"), "ha", "hassigned")},
+             |assigned AS (SELECT vec_id, cell FROM hassigned),
              |probes AS (SELECT query_id, cell FROM (
              |    SELECT b.vec_id AS query_id, c.cid AS cell,
              |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
@@ -665,7 +679,7 @@ object EmbeddingQueries extends QueryModule {
       "v12_cluster_balanced_sample",
       (s, d) => {
         // Cluster-balanced corpus downsampling: assign every vector to its
-        // nearest coarse cell (broadcast codebook, map-side argmin — the v7
+        // coarse cell (broadcast codebook, two-level routed argmin — the v7
         // assignment), then keep a fixed per-cell quota chosen by seeded
         // hash rank. The semantic-diversity-preserving cut a curation
         // pipeline runs before training: uniform sampling keeps the modal
@@ -677,10 +691,9 @@ object EmbeddingQueries extends QueryModule {
         // partitioning-independent (same contract as m6/w7).
         val quota = 40
         val base = quantized(s, d)
-        val assigned = base.join(broadcast(cellSeed(s, d)))
-          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+        val assigned = IvfCentroids.assignHier(
+          base.select(col("vec_id"), col("q")), cellSeed(s, d), Seq("q"))
+          .select(col("vec_id"), col("cell"))
         assigned
           .withColumn("u", h60(concat(lit("cbs:"), col("vec_id"))))
           .withColumn("rk", row_number().over(
@@ -690,13 +703,8 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH base AS (SELECT vec_id, q FROM ($quantizedSql)),
              |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
-             |assigned AS (
-             |  SELECT vec_id, cell FROM (
-             |    SELECT b.vec_id, c.cid AS cell,
-             |      row_number() OVER (PARTITION BY b.vec_id
-             |        ORDER BY list_sum(list_transform(range(1, $Dim + 1), i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) ASC, c.cid ASC) AS crk
-             |    FROM base b CROSS JOIN cent c)
-             |  WHERE crk = 1)
+             |${hierAssignSql("base", "cent", Seq("q"), "ha", "hassigned")},
+             |assigned AS (SELECT vec_id, cell FROM hassigned)
              |SELECT vec_id, cell, rk FROM (
              |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
              |    ORDER BY ${h60Sql("concat('cbs:', vec_id)")} ASC, vec_id ASC) AS rk

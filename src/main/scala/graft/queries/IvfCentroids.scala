@@ -53,17 +53,14 @@ object IvfCentroids {
       .select(col("vec_id"), col("q"))
     var cent = seed
     for (_ <- 0 until iters) {
-      // nearest-centroid argmin as a min_by AGGREGATION, not a row_number
-      // window: partial aggregation collapses the k joined copies of each
-      // vector map-side (they are co-located — the join is broadcast) and
-      // drops the centroid vector before the shuffle, where a window would
-      // shuffle+sort all k·n expanded rows. struct(dist, cid) is a total
-      // order (cid unique), so the result is tie-free deterministic.
-      val assigned = sample.join(broadcast(cent))
-        .withColumn("dist", l2(col("q"), col("cq")))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("q")), struct(col("dist"), col("cid"))).as("m"))
-        .select(col("m.cid").as("cid"), col("m.q").as("q"))
+      // two-level routed assignment (see [[assignHier]]): the flat
+      // sample×cent argmin costs m·C distance terms per round, which at the
+      // (n/2)^(3/4) cell geometry is the single superlinear term of the
+      // whole training job; routing through √C coarse groups drops it to
+      // ~2m√C. Lloyd with approximate (routed) assignment is the standard
+      // large-k trick — the update step is unchanged and still exact.
+      val assigned = assignHier(sample, cent, Seq("q"))
+        .select(col("cell").as("cid"), col("q"))
       val means = assigned.groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
         .select(col("cid"),
@@ -80,36 +77,102 @@ object IvfCentroids {
   }
 
   /** First-`k` seed `(cid, cq)` capped at `least(k, max(1,
-    * floor(sqrt(n / 2))))` — √-scaling, the cost-balance point for the
-    * flat-codebook workloads this seam feeds. Cell count C trades the two
-    * halves of every IVF-family query against each other: broadcast-argmin
-    * assignment costs n·C distance terms, within-cell work (SemDeDup
-    * pairs, probe rerank) costs ~n²/(2C), and n·C + n²/(2C) is minimized
-    * at C = √(n/2), making BOTH halves O(n^1.5) instead of one of them
-    * quadratic. The previous constant-occupancy cap (n/39) pinned cell
-    * size instead — linear within-cell work, but C ∝ n made assignment
-    * O(n²/39), and the ×10 full-catalog bench measured exactly that knee
-    * (v7 ~50× for ×10 data; v6/v10/v12 inflated the same way). The faiss
-    * guideline (4√n..16√n cells) is the same √ law shifted toward serving
-    * throughput, where assignment is amortized per query, not paid over
-    * the whole corpus per run.
+    * floor(sqrt(x·sqrt(x)))))` with x = n/2 — i.e. C = (n/2)^(3/4), the
+    * cell geometry for TWO-LEVEL routed assignment ([[assignHier]]).
+    *
+    * Cost model. Cell count C trades the two halves of every IVF-family
+    * query against each other: routed assignment costs ~2n√C distance
+    * terms (√C coarse probes + ~C/√C fine candidates per vector), and
+    * within-cell work (SemDeDup pairs, probe rerank) costs ~n²/(2C).
+    * The true balance point of 2n√C + n²/(2C) is C = (n/2)^(2/3) — both
+    * halves O(n^(4/3)) — but a cube-root cap is an ORACLE HAZARD: IEEE 754
+    * specifies correct rounding for sqrt only, not pow/cbrt, so
+    * `floor(pow(x, 2.0/3.0))` can legally differ by one cell between
+    * Spark's libm and DuckDB's, and a one-cell cap divergence fails every
+    * gate row downstream. C = x^(3/4) = sqrt(x·sqrt(x)) is the nearest
+    * sqrt-composable (dyadic) exponent: every op in the cap (one divide,
+    * one multiply, two sqrts, floor) is correctly rounded and therefore
+    * bit-identical on both engines. Resulting exponents: assignment
+    * O(n^(11/8)), within-cell O(n^(5/4)) — both strictly below the
+    * flat-argmin √-geometry's O(n^(3/2)) (and far below the constant-
+    * occupancy cap's O(n²) assignment that the ×10 full-catalog bench
+    * caught in round 8). At true corpus scale the remaining n^(11/8) is
+    * an index-BUILD cost paid once via [[save]], amortized over serving;
+    * deeper fixed-depth routing trees (the hierarchical-k-means/IMI
+    * family, b-ary levels → n·b·log_b C ≈ O(n log n)) are the next rung
+    * and drop in behind the same assignHier seam.
     *
     * Also the small-corpus guard: without the cap, a capacity-sized `k`
     * against a small corpus seeds EVERY vector as a centroid and
     * assignment goes quadratic. Declarative (broadcast 1-row count;
     * `count(lit(1))` references no columns, so the parquet scan answers
     * from footer row counts). The configured budget `k` binds only past
-    * n = 2k² (NumCells=1e5 → n = 2·10¹⁰), where the broadcast-size
-    * ceiling takes over.
+    * x = k^(4/3) (NumCells=1e5 → n ≈ 9·10⁶ vectors), where the
+    * broadcast-size ceiling takes over.
     */
   def cappedSeed(quantized: DataFrame, k: Int): DataFrame = {
     val cap = quantized.groupBy().agg(
       least(lit(k.toLong),
         greatest(lit(1L),
-          floor(sqrt(count(lit(1)) / 2.0)).cast("long"))).as("cell_cap"))
+          floor(sqrt((count(lit(1)) / 2.0) * sqrt(count(lit(1)) / 2.0))).cast("long"))).as("cell_cap"))
     quantized.crossJoin(broadcast(cap))
       .filter(col("vec_id") < col("cell_cap"))
       .select(col("vec_id").as("cid"), col("q").as("cq"))
+  }
+
+  /** Two-level routed nearest-centroid assignment — the IMI/coarse-quantizer
+    * shape: route each vector to its nearest of ~√C COARSE centroids (the
+    * lowest-cid √C cells), then argmin only over the fine centroids whose
+    * own nearest coarse is that group. ~2√C distance terms per vector
+    * instead of the flat argmin's C.
+    *
+    * Input: `base` with (`vec_id`, payload columns — must include `q`);
+    * `cent` = (cid, cq). Output: vec_id, payload, `cell`.
+    *
+    * Exactness contract: NOT the global argmin (a vector whose true nearest
+    * fine centroid routes to a different coarse group gets its in-group
+    * nearest instead) — an approximation the IVF family already embraces;
+    * what matters for the gate is that the oracle replays the identical
+    * two-level rule ([[EmbeddingQueries]] `hierAssignSql`), and for scale
+    * that cluster quality is preserved (cells stay balanced; the
+    * IvfCentroidsSpec recall gate pins it).
+    *
+    * Determinism: both levels tie-break by ascending centroid id via one
+    * min_by over a (dist, id) struct — a total order; and both levels use
+    * the SAME rule, so a routed-to group is never empty (coarse centroid g
+    * routes to itself unless its position duplicates a lower gid — in which
+    * case every vector equidistant to both also tie-breaks to the lower gid
+    * and g is simply never chosen). Shapes: three broadcast joins + two
+    * partial-aggregating argmins — no window over the corpus, no shuffle
+    * wider than one row per vector.
+    */
+  def assignHier(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame = {
+    require(payload.contains("q"), "assignHier payload must carry q for level-2 distances")
+    val gcap = cent.groupBy().agg(
+      greatest(lit(1L), ceil(sqrt(count(lit(1)))).cast("long")).as("gcap"))
+    val coarse = cent.crossJoin(broadcast(gcap))
+      .filter(col("cid") < col("gcap"))
+      .select(col("cid").as("gid"), col("cq").as("gq"))
+    // fine centroid -> its coarse group (centroid-count work only)
+    val centg = cent.join(broadcast(coarse))
+      .withColumn("gdist", l2(col("cq"), col("gq")))
+      .groupBy(col("cid"))
+      .agg(min_by(struct(col("cq"), col("gid")), struct(col("gdist"), col("gid"))).as("m"))
+      .select(col("m.gid").as("gid"), col("cid"), col("m.cq").as("cq"))
+    // level 1: vector -> coarse group
+    val routed = base.join(broadcast(coarse))
+      .withColumn("gdist", l2(col("q"), col("gq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(payload.map(col) :+ col("gid"): _*),
+        struct(col("gdist"), col("gid"))).as("m"))
+      .select(col("vec_id") +: (payload :+ "gid").map(c => col(s"m.$c").as(c)): _*)
+    // level 2: argmin over the group's fine centroids
+    routed.join(broadcast(centg), Seq("gid"))
+      .withColumn("dist", l2(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(payload.map(col) :+ col("cid"): _*),
+        struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id") +: payload.map(c => col(s"m.$c").as(c)) :+ col("m.cid").as("cell"): _*)
   }
 
   /** Offline job: train and persist the codebook parquet. The seed is

@@ -31,19 +31,51 @@ class IvfCentroidsSpec extends SparkSpec {
     assert(a.exists { case (cid, cq) => seed(cid) != cq })
   }
 
-  test("cappedSeed: √-scaling cell count bounds the budget, never the fit") {
+  test("cappedSeed: (n/2)^(3/4) cell count bounds the budget, never the fit") {
     val tiny = quantized.filter(col("vec_id") < 100) // 100 vectors
-    // oversized budget → floor(sqrt(100/2)) = 7 cells, not 100 quadratic ones
-    assert(IvfCentroids.cappedSeed(tiny, 1000).count() == 7)
+    // oversized budget → floor((100/2)^0.75) = 18 cells, not 100 quadratic ones
+    assert(IvfCentroids.cappedSeed(tiny, 1000).count() == 18)
     // budget under the cap → untouched
     assert(IvfCentroids.cappedSeed(tiny, 2).count() == 2)
     assert(IvfCentroids.cappedSeed(tiny, 1).count() == 1)
-    // greatest(1, …): a 1-vector corpus still gets one cell (sqrt(0.5) → 0)
+    // greatest(1, …): a 1-vector corpus still gets one cell ((0.5)^0.75 → 0)
     assert(IvfCentroids.cappedSeed(quantized.filter(col("vec_id") < 1), 1000).count() == 1)
     // the offline trainer persists the capped codebook, not k cells
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cap").toString + "/codebook"
     IvfCentroids.save(tiny, dir, k = 1000, iters = 1, sampleMod = 4)
-    assert(IvfCentroids.load(spark, dir).count() == 7)
+    assert(IvfCentroids.load(spark, dir).count() == 18)
+  }
+
+  test("assignHier replays the two-level argmin rule exactly (vs in-test reference)") {
+    // reference implementation of the contract, straight from the scaladoc:
+    // coarse = lowest-cid ceil(sqrt(C)) centroids; fine centroid -> nearest
+    // coarse (ties: lowest gid); vector -> nearest coarse, then argmin over
+    // that group's fine centroids (ties: lowest cid)
+    val cent = IvfCentroids.cappedSeed(quantized, 1000)
+    val cents = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val gcap = math.max(1L, math.ceil(math.sqrt(cents.length.toDouble)).toLong)
+    val coarse = cents.filter(_._1 < gcap)
+    def route(q: Array[Long]): Long =
+      coarse.map { case (gid, gq) => (l2(q, gq), gid) }.min._2
+    val group = cents.map { case (cid, cq) => cid -> route(cq) }.toMap
+    def assign(q: Array[Long]): Long = {
+      val g = route(q)
+      cents.filter { case (cid, _) => group(cid) == g }
+        .map { case (cid, cq) => (l2(q, cq), cid) }.min._2
+    }
+    val expected = quantized.collect()
+      .map(r => r.getLong(0) -> assign(r.getSeq[Long](1).toArray)).toMap
+    val got = IvfCentroids.assignHier(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // and the routing is genuinely multi-cell on the fixture
+    assert(got.values.toSet.size > 1)
   }
 
   test("v6 with the trained codebook keeps recall@3 against exact brute force") {
