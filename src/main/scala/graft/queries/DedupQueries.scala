@@ -809,6 +809,75 @@ object DedupQueries extends QueryModule {
              |    ${h60Sql("concat('split1:', CAST(group_id AS VARCHAR))")} % 10 AS bucket
              |  FROM groups)""".stripMargin),
       "Leakage-safe train/test split: dedup groups (d8 pipeline) bucketed by group-representative hash, so near-dup content can never straddle the split boundary."
+    ),
+    QueryDef(
+      "d17_fuzzy_decontaminate",
+      (s, d) => {
+        // FUZZY benchmark decontamination — the near-duplicate companion to
+        // the exact-overlap family (d9 exact 5-grams, d10 hashed, d16
+        // graded): a training doc that is a near-duplicate of an eval doc
+        // (Jaccard >= 0.5 over shingles) is contamination even when
+        // shuffled/fragmented overlap keeps any single long n-gram below
+        // the exact detectors' radar. Candidates come from an LSH band join
+        // BETWEEN the two sides (never all-pairs): the eval side is
+        // eval-set-sized at any corpus scale, so its band rows AND its
+        // shingle sets broadcast, and the training side streams map-only
+        // through candidate generation and Jaccard verification — the d9
+        // broadcast discipline applied to the d3 band machinery.
+        // First-shared-band in-row dedup, as everywhere: no distinct()
+        // shuffle of the candidate set.
+        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val trainBands = signatures(sets.filter(col("doc_id") % 97 =!= 0))
+          .select(col("doc_id") +: bandCols: _*)
+        val evalBands = signatures(sets.filter(col("doc_id") % 97 === 0))
+          .select(col("doc_id") +: bandCols: _*)
+        def bandRows(sigs: DataFrame) = sigs.select(
+          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
+            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*)
+        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
+          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
+        }
+        val cands = bandRows(trainBands).as("x")
+          .join(broadcast(bandRows(evalBands).as("y")),
+            col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band"))
+          .filter(col("x.band_idx") === firstSharedBand)
+          .select(col("x.doc_id").as("did"), col("y.doc_id").as("eid"))
+        val evalSets = sets.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eid"), col("sh").as("esh"))
+        val verified = cands
+          .join(sets.as("sa"), col("did") === col("sa.doc_id"))
+          .join(broadcast(evalSets), Seq("eid"))
+          .select(col("did"), col("eid"),
+            size(array_intersect(col("sa.sh"), col("esh"))).as("isect"),
+            size(col("sa.sh")).as("na"), size(col("esh")).as("nb"))
+          .withColumn("jaccard",
+            round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6))
+          .filter(col("jaccard") >= JaccardThreshold)
+        // per contaminated doc: match count + the strongest eval match
+        // (max jaccard, ties to the lowest eval id — one max(struct))
+        verified.groupBy(col("did"))
+          .agg(count(lit(1)).as("n_eval_matches"),
+            max(struct(col("jaccard"), (-col("eid")).as("nid"))).as("m"))
+          .select(col("did").as("doc_id"), col("n_eval_matches"),
+            (-col("m.nid")).as("eval_doc_id"), col("m.jaccard").as("max_jaccard"))
+      },
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |tsig AS (SELECT doc_id, $bandColsSql FROM (
+             |  SELECT doc_id, $minhashColsSql FROM sets WHERE doc_id % 97 <> 0)),
+             |esig AS (SELECT doc_id, $bandColsSql FROM (
+             |  SELECT doc_id, $minhashColsSql FROM sets WHERE doc_id % 97 = 0)),
+             |verified AS (
+             |  SELECT sa.doc_id AS did, sb.doc_id AS eid,
+             |    round(${jaccardFromSql(isectSql)}, 6) AS jaccard
+             |  FROM tsig sa JOIN esig sb ON ${bandOrSql("sa", "sb")}
+             |  JOIN sets a ON a.doc_id = sa.doc_id JOIN sets b ON b.doc_id = sb.doc_id
+             |  WHERE round(${jaccardFromSql(isectSql)}, 6) >= $JaccardThreshold),
+             |agg AS (SELECT did, count(*) AS n_eval_matches, max(jaccard) AS max_jaccard
+             |  FROM verified GROUP BY did)
+             |SELECT agg.did AS doc_id, agg.n_eval_matches, min(v.eid) AS eval_doc_id, agg.max_jaccard
+             |FROM agg JOIN verified v ON v.did = agg.did AND v.jaccard = agg.max_jaccard
+             |GROUP BY agg.did, agg.n_eval_matches, agg.max_jaccard""".stripMargin),
+      "Fuzzy decontamination: LSH band join between training and eval sides (eval side broadcast), exact Jaccard verify >= 0.5 — catches near-duplicate contamination that fragmented overlap hides from exact n-gram detectors."
     )
   )
 }

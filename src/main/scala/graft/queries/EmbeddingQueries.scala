@@ -56,7 +56,12 @@ object EmbeddingQueries extends QueryModule {
     */
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
     SharedCaches.get(s, d, "ivfTrained")(
-      IvfCentroids.train(quantized(s, d), cellSeed(s, d), TrainIters, SampleMod))
+      IvfCentroids.train(quantized(s, d), cellSeed(s, d), TrainIters, SampleMod,
+        // Lloyd rounds are sequential; registering each round makes the
+        // next round (and the final consumers) read a k-row cache instead
+        // of re-executing the whole earlier-round lineage per reference.
+        // The final round is the "ivfTrained" registration itself.
+        (t, df) => if (t < TrainIters) SharedCaches.get(s, d, s"ivfTrainRound$t")(df) else df))
 
   /** The same cap as a SQL scalar subquery over the base CTE — the exact
     * Spark op sequence (divide, sqrt, multiply, sqrt, floor: all IEEE
@@ -711,6 +716,45 @@ object EmbeddingQueries extends QueryModule {
              |  FROM assigned)
              |WHERE rk <= 40""".stripMargin),
       "Cluster-balanced sampling: broadcast-codebook cell assignment, then a seeded-hash per-cell quota — diversity-preserving downsampling for training-corpus curation."
+    ),
+    QueryDef(
+      "v13_semantic_decontaminate",
+      (s, d) => {
+        // EMBEDDING-SPACE decontamination — the semantic companion to the
+        // token-overlap family (d9/d10/d16 exact n-grams, d17 fuzzy
+        // Jaccard): a training item whose embedding is near an eval item's
+        // is contamination even when a paraphrase shares no n-grams at all.
+        // The eval side is eval-set-sized at any corpus scale, so its
+        // (quantized) vectors broadcast and the corpus side is ONE map-only
+        // scan folding the |eval| cosines into a partial-aggregated argmax
+        // per vector — no shuffle wider than one row per corpus vector,
+        // linear in n at fixed eval size. Same determinism contract as the
+        // rest of the family: exact integer dots, single-IEEE-op cosine,
+        // (cos, -eval_id) struct max for tie-free argmax.
+        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+        val evals = base.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("eval_id"), col("q").as("eq"), col("n2").as("en2"))
+        base.filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id"), col("q"), col("n2"))
+          .join(broadcast(evals))
+          .withColumn("cos", cosine(idot(col("q"), col("eq")), col("n2"), col("en2")))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cos"), (-col("eval_id")).as("nid"))).as("m"))
+          .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+            round(col("m.cos"), 6).as("max_cos"),
+            (col("m.cos") >= CosineThreshold).as("contaminated"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |ev AS (SELECT vec_id AS eval_id, q AS eq, n2 AS en2 FROM base WHERE vec_id % 97 = 0),
+             |sc AS (SELECT b.vec_id, e.eval_id,
+             |    ${cosineSql(idotSql("b.q", "e.eq"), "b.n2", "e.en2")} AS cos
+             |  FROM base b CROSS JOIN ev e WHERE b.vec_id % 97 <> 0),
+             |agg AS (SELECT vec_id, max(cos) AS mc FROM sc GROUP BY vec_id)
+             |SELECT a.vec_id, min(s.eval_id) AS eval_id, round(a.mc, 6) AS max_cos,
+             |  a.mc >= $CosineThreshold AS contaminated
+             |FROM agg a JOIN sc s ON s.vec_id = a.vec_id AND s.cos = a.mc
+             |GROUP BY a.vec_id, a.mc""".stripMargin),
+      "Semantic decontamination: broadcast eval embeddings, map-only per-vector max-cosine argmax, contaminated = max_cos >= 0.4 — catches paraphrase contamination token overlap misses."
     )
   )
 }

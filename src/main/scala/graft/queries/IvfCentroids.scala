@@ -47,12 +47,22 @@ object IvfCentroids {
 
   /** Train from an explicit `(cid, cq)` seed — the entry point for
     * data-adaptive cell budgets (the caller caps the seed by corpus size).
+    *
+    * `materializeRound` is handed each completed round's centroids (round
+    * index 1..iters) and may return a materialized handle: Lloyd rounds are
+    * SEQUENTIAL by nature, and a later round's plan references the previous
+    * round's table several times (the routed assignment + the empty-cell
+    * left join) — left lazy, the per-round tree multiplies per reference.
+    * The catalog's query layer passes a [[SharedCaches]] registration
+    * (per-round k-row caches, released with everything else); the default
+    * is identity for callers that train tiny codebooks.
     */
-  def train(quantized: DataFrame, seed: DataFrame, iters: Int, sampleMod: Int): DataFrame = {
+  def train(quantized: DataFrame, seed: DataFrame, iters: Int, sampleMod: Int,
+            materializeRound: (Int, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
     val sample = quantized.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("q"))
     var cent = seed
-    for (_ <- 0 until iters) {
+    for (round <- 1 to iters) {
       // two-level routed assignment (see [[assignHier]]): the flat
       // sample×cent argmin costs m·C distance terms per round, which at the
       // (n/2)^(3/4) cell geometry is the single superlinear term of the
@@ -65,14 +75,17 @@ object IvfCentroids {
         .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
         .select(col("cid"),
           transform(col("sv"), x => floor(x.cast("double") / col("n")).cast("long")).as("mq"))
-      cent = cent.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mq"), col("cq")).as("cq"))
+      cent = materializeRound(round,
+        cent.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("mq"), col("cq")).as("cq")))
     }
-    // No .cache() here: train() runs at query-CONSTRUCTION time for every
-    // build of v6 (Verify, Bench, plan sweeps), so a cache would leak a
-    // CacheManager entry per build; measured benefit was nil (the rounds
-    // are k-row plans). At real scale the codebook is persisted via
-    // [[save]] and served from parquet, not recomputed per query.
+    // No unconditional .cache() here: train() runs at query-CONSTRUCTION
+    // time for every build of v6 (Verify, Bench, plan sweeps), so an
+    // unregistered cache would leak a CacheManager entry per build —
+    // materialization policy belongs to the caller (the materializeRound
+    // hook / the SharedCaches registration in the query layer). At real
+    // scale the codebook is persisted via [[save]] and served from
+    // parquet, not recomputed per query.
     cent
   }
 

@@ -274,6 +274,79 @@ object MultimodalQueries extends QueryModule {
              |  row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx ASC) AS key_rank
              |FROM dl WHERE frame_idx = 0 OR delta > 500""".stripMargin),
       "Shot-boundary keyframe selection: per-video lag window on a frame-feature scalar, threshold boundary test + frame-0 anchor, keyframe ranks — content-adaptive sampling next to mm2's every-Nth."
+    ),
+    QueryDef(
+      "mm7_phash_near_dup",
+      (s, d) => {
+        // Perceptual-hash image dedup — the multimodal pillar's near-dup
+        // operator: re-encoded/resized copies of an image keep a phash
+        // within a few bits of the original, so dedup is hamming-radius
+        // search over 56-bit signatures. The phash here is the
+        // deterministic decode stand-in (the real one is 8×8-DCT over
+        // [[imageFeatures]]' batch seam — same 56-bit column either way):
+        // every group of 16 doc_ids shares a base signature with 0–3
+        // hash-positioned bit flips, planting the near-dup structure a
+        // re-encode produces. Pairing is d5's pigeonhole shape: hamming ≤ 3
+        // over 56 bits means at least one of the 4 14-bit chunks is
+        // identical, so chunk equality is the bucketed join key and the
+        // quadratic work never leaves chunk buckets. First-shared-chunk
+        // in-row dedup — no distinct() shuffle of the candidate set.
+        // Scale note: 14-bit chunks hold buckets to n/2^14 expected
+        // occupancy — at corpus scales past ~1e7 images widen the hash so
+        // chunk width tracks log2(n) (e.g. 128-bit phash, 4×32-bit chunks;
+        // identical plan), exactly like the LSH band widening in
+        // GraftConfig.
+        val hamMax = 3
+        val ph = Tables.documents(s, d)
+          .select(col("doc_id"))
+          .withColumn("grp", expr("doc_id div 16"))
+          .withColumn("base",
+            pmod(h60(concat(lit("phb:"), col("grp").cast("string"))), lit(1L << 56)))
+          .withColumn("nf", pmod(col("doc_id"), lit(4L)))
+          .withColumn("p0", pmod(h60(concat(lit("phf:"), col("doc_id").cast("string"), lit(":0"))), lit(56L)))
+          .withColumn("p1", pmod(h60(concat(lit("phf:"), col("doc_id").cast("string"), lit(":1"))), lit(56L)))
+          .withColumn("p2", pmod(h60(concat(lit("phf:"), col("doc_id").cast("string"), lit(":2"))), lit(56L)))
+          .withColumn("phash", expr(
+            "base ^ (CASE WHEN nf > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p0 AS INT)) ELSE CAST(0 AS BIGINT) END)" +
+              " ^ (CASE WHEN nf > 1 THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 AS INT)) ELSE CAST(0 AS BIGINT) END)" +
+              " ^ (CASE WHEN nf > 2 THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 AS INT)) ELSE CAST(0 AS BIGINT) END)"))
+          .select(col("doc_id"), col("phash"))
+        val chunks = ph.select(
+          col("doc_id"), col("phash"),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("phash"), 14 * c).bitwiseAND(16383)): _*)).as(Seq("chunk_idx", "chunk")))
+        val xorCol = col("x.phash").bitwiseXOR(col("y.phash"))
+        val firstSharedChunk = (0 until 4).reverse.foldLeft(lit(-1)) { (acc, c) =>
+          when(shiftright(xorCol, 14 * c).bitwiseAND(16383) === 0, lit(c)).otherwise(acc)
+        }
+        chunks.as("x")
+          .join(chunks.as("y"),
+            col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(col("x.chunk_idx") === firstSharedChunk)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(xorCol).as("hamming"))
+          .filter(col("hamming") <= hamMax)
+      },
+      Some(s"""WITH ph AS (
+             |  SELECT doc_id,
+             |    xor(xor(xor(base,
+             |      CASE WHEN nf > 0 THEN (CAST(1 AS BIGINT) << CAST(p0 AS INTEGER)) ELSE CAST(0 AS BIGINT) END),
+             |      CASE WHEN nf > 1 THEN (CAST(1 AS BIGINT) << CAST(p1 AS INTEGER)) ELSE CAST(0 AS BIGINT) END),
+             |      CASE WHEN nf > 2 THEN (CAST(1 AS BIGINT) << CAST(p2 AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS phash
+             |  FROM (
+             |    SELECT doc_id,
+             |      ${h60Sql("concat('phb:', CAST(doc_id // 16 AS VARCHAR))")} % ${1L << 56} AS base,
+             |      doc_id % 4 AS nf,
+             |      ${h60Sql("concat('phf:', CAST(doc_id AS VARCHAR), ':0')")} % 56 AS p0,
+             |      ${h60Sql("concat('phf:', CAST(doc_id AS VARCHAR), ':1')")} % 56 AS p1,
+             |      ${h60Sql("concat('phf:', CAST(doc_id AS VARCHAR), ':2')")} % 56 AS p2
+             |    FROM documents))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin),
+      "Perceptual-hash image near-dup pairs: 56-bit phash (deterministic decode stand-in), 14-bit chunk buckets (pigeonhole-complete for hamming<=3), exact hamming verify — the multimodal dedup operator."
     )
   )
 }
