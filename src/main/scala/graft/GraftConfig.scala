@@ -39,7 +39,19 @@ final case class GraftConfig(
     /** CC edge ceiling for the partition-local union-find fast path; above
       * it the distributed min-label loop takes over.
       */
-    localCcMaxEdges: Long
+    localCcMaxEdges: Long,
+    /** IVF corpus→cell routing depth — a scale knob like `numHyperplanes`.
+      * `false`: flat exact argmin over all C cells (n·C distance terms) —
+      * the right choice while C sits in the 10²–10³ range of the demo
+      * geometry, where flat is both cheaper (fewer joins/stages) and exact.
+      * `true`: two-level coarse→fine routing (IvfCentroids.assignHier,
+      * ~2n√C terms, in-group approximation) — takes over at the capacity
+      * geometry (C ≈ 1e5), where the flat argmin's n·C term is the single
+      * superlinear cost of the whole IVF family. The catalog queries and
+      * their oracle SQL dispatch on this TOGETHER, so either depth is
+      * gate-checked end to end.
+      */
+    ivfRouted: Boolean
 ) {
   require(numBands >= 1 && numMinhash % numBands == 0,
     s"numMinhash=$numMinhash must split evenly into numBands=$numBands")
@@ -71,7 +83,8 @@ object GraftConfig {
     numHyperplanes = 6,
     dim = 64, numCells = 8,
     pqSub = 8, pqSubDim = 8,
-    localCcMaxEdges = 5_000_000L)
+    localCcMaxEdges = 5_000_000L,
+    ivfRouted = false)
 
   /** 100 TB preset (README "Capacity math at 100 TB", 1e10 docs):
     *  - 32 bands × 4 rows: recall ≥ 1−5e−8 at Jaccard 0.8, candidate rate
@@ -86,7 +99,8 @@ object GraftConfig {
     numHyperplanes = 28,
     dim = 64, numCells = 100_000,
     pqSub = 8, pqSubDim = 8,
-    localCcMaxEdges = 5_000_000L)
+    localCcMaxEdges = 5_000_000L,
+    ivfRouted = true)
 
   /** The preset the query catalog (and its generated oracle SQL) runs at:
     * `GRAFT_PRESET=100tb` selects the capacity preset at launch, anything

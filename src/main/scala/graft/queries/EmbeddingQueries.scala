@@ -63,6 +63,38 @@ object EmbeddingQueries extends QueryModule {
         // The final round is the "ivfTrained" registration itself.
         (t, df) => if (t < TrainIters) SharedCaches.get(s, d, s"ivfTrainRound$t")(df) else df))
 
+  /** Corpus→cell assignment against `codebook`, registered as a shared
+    * cache under `key`: the two-level route ([[IvfCentroids.assignHier]])
+    * is IVF index BUILD — at scale it runs once and is persisted next to
+    * the codebook ([[IvfCentroids.save]]'s parquet sibling), and every
+    * serving query reads the materialized (vec_id, cell) table instead of
+    * re-routing the corpus. In-session the [[SharedCaches]] registration
+    * is that materialization: v6 (trained cells) and v7/v10/v12 (seed
+    * cells) each re-routed the identical corpus per query — four
+    * assignment subplans' worth of tiny AQE/broadcast stages whose fixed
+    * cost dominated the family at demo scale (measured: v6 warm 4.1→
+    * sub-2 s; the at-scale win is larger, one O(n^(11/8)) route instead
+    * of four). Payload carries (q, n2) — the superset every consumer
+    * needs; n2 is a pure function of q so narrower consumers just project.
+    * Lifecycle: released with the rest of the registry
+    * ([[SharedCaches.release]]).
+    */
+  private def cachedAssigned(s: SparkSession, d: String, key: String,
+                             codebook: => DataFrame): DataFrame =
+    SharedCaches.get(s, d, key) {
+      val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+      IvfCentroids.assign(
+        base.select(col("vec_id"), col("q"), col("n2")), codebook, Seq("q", "n2"))
+    }
+
+  /** (vec_id, q, n2, cell) against the TRAINED codebook — v6's index. */
+  private def trainedAssigned(s: SparkSession, d: String): DataFrame =
+    cachedAssigned(s, d, "ivfTrainedAssigned", trainedCodebook(s, d))
+
+  /** (vec_id, q, n2, cell) against the raw seed codebook — v7/v10/v12. */
+  private def seedAssigned(s: SparkSession, d: String): DataFrame =
+    cachedAssigned(s, d, "ivfSeedAssigned", cellSeed(s, d))
+
   /** The same cap as a SQL scalar subquery over the base CTE — the exact
     * Spark op sequence (divide, sqrt, multiply, sqrt, floor: all IEEE
     * correctly-rounded, hence bit-identical across engines).
@@ -73,6 +105,31 @@ object EmbeddingQueries extends QueryModule {
   /** Exact-integer squared-L2 between two BIGINT lists (DuckDB). */
   private def l2ListSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"
+
+  /** SQL mirror of [[IvfCentroids.assign]] — the preset dispatcher.
+    * Always terminates in a CTE named `<out>` with columns
+    * (vec_id, payload…, cell); emits [[flatAssignSql]]'s single argmin CTE
+    * at the demo routing depth and [[hierAssignSql]]'s four two-level CTEs
+    * at the capacity depth, so Spark plan and oracle can never disagree on
+    * the assignment rule.
+    */
+  private def assignSql(baseCte: String, centCte: String,
+                        payload: Seq[String], pfx: String, out: String): String =
+    if (graft.GraftConfig.active.ivfRouted) hierAssignSql(baseCte, centCte, payload, pfx, out)
+    else flatAssignSql(baseCte, centCte, payload, out)
+
+  /** SQL mirror of [[IvfCentroids.assignFlat]]: one exact argmin CTE with
+    * the (dist, cid)-ascending tie-break.
+    */
+  private def flatAssignSql(baseCte: String, centCte: String,
+                            payload: Seq[String], out: String): String = {
+    def cols(q: String) = payload.map(c => s"$q.$c").mkString(", ")
+    val bare = payload.mkString(", ")
+    s"""$out AS (SELECT vec_id, $bare, cell FROM (
+       |    SELECT b.vec_id, ${cols("b")}, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${l2ListSql("b.q", "c.cq")} ASC, c.cid ASC) AS crk
+       |    FROM $baseCte b CROSS JOIN $centCte c) WHERE crk = 1)""".stripMargin
+  }
 
   /** SQL mirror of [[IvfCentroids.assignHier]] — emits four CTEs
     * (`<pfx>g` coarse, `<pfx>cg` fine→group, `<pfx>rt` routed, `<out>`
@@ -113,7 +170,7 @@ object EmbeddingQueries extends QueryModule {
     val rounds = (1 to TrainIters).map { t =>
       // per-round two-level routed assignment of the sample (the Scala
       // train() calls assignHier per iteration — same CTEs, same tie-breaks)
-      s"""${hierAssignSql("samp", s"cent${t - 1}", Seq("q"), s"h$t", s"hasg$t")},
+      s"""${assignSql("samp", s"cent${t - 1}", Seq("q"), s"h$t", s"hasg$t")},
          |asg$t AS (SELECT cell AS cid, q FROM hasg$t),
          |mean$t AS (SELECT cid, list(m ORDER BY pos) AS mq FROM (
          |    SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
@@ -421,8 +478,7 @@ object EmbeddingQueries extends QueryModule {
         // exact-integer identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b (no zipped
         // diff array; all three terms are codegen'd LongDot loops)
         def l2(a: Column, b: Column): Column = IvfCentroids.l2(a, b)
-        val assigned = IvfCentroids.assignHier(
-          base.select(col("vec_id"), col("q"), col("n2")), centroids, Seq("q", "n2"))
+        val assigned = trainedAssigned(s, d)
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(centroids))
           .withColumn("dist", l2(col("q"), col("cq")))
@@ -440,7 +496,7 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
              |$centroidTrainSql,
-             |${hierAssignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
+             |${assignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
              |probes AS (
              |  SELECT query_id, qq, qn2, cell FROM (
              |    SELECT b.vec_id AS query_id, b.q AS qq, b.n2 AS qn2, c.cid AS cell,
@@ -468,14 +524,11 @@ object EmbeddingQueries extends QueryModule {
         // deterministic first-k seed so the oracle stays compact (at scale
         // it is the IvfCentroids.save/load trained parquet, same plan).
         val theta = 0.35
-        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
-        val cent = cellSeed(s, d)
-        // two-level routed assignment — see [[IvfCentroids.assignHier]];
+        // shared two-level routed assignment — see [[seedAssigned]];
         // at the (n/2)^(3/4) cell geometry the in-cell pair work below is
-        // O(n^(5/4)) and this routing O(n^(11/8)) — the flat argmin + √
+        // O(n^(5/4)) and the routing O(n^(11/8)) — the flat argmin + √
         // geometry this replaces made both halves O(n^(3/2))
-        val assigned = IvfCentroids.assignHier(
-          base.select(col("vec_id"), col("q"), col("n2")), cent, Seq("q", "n2"))
+        val assigned = seedAssigned(s, d)
         val dups = assigned.as("a")
           .join(assigned.as("b"),
             col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -487,7 +540,7 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
              |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
-             |${hierAssignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
+             |${assignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
              |dups AS (SELECT DISTINCT b.vec_id FROM assigned a
              |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
              |  WHERE ${cosineSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= 0.35)
@@ -563,9 +616,8 @@ object EmbeddingQueries extends QueryModule {
         // Corpus-side state per vector: one cell id + one 8-byte PQ code.
         val base = quantized(s, d)
         val coarse = cellSeed(s, d)
-        // two-level routed assignment — see [[IvfCentroids.assignHier]]
-        val assigned = IvfCentroids.assignHier(
-          base.select(col("vec_id"), col("q")), coarse, Seq("q"))
+        // shared two-level routed assignment — see [[seedAssigned]]
+        val assigned = seedAssigned(s, d)
           .select(col("vec_id"), col("cell"))
         val probes = base.filter(col("vec_id") < 10)
           .join(broadcast(coarse))
@@ -591,7 +643,7 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH $pqAssignSql,
              |coarse AS (SELECT vec_id AS cid, q AS cq FROM pqbase WHERE vec_id < ${cellCapSql("pqbase")}),
-             |${hierAssignSql("pqbase", "coarse", Seq("q"), "ha", "hassigned")},
+             |${assignSql("pqbase", "coarse", Seq("q"), "ha", "hassigned")},
              |assigned AS (SELECT vec_id, cell FROM hassigned),
              |probes AS (SELECT query_id, cell FROM (
              |    SELECT b.vec_id AS query_id, c.cid AS cell,
@@ -695,9 +747,8 @@ object EmbeddingQueries extends QueryModule {
         // Deterministic: the h60 seeded rank is engine- and
         // partitioning-independent (same contract as m6/w7).
         val quota = 40
-        val base = quantized(s, d)
-        val assigned = IvfCentroids.assignHier(
-          base.select(col("vec_id"), col("q")), cellSeed(s, d), Seq("q"))
+        // shared two-level routed assignment — see [[seedAssigned]]
+        val assigned = seedAssigned(s, d)
           .select(col("vec_id"), col("cell"))
         assigned
           .withColumn("u", h60(concat(lit("cbs:"), col("vec_id"))))
@@ -708,7 +759,7 @@ object EmbeddingQueries extends QueryModule {
       },
       Some(s"""WITH base AS (SELECT vec_id, q FROM ($quantizedSql)),
              |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
-             |${hierAssignSql("base", "cent", Seq("q"), "ha", "hassigned")},
+             |${assignSql("base", "cent", Seq("q"), "ha", "hassigned")},
              |assigned AS (SELECT vec_id, cell FROM hassigned)
              |SELECT vec_id, cell, rk FROM (
              |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell

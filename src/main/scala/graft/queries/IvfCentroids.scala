@@ -63,13 +63,13 @@ object IvfCentroids {
       .select(col("vec_id"), col("q"))
     var cent = seed
     for (round <- 1 to iters) {
-      // two-level routed assignment (see [[assignHier]]): the flat
-      // sample×cent argmin costs m·C distance terms per round, which at the
-      // (n/2)^(3/4) cell geometry is the single superlinear term of the
-      // whole training job; routing through √C coarse groups drops it to
-      // ~2m√C. Lloyd with approximate (routed) assignment is the standard
-      // large-k trick — the update step is unchanged and still exact.
-      val assigned = assignHier(sample, cent, Seq("q"))
+      // preset-dispatched assignment (see [[assign]]): the flat sample×cent
+      // argmin costs m·C distance terms per round, which at the capacity
+      // preset's (n/2)^(3/4) cell geometry is the single superlinear term
+      // of the whole training job; there, routing through √C coarse groups
+      // drops it to ~2m√C (Lloyd with approximate routed assignment — the
+      // standard large-k trick; the update step is unchanged and exact).
+      val assigned = assign(sample, cent, Seq("q"))
         .select(col("cell").as("cid"), col("q"))
       val means = assigned.groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
@@ -159,6 +159,31 @@ object IvfCentroids {
     * partial-aggregating argmins — no window over the corpus, no shuffle
     * wider than one row per vector.
     */
+  /** Preset-dispatched corpus→cell assignment: flat exact argmin at the
+    * demo routing depth, two-level coarse→fine at the capacity depth —
+    * see `GraftConfig.ivfRouted` for the cost model. Query code and oracle
+    * SQL ([[EmbeddingQueries]] `assignSql`) dispatch on the same flag.
+    */
+  def assign(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame =
+    if (graft.GraftConfig.active.ivfRouted) assignHier(base, cent, payload)
+    else assignFlat(base, cent, payload)
+
+  /** Flat exact nearest-centroid assignment: one broadcast join + one
+    * partial-aggregating argmin (n·C distance terms, ties to the lowest
+    * cid via a (dist, cid) struct min — the same total order as
+    * [[assignHier]]'s two levels). Cheapest shape while the codebook is
+    * small; the capacity preset routes instead.
+    */
+  def assignFlat(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame = {
+    require(payload.contains("q"), "assignFlat payload must carry q for distances")
+    base.join(broadcast(cent))
+      .withColumn("dist", l2(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(payload.map(col) :+ col("cid"): _*),
+        struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id") +: payload.map(c => col(s"m.$c").as(c)) :+ col("m.cid").as("cell"): _*)
+  }
+
   def assignHier(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame = {
     require(payload.contains("q"), "assignHier payload must carry q for level-2 distances")
     val gcap = cent.groupBy().agg(
