@@ -205,6 +205,64 @@ object StreamingOps {
       .select(col("doc_id"), col("s._1").as("n_tokens"), col("s._2").as("sum_bits"))
   }
 
+  /** Eval-set serving table for [[screenVectors]]: the `vec_id % 97 = 0`
+    * eval vectors, quantized exactly like the batch embedding stack
+    * (round(x·1000) — QuantizeVec). Bounded collect BY CONSTRUCTION: the
+    * eval set is benchmark-sized (thousands) at any corpus scale — the
+    * same serving seam as [[scoreDocs]]' top-K vocabulary.
+    */
+  def collectEvalVectors(embeddings: DataFrame): Seq[(Long, Array[Long])] =
+    embeddings.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+
+  /** Streaming semantic-decontamination guard — the v13 operator
+    * (EmbeddingQueries `v13_semantic_decontaminate`) as an ingest-time
+    * screen: each arriving vector scores its max cosine against the
+    * closure-captured eval set and is flagged when it exceeds `threshold`.
+    * Stateless and map-only (one row in, one row out; no shuffle, no
+    * watermark, no state store), so batch and streaming results are
+    * row-identical — the batch op's broadcast-join + partial-agg argmax
+    * collapses to a per-row loop because the eval side is already
+    * in-memory-sized (that is what MAKES it broadcastable in batch).
+    * Determinism contract matches v13 exactly: integer dot/norms, one
+    * double divide per cosine ((cos, -eval_id) tie rule → lowest eval id),
+    * `round(·, 6)` on the reported max only, the flag on the unrounded
+    * value. Input needs (vec_id, q: array<long>) — quantize upstream with
+    * the same QuantizeVec as [[collectEvalVectors]].
+    */
+  def screenVectors(vecs: DataFrame, evals: Seq[(Long, Array[Long])],
+                    threshold: Double = 0.4): DataFrame = {
+    // closure-captured, not sparkContext.broadcast — see scoreDocs
+    val evalArr = evals.sortBy(_._1).toArray
+    val screen = udf { (q: Seq[Long]) =>
+      if (q == null || evalArr.isEmpty) (-1L, 0.0, false)
+      else {
+        val qa = q.toArray
+        var n2 = 0L
+        var i = 0
+        while (i < qa.length) { n2 += qa(i) * qa(i); i += 1 }
+        val qn = math.sqrt(n2.toDouble)
+        var bestCos = Double.NegativeInfinity
+        var bestId = -1L
+        for ((eid, eq) <- evalArr) {
+          var dot = 0L; var en2 = 0L; var j = 0
+          val m = math.min(qa.length, eq.length)
+          while (j < m) { dot += qa(j) * eq(j); j += 1 }
+          j = 0
+          while (j < eq.length) { en2 += eq(j) * eq(j); j += 1 }
+          val cos = dot.toDouble / (qn * math.sqrt(en2.toDouble))
+          // ascending-eid iteration + strict > replays max(struct(cos, -eid))
+          if (cos > bestCos) { bestCos = cos; bestId = eid }
+        }
+        (bestId, bestCos, bestCos >= threshold)
+      }
+    }
+    vecs.withColumn("m", screen(col("q")))
+      .select(col("vec_id"), col("m._1").as("eval_id"),
+        round(col("m._2"), 6).as("max_cos"), col("m._3").as("contaminated"))
+  }
+
   /** Production state-store settings for the stateful guards (band-claim
     * dedup, sequence packing, sessionization): the RocksDB provider keeps
     * state off-heap and disk-spillable, so a band-claim store with one

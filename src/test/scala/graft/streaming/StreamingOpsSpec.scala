@@ -467,4 +467,43 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.count(_.kept) == 5)
     } finally q.stop()
   }
+
+  test("screenVectors: streaming semantic-decontamination guard is row-identical to batch v13") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val evals = StreamingOps.collectEvalVectors(emb)
+    assert(evals.nonEmpty)
+    // the batch operator the guard serves: the full v13 catalog query
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val batch = graft.SparkEntry.queries("v13_semantic_decontaminate")(s, sf)
+      .collect().map(key).sortBy(_._1)
+    assert(batch.exists(_._4) && batch.exists(!_._4))
+
+    // same training vectors through the stateless guard, batch execution
+    val train = emb.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+    val guarded = StreamingOps.screenVectors(train, evals)
+      .collect().map(key).sortBy(_._1)
+    assert(guarded.toSeq == batch.toSeq)
+
+    // stream parity across a mid-corpus trigger split (stateless: the
+    // split cannot change any row)
+    val rows = train.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val q = StreamingOps.screenVectors(mem.toDF().toDF("vec_id", "q"), evals)
+      .writeStream.format("memory").queryName("semscreen").outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = s.table("semscreen").collect().map(key).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
