@@ -85,4 +85,22 @@ object Layout {
     out.write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** Write an assigned embedding corpus (`…, cell`) clustered by IVF cell
+    * — the STORAGE half of the IVF index, i.e. the inverted lists
+    * themselves: each parquet file covers a disjoint, contiguous cell
+    * range (range shuffle + in-file sort on `cell`), so an nprobe-cell
+    * query touches O(nprobe / cells-per-file) files through footer
+    * min/max stats while every other file is skippable without reading a
+    * row. Pair with the persisted codebook (`IvfCentroids.save`) and the
+    * materialized corpus→cell assignment it clusters: at the capacity
+    * geometry (1e10 vectors, 1e5 cells, ~512 MB files → ~6k files) a
+    * 2-probe query maps to ≲ 2 files instead of a corpus scan — file
+    * pruning does for ANN serving what partition pruning does for
+    * date-ranged facts. Within a file, the `cell` sort keeps each
+    * inverted list contiguous, so row-group stats prune inside the file
+    * too.
+    */
+  def writeIvfClustered(assigned: DataFrame, path: String, numFiles: Int): Unit =
+    writeRangeClustered(assigned, path, Seq(col("cell")), numFiles)
 }

@@ -95,6 +95,36 @@ class LayoutSpec extends SparkSpec {
     assert(zv < 0.6, s"z value span $zv")
   }
 
+  test("writeIvfClustered: inverted-list layout — probe cells map to a bounded file subset") {
+    // real corpus→cell assignment: capped seed codebook + the engine's
+    // preset-dispatched assignment (sf0.001 = 500 vectors, 15 cells)
+    val quantized = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+    val cent = graft.queries.IvfCentroids.cappedSeed(quantized, 1000)
+    val assigned = graft.queries.IvfCentroids.assign(quantized, cent, Seq("q"))
+    val path = tmp("ivf")
+    Layout.writeIvfClustered(assigned, path, numFiles = 8)
+    assert(spark.read.parquet(path).count() === assigned.count())
+
+    val ranges = fileRanges(path, "cell").sortBy(_._1)
+    assert(ranges.size >= 2)
+    // disjoint per-file cell ranges: the inverted-list contract
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $ranges")
+      case _                      =>
+    }
+    // an nprobe=2 probe set touches at most 2 files per probed cell
+    // (boundary cells can straddle two); every other file is skippable
+    // from footer stats alone, without reading a row
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length >= 4, s"degenerate fixture: ${cells.length} cells")
+    val probes = cells.take(2)
+    val touched = ranges.count { case (lo, hi) => probes.exists(c => c >= lo && c <= hi) }
+    assert(touched <= 4 && touched < ranges.size,
+      s"probe set $probes touches $touched of ${ranges.size} files")
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
