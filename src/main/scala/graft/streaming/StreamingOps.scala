@@ -263,6 +263,42 @@ object StreamingOps {
         round(col("m._2"), 6).as("max_cos"), col("m._3").as("contaminated"))
   }
 
+  /** Ingest-time IVF index maintenance: assign each arriving vector to its
+    * cell against the closure-captured codebook — the streaming sibling of
+    * the batch corpus→cell index (EmbeddingQueries' shared assignment) and
+    * the feed for `Layout.writeIvfClustered`'s inverted-list files.
+    * Stateless map-only, so batch/stream row-identical; replays
+    * `IvfCentroids.assignFlat`'s exact rule (integer squared-L2, ties to
+    * the lowest cid). The codebook is broadcast-sized by the same budget
+    * that bounds the batch side (≤ `numCells`·dim·8 B ≈ 51 MB at the
+    * capacity preset); at a cell count where flat argmin stops being the
+    * right per-vector cost the batch side switches to two-level routing
+    * (GraftConfig.ivfRouted) and this seam takes the coarse codebook
+    * instead.
+    */
+  def assignVectors(vecs: DataFrame, codebook: Seq[(Long, Array[Long])]): DataFrame = {
+    // closure-captured, not sparkContext.broadcast — see scoreDocs
+    val cents = codebook.sortBy(_._1).toArray
+    require(cents.nonEmpty, "assignVectors needs a non-empty codebook")
+    val assignF = udf { (q: Seq[Long]) =>
+      if (q == null) -1L
+      else {
+        val qa = q.toArray
+        var bestDist = Long.MaxValue
+        var bestCid = -1L
+        for ((cid, cq) <- cents) {
+          var dist = 0L; var i = 0
+          val m = math.min(qa.length, cq.length)
+          while (i < m) { val d = qa(i) - cq(i); dist += d * d; i += 1 }
+          // ascending-cid iteration + strict < replays the (dist, cid) min
+          if (dist < bestDist) { bestDist = dist; bestCid = cid }
+        }
+        bestCid
+      }
+    }
+    vecs.withColumn("cell", assignF(col("q")))
+  }
+
   /** Production state-store settings for the stateful guards (band-claim
     * dedup, sequence packing, sessionization): the RocksDB provider keeps
     * state off-heap and disk-spillable, so a band-claim store with one

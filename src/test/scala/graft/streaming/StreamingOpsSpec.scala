@@ -506,4 +506,41 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("assignVectors: streaming cell assignment is row-identical to the batch flat argmin") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val quantized = s.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+    val cent = graft.queries.IvfCentroids.cappedSeed(quantized, 1000)
+    val codebook = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val batch = graft.queries.IvfCentroids.assignFlat(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(batch.map(_._2).distinct.length > 1)
+
+    val served = StreamingOps.assignVectors(quantized, codebook)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(served.toSeq == batch.toSeq)
+
+    // stream parity across a trigger split (stateless)
+    val rows = quantized.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val q = StreamingOps.assignVectors(mem.toDF().toDF("vec_id", "q"), codebook)
+      .select(col("vec_id"), col("cell"))
+      .writeStream.format("memory").queryName("cellassign").outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = s.table("cellassign")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
