@@ -48,7 +48,7 @@ object ScaleBench {
 
   private val Families = Seq(
     "d8_scalable_dedup", "d12_edit_distance_verify", "d13_leakage_safe_split",
-    "d14_containment_dedup", "t18_ngram_novelty",
+    "d14_containment_dedup", "d17_fuzzy_decontaminate", "t18_ngram_novelty",
     "v6_ivf_ann", "v10_ivfpq_ann", "v11_ann_recall",
     // events family (round 8): sessionize = the window-heavy shape, asof =
     // the sort-merge-ish self-join shape — the two stateful/temporal plans
