@@ -78,6 +78,36 @@ class IvfCentroidsSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("assignFlat replays the exact argmin rule, and assign dispatches on the preset") {
+    val cent = IvfCentroids.cappedSeed(quantized, 1000)
+    val cents = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val expected = quantized.collect().map { r =>
+      val q = r.getSeq[Long](1).toArray
+      r.getLong(0) -> cents.map { case (cid, cq) => (l2(q, cq), cid) }.min._2
+    }.toMap
+    val got = IvfCentroids.assignFlat(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.toSet.size > 1)
+    // the dispatcher must follow the active preset's routing depth
+    val dispatched = IvfCentroids.assign(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFlags =
+      if (graft.GraftConfig.active.ivfRouted)
+        IvfCentroids.assignHier(quantized, cent, Seq("q"))
+          .select(col("vec_id"), col("cell")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else got
+    assert(dispatched == viaFlags)
+  }
+
   test("v6 with the trained codebook keeps recall@3 against exact brute force") {
     val vecs = quantized.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     def cos(a: Array[Long], b: Array[Long]): Double = {

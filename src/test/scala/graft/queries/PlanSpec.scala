@@ -263,6 +263,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d17_fuzzy_decontaminate broadcasts the eval side (bands and shingle sets); no sort-merge join") {
+    val p = plan("d17_fuzzy_decontaminate")
+    // the eval side is eval-set-sized at any corpus scale: both its band
+    // rows (candidate join) and its shingle sets (Jaccard verify) must be
+    // the broadcast build sides, so the training corpus streams map-only
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v13_semantic_decontaminate: broadcast eval vectors, partial-agg argmax, no window") {
+    val p = plan("v13_semantic_decontaminate")
+    assert(p.contains("BroadcastExchange"), p)
+    // the per-vector argmax must partial-aggregate below the exchange (one
+    // row per corpus vector through the shuffle, never the n×|eval|
+    // cross), and never a corpus-wide window. The struct-max buffer rules
+    // out HashAggregate, so Spark plans a partial+final SortAggregate pair
+    // — assert the pair, whichever aggregate implementation carries it.
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2, p)
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(l => l.contains("+- Exchange"))
+    val partialIdx = lines.lastIndexWhere(l => "Aggregate".r.findFirstIn(l).isDefined)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"no partial aggregate below the exchange\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mm7_phash_near_dup: chunk-bucketed equi self-join, no cartesian") {
+    val p = plan("mm7_phash_near_dup")
+    // hamming<=3 search must enter via the 14-bit-chunk equi-join keys —
+    // a cartesian or theta-only join would be the quadratic anti-shape
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("chunk"), p)
+  }
+
   test("PlanContracts: flagship shape rules hold at the demo preset") {
     // the same contract object PlanAudit runs per-preset in its own JVM
     // (GraftConfig.active is frozen at class load, so the 100tb-geometry
