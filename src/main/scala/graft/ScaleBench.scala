@@ -53,7 +53,10 @@ object ScaleBench {
     // events family (round 8): sessionize = the window-heavy shape, asof =
     // the sort-merge-ish self-join shape — the two stateful/temporal plans
     // that had never been on the curve
-    "e_sessionize", "j_asof_recent_purchase")
+    "e_sessionize", "j_asof_recent_purchase",
+    // multimodal dedup (round 9): the phash chunk-join shape — the one
+    // pillar whose growth the LSH-band family curves don't already cover
+    "mm7_phash_near_dup")
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val Digits = "0123456789"
