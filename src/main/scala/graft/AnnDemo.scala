@@ -12,21 +12,34 @@ import org.apache.spark.sql.functions._
   *  2. LAYOUT: the assigned corpus written as inverted lists
   *     ([[graft.layout.Layout.writeIvfClustered]] — disjoint per-file cell
   *     ranges), so probes have file-level locality.
-  *  3. SERVING: nprobe=2 cells per query against the layout — candidate
-  *     read confined to the probed cells' files, exact cosine rerank,
-  *     top-3. The artifact records how many layout files actually
-  *     contributed candidate rows vs the file total: the measured
-  *     file-pruning claim behind the layout.
+  *  3. SERVING: nprobe cells per query, candidates confined to the probed
+  *     cells via a pushed-down `cell IN (…)` literal filter (the query
+  *     router knows its cells — NOT a join the scan can't prune on),
+  *     exact cosine rerank, top-3.
   *
-  * One JSON line → `ann_demo_last.json` (SPARK_GRAFT_ANN_OUT to override).
+  * Geometry: the sf corpus is replicated ×`scale` (default 30 → 60k
+  * vectors at sf0.1) so the index has real shape — 1000 cells across 128
+  * files ≈ 7.8 cells/file, nprobe=10 → a query's candidate read maps to
+  * ≤10 of 128 files (≥12.8× file skip). The pruning claim is MEASURED,
+  * not listing math: `rows_read_1q` is the parquet scan's own
+  * numOutputRows for a single query's serve — rows surviving footer
+  * row-group skip — against `rows_total`. At this geometry each file is
+  * one row group, so row-group skip IS file skip. (The 100 TB version of
+  * the same math: 1e5 cells, ~6k files, nprobe=2 → ≲2 files per query.)
   *
-  *   runMain graft.AnnDemo [sfDir] [workDir]
+  * All instrumentation (files touched, scan metrics) runs OUTSIDE the
+  * timed blocks; `probe_s` times exactly one serving job: the 8-query
+  * batch's filter→rerank→top-3. One JSON line → `ann_demo_last.json`
+  * (SPARK_GRAFT_ANN_OUT to override).
+  *
+  *   runMain graft.AnnDemo [sfDir] [workDir] [scale]
   */
 object AnnDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-ann-demo").toString)
+    val scale = args.lift(2).map(_.toInt).getOrElse(30)
     GraftSession.quietStartupWarnings()
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,12 +52,16 @@ object AnnDemo {
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
-    val quantized = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // corpus prep (untimed): ×scale replication — the demo needs enough
+    // vectors for a 1000-cell index with visible per-file cell locality
+    if (scale > 1) ScaleBench.synthesize(spark, sfDir, s"$workDir/corpus", scale)
+    val corpusDir = if (scale > 1) s"$workDir/corpus" else sfDir
+    val quantized = spark.read.parquet(s"$corpusDir/embeddings.parquet")
       .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
 
     // 1. index build: trained codebook parquet + corpus→cell assignment
     val (_, buildS) = timed {
-      IvfCentroids.save(quantized, s"$workDir/codebook", k = 100000, iters = 2, sampleMod = 4)
+      IvfCentroids.save(quantized, s"$workDir/codebook", k = 1000, iters = 2, sampleMod = 4)
     }
     val codebook = IvfCentroids.load(spark, s"$workDir/codebook").cache()
     val nCells = codebook.count()
@@ -57,17 +74,20 @@ object AnnDemo {
     }
 
     // 2. inverted-list layout
-    val nFiles = 32
+    val nFiles = 128
     val (_, layoutS) = timed {
       Layout.writeIvfClustered(assigned, s"$workDir/lists", nFiles)
     }
     val lists = spark.read.parquet(s"$workDir/lists")
     val filesTotal = lists.select(input_file_name()).distinct().count()
+    val rowsTotal = lists.count()
 
-    // 3. serving: nprobe=2 cells per probe query, candidates only from the
-    // probed cells' inverted lists, exact cosine rerank, top-3
-    val nProbe = 2
-    val probes = quantized.filter(col("vec_id") < 10)
+    // probe routing (untimed index lookup prep): nprobe nearest cells per
+    // query vector; the per-query cell lists are driver-side tiny
+    // (nQueries × nprobe longs) — exactly what a query router holds
+    val nProbe = 10
+    val nQueries = 8
+    val probes = quantized.filter(col("vec_id") < nQueries)
       .join(broadcast(codebook))
       .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
       .withColumn("prk", row_number().over(org.apache.spark.sql.expressions.Window
@@ -77,33 +97,57 @@ object AnnDemo {
         graft.functions.longDot(col("q"), col("q")).as("qn2"), col("cid").as("cell"))
       .cache()
     probes.count()
-    val probeCells = probes.select("cell").distinct().count()
+    val batchCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val q1Cells = probes.filter(col("query_id") === 0).select("cell")
+      .collect().map(_.getLong(0)).sorted
 
-    val ((filesTouched, topk), probeS) = timed {
-      // tag the source file before the join: input_file_name() resolves
-      // against a single scan only
-      val candidates = lists.withColumn("src_file", input_file_name())
-        .join(broadcast(probes), Seq("cell"))
+    // 3. serving, the timed job: literal cell filter (parquet-pushed, so
+    // footer stats skip non-probed files' row groups) → broadcast-join the
+    // probe table for rerank pairs → exact cosine → top-3 per query
+    def serve(cells: Array[Long], probeTbl: org.apache.spark.sql.DataFrame) =
+      lists.filter(col("cell").isin(cells.map(Long.box): _*))
+        .join(broadcast(probeTbl), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-      val touched = candidates.select("src_file").distinct().count()
-      val ranked = candidates
         .withColumn("cos", graft.functions.longDot(col("q"), col("qq")).cast("double") /
           (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
         .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
         .filter(col("rk") <= 3)
-        .count()
-      (touched, ranked)
-    }
+    val (topk, probeS) = timed { serve(batchCells, probes).count() }
+
+    // instrumentation, all untimed:
+    //  - a single query's candidate read with scan metrics: the parquet
+    //    scan's OWN numOutputRows after footer row-group skip — the same
+    //    pushed `cell IN` filter the serve runs, measured on the bare
+    //    scan+filter (no exchange → non-adaptive plan, leaf metrics live
+    //    on this Dataset's own execution, populated by its collect())
+    val q1scan = lists.filter(col("cell").isin(q1Cells.map(Long.box): _*))
+    q1scan.collect()
+    val rowsRead1q = q1scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    //  - files contributing candidate rows, batch union + per-query
+    val cand = lists.withColumn("src_file", input_file_name())
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val filesTouched = cand.select("src_file").distinct().count()
+    val filesPerQuery = cand.groupBy("query_id")
+      .agg(countDistinct(col("src_file")).as("nf"))
+      .agg(avg(col("nf")), max(col("nf"))).head()
+    val (fAvg, fMax) = (filesPerQuery.getDouble(0), filesPerQuery.getLong(1))
 
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     val line =
-      s"""{"metric":"ann_serving","preset":"$preset","build_s":${fmt(buildS)},"assign_s":${fmt(assignS)},""" +
-        s""""layout_s":${fmt(layoutS)},"probe_s":${fmt(probeS)},"cells":$nCells,""" +
-        s""""files_total":$filesTotal,"probe_cells":$probeCells,"files_touched":$filesTouched,""" +
-        s""""topk_rows":$topk,"sf":"$sfDir"}"""
+      s"""{"metric":"ann_serving","preset":${Artifacts.jsonStr(preset)},"scale":$scale,""" +
+        s""""build_s":${fmt(buildS)},"assign_s":${fmt(assignS)},"layout_s":${fmt(layoutS)},""" +
+        s""""probe_s":${fmt(probeS)},"cells":$nCells,"nprobe":$nProbe,"n_queries":$nQueries,""" +
+        s""""files_total":$filesTotal,"files_touched":$filesTouched,""" +
+        s""""files_per_query_avg":${fmt(fAvg)},"files_per_query_max":$fMax,""" +
+        s""""rows_total":$rowsTotal,"rows_read_1q":$rowsRead1q,""" +
+        s""""scan_skip_1q":${fmt(rowsTotal.toDouble / math.max(1L, rowsRead1q))},""" +
+        s""""topk_rows":$topk,"sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
-      s""""preset":"$preset"""", line)
+      s""""preset":${Artifacts.jsonStr(preset)}""", line)
     spark.stop()
     println(line)
     Console.out.flush()

@@ -38,6 +38,18 @@ object Artifacts {
         System.err.println(s"[artifact] upsert $path failed: ${e.getMessage}")
     }
 
+  /** JSON string literal (quotes included): interpolating a path or env
+    * value raw into an artifact line produces invalid JSON the moment the
+    * value contains a quote or backslash.
+    */
+  def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Host-speed calibration: a fixed pure-CPU job (2B xxhash64 reduced by bit_xor, no
     * I/O, no shuffle beyond the one partial-agg exchange) timed on its
     * second run (the first absorbs its own codegen/JIT). Cross-round

@@ -235,10 +235,18 @@ object StreamingOps {
                     threshold: Double = 0.4): DataFrame = {
     // closure-captured, not sparkContext.broadcast — see scoreDocs
     val evalArr = evals.sortBy(_._1).toArray
+    // the eval set is fixed-dim by construction; pin that here so a
+    // malformed input vector FAILS the batch instead of silently scoring a
+    // truncated (deflated) cosine and passing the contamination screen
+    val edim = if (evalArr.isEmpty) -1 else evalArr.head._2.length
+    require(evalArr.forall(_._2.length == edim),
+      "screenVectors: eval vectors must share one dimension")
     val screen = udf { (q: Seq[Long]) =>
       if (q == null || evalArr.isEmpty) (-1L, 0.0, false)
       else {
         val qa = q.toArray
+        require(qa.length == edim,
+          s"screenVectors: input dim ${qa.length} != eval dim $edim")
         var n2 = 0L
         var i = 0
         while (i < qa.length) { n2 += qa(i) * qa(i); i += 1 }
@@ -247,8 +255,7 @@ object StreamingOps {
         var bestId = -1L
         for ((eid, eq) <- evalArr) {
           var dot = 0L; var en2 = 0L; var j = 0
-          val m = math.min(qa.length, eq.length)
-          while (j < m) { dot += qa(j) * eq(j); j += 1 }
+          while (j < edim) { dot += qa(j) * eq(j); j += 1 }
           j = 0
           while (j < eq.length) { en2 += eq(j) * eq(j); j += 1 }
           val cos = dot.toDouble / (qn * math.sqrt(en2.toDouble))
@@ -267,29 +274,76 @@ object StreamingOps {
     * cell against the closure-captured codebook — the streaming sibling of
     * the batch corpus→cell index (EmbeddingQueries' shared assignment) and
     * the feed for `Layout.writeIvfClustered`'s inverted-list files.
-    * Stateless map-only, so batch/stream row-identical; replays
-    * `IvfCentroids.assignFlat`'s exact rule (integer squared-L2, ties to
-    * the lowest cid). The codebook is broadcast-sized by the same budget
-    * that bounds the batch side (≤ `numCells`·dim·8 B ≈ 51 MB at the
-    * capacity preset); at a cell count where flat argmin stops being the
-    * right per-vector cost the batch side switches to two-level routing
-    * (GraftConfig.ivfRouted) and this seam takes the coarse codebook
-    * instead.
+    * Stateless map-only, so batch/stream row-identical; DISPATCHES ON THE
+    * SAME FLAG AS THE BATCH SEAM (`GraftConfig.ivfRouted`, overridable per
+    * call for tests): at the demo depth it replays `IvfCentroids
+    * .assignFlat`'s exact rule (integer squared-L2, ties to the lowest
+    * cid); at the capacity depth it replays `assignHier`'s two-level route
+    * (coarse = cids < ceil(√C); fine→coarse routing by (gdist, gid) min;
+    * level-1 (gdist, gid) then level-2 (dist, cid) argmin) with the
+    * routing tables built driver-side once — centroid-count work, the same
+    * total as the batch `centg` job. Before this dispatch a streamed
+    * vector could land in a different cell than the batch-built index
+    * feeding the same inverted-list layout at the 100tb preset. The full
+    * fine codebook stays the input either way (≤ `numCells`·dim·8 B ≈
+    * 51 MB at the capacity preset — broadcast-sized by the same budget
+    * that bounds the batch side).
     */
-  def assignVectors(vecs: DataFrame, codebook: Seq[(Long, Array[Long])]): DataFrame = {
+  def assignVectors(vecs: DataFrame, codebook: Seq[(Long, Array[Long])],
+                    routed: Boolean = graft.GraftConfig.active.ivfRouted): DataFrame = {
     // closure-captured, not sparkContext.broadcast — see scoreDocs
     val cents = codebook.sortBy(_._1).toArray
     require(cents.nonEmpty, "assignVectors needs a non-empty codebook")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      "assignVectors: codebook centroids must share one dimension")
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var dist = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); dist += d * d; i += 1 }
+      dist
+    }
+    // groups: (gq or null, members ascending by cid). Flat = ONE group
+    // holding every centroid — level-1 is skipped and level-2's (dist, cid)
+    // argmin over it IS assignFlat's rule, so both depths share one loop.
+    val groups: Array[(Array[Long], Array[(Long, Array[Long])])] =
+      if (!routed) Array((null, cents))
+      else {
+        val gcap = math.max(1L, math.ceil(math.sqrt(cents.length.toDouble)).toLong)
+        val coarse = cents.filter(_._1 < gcap)
+        // fine -> nearest coarse, (gdist, gid) min: ascending-gid + strict <
+        val byGid = cents.groupBy { case (_, cq) =>
+          var bestD = Long.MaxValue; var bestG = -1L
+          for ((gid, gq) <- coarse) {
+            val d = sq(cq, gq)
+            if (d < bestD) { bestD = d; bestG = gid }
+          }
+          bestG
+        }
+        coarse.map { case (gid, gq) =>
+          (gq, byGid.getOrElse(gid, Array.empty[(Long, Array[Long])]).sortBy(_._1))
+        }
+      }
     val assignF = udf { (q: Seq[Long]) =>
       if (q == null) -1L
       else {
         val qa = q.toArray
+        require(qa.length == dim,
+          s"assignVectors: input dim ${qa.length} != codebook dim $dim")
+        // level 1: (gdist, gid) argmin — trivial when flat (one group)
+        var members = groups(0)._2
+        if (groups.length > 1) {
+          var bestD = Long.MaxValue; var g = 0
+          while (g < groups.length) {
+            val d = sq(qa, groups(g)._1)
+            if (d < bestD) { bestD = d; members = groups(g)._2 }
+            g += 1
+          }
+        }
+        // level 2: (dist, cid) argmin within the routed group
         var bestDist = Long.MaxValue
         var bestCid = -1L
-        for ((cid, cq) <- cents) {
-          var dist = 0L; var i = 0
-          val m = math.min(qa.length, cq.length)
-          while (i < m) { val d = qa(i) - cq(i); dist += d * d; i += 1 }
+        for ((cid, cq) <- members) {
+          val dist = sq(qa, cq)
           // ascending-cid iteration + strict < replays the (dist, cid) min
           if (dist < bestDist) { bestDist = dist; bestCid = cid }
         }

@@ -125,6 +125,29 @@ class LayoutSpec extends SparkSpec {
       s"probe set $probes touches $touched of ${ranges.size} files")
   }
 
+  test("writeIvfClustered: pushed cell filter skips row groups — measured by scan metrics") {
+    // the pruning claim asserted from the parquet scan's OWN counters, not
+    // listing math: numOutputRows on the leaf scan counts rows surviving
+    // footer row-group skip (each file here is one row group, so row-group
+    // skip IS file skip), before Spark's re-filter trims to exact matches
+    val df = spark.range(12800).select(col("id").as("vec_id"), (col("id") % 128).as("cell"))
+    val path = tmp("ivfmetrics")
+    Layout.writeIvfClustered(df, path, numFiles = 64)
+    val lists = spark.read.parquet(path)
+    val probe = lists.filter(col("cell").isin(0L, 64L))
+    // the filter must reach the scan as a pushed parquet filter
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("In(cell"), plan)
+    assert(probe.collect().length === 200) // 100 rows per probed cell
+    val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    // 64 files × 200 rows, ~2 cells/file; 2 probed cells land in ≤2 files
+    // each (range-boundary straddle) → the scan may read at most 4 files'
+    // rows = 800, a ≥16× reduction vs the 12800-row corpus
+    assert(scanRows >= 200 && scanRows <= 800, s"scan read $scanRows rows of 12800")
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)

@@ -543,4 +543,54 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("assignVectors: routed depth is row-identical to the batch two-level assignHier") {
+    // the capacity-preset half of the dispatch (GraftConfig.active is
+    // demo in this JVM, so exercise it via the explicit override): a
+    // streamed vector must land in the SAME cell as the batch-built
+    // index feeding the same inverted-list layout
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val quantized = s.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+    val cent = graft.queries.IvfCentroids.cappedSeed(quantized, 64)
+    val codebook = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val batch = graft.queries.IvfCentroids.assignHier(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(batch.map(_._2).distinct.length > 1)
+
+    val served = StreamingOps.assignVectors(quantized, codebook, routed = true)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(served.toSeq == batch.toSeq)
+
+    // and the two depths genuinely differ on this codebook — otherwise
+    // this parity test would also pass with a flat-only implementation
+    val flat = StreamingOps.assignVectors(quantized, codebook, routed = false)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(flat.toSeq != batch.toSeq,
+      "expected at least one vector routed to a non-exact cell at depth 2")
+  }
+
+  test("screenVectors/assignVectors: dimension mismatch fails fast instead of truncating") {
+    val s = spark
+    import s.implicits._
+    val evals = Seq(1L -> Array(1000L, 0L, 0L))
+    val codebook = Seq(0L -> Array(0L, 0L, 0L), 1L -> Array(1000L, 1000L, 1000L))
+    // a 2-dim vector against a 3-dim eval set used to score a silently
+    // deflated cosine and pass the screen; now the batch fails
+    val bad = Seq((7L, Seq(1000L, 0L))).toDF("vec_id", "q")
+    intercept[Exception] {
+      StreamingOps.screenVectors(bad, evals).collect()
+    }
+    intercept[Exception] {
+      StreamingOps.assignVectors(bad, codebook).collect()
+    }
+    // well-formed rows still pass
+    val good = Seq((7L, Seq(1000L, 0L, 0L))).toDF("vec_id", "q")
+    assert(StreamingOps.screenVectors(good, evals).collect().length == 1)
+    assert(StreamingOps.assignVectors(good, codebook).collect().length == 1)
+  }
 }
