@@ -61,9 +61,14 @@ object PipelineDemo {
     val total = counts.values.sum
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"[demo] $t%-20s $n%8d qa pairs") }
     println(f"[demo] $nFrames frames -> $total qa pairs in $secs%.1f s (${nFrames / secs}%.0f frames/s)")
-    Artifacts.writeLine(
+    // one line PER SCALE (upsert keyed on the frame count): the frames/s
+    // claim lives on a scale curve, not a single point — re-runs replace
+    // their own scale's line and leave the others comparable
+    val calib = Artifacts.calibrate(spark)
+    Artifacts.upsertLine(
       sys.env.getOrElse("SPARK_GRAFT_TPUT_PIPELINE_OUT", "throughput_pipeline.json"),
-      f"""{"metric":"pipeline_frames_per_s","value":${nFrames / secs}%.0f,"frames":$nFrames,"qa_pairs":$total,"sec":$secs%.1f}""")
+      s""""frames":$nFrames,""",
+      f"""{"metric":"pipeline_frames_per_s","value":${nFrames / secs}%.0f,"frames":$nFrames,"qa_pairs":$total,"sec":$secs%.1f,"calib":$calib%.2f}""")
     spark.stop()
   }
 }

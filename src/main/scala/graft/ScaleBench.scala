@@ -56,7 +56,14 @@ object ScaleBench {
     "e_sessionize", "j_asof_recent_purchase",
     // multimodal dedup (round 9): the phash chunk-join shape — the one
     // pillar whose growth the LSH-band family curves don't already cover
-    "mm7_phash_near_dup")
+    "mm7_phash_near_dup",
+    // fixed-eval decontamination legs (round 10): the catalog's `%97`
+    // convention grows the eval side 1/97th of the corpus, so the plain
+    // d17/v13 curves conflate eval growth with corpus growth; these pin
+    // the eval set at its ×1 size (ids < the ×1 stride — the replica-0
+    // rows) while the training side scales — the production contract
+    // ("eval side is eval-set-sized at any corpus scale") made measurable
+    "d17_fixed_eval", "v13_fixed_eval")
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val Digits = "0123456789"
@@ -125,11 +132,12 @@ object ScaleBench {
     (nDocs * k, nVec * k)
   }
 
-  private def coldRun(spark: SparkSession, dir: String, name: String): Double = {
+  private def coldRun(spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
     graft.queries.DedupQueries.release(spark, dir)
     spark.catalog.clearCache()
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -158,8 +166,23 @@ object ScaleBench {
     for (k <- scales)
       rows(k) = synthesize(spark, src, s"$workDir/x$k", k)
 
+    // fixed-eval legs: the eval side pinned to the ×1 corpus's rows — ids
+    // below the source id stride, i.e. replica 0 of every synthesized
+    // scale (the id-offset rule above guarantees replica 0 IS the source)
+    val docStride = spark.read.parquet(s"$src/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+    val vecStride = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0) + 1
+    def queryFn(name: String): (SparkSession, String) => DataFrame = name match {
+      case "d17_fixed_eval" =>
+        (sp, dir) => graft.queries.DedupQueries.fuzzyDecontaminate(sp, dir, docStride)
+      case "v13_fixed_eval" =>
+        (sp, dir) => graft.queries.EmbeddingQueries.semanticDecontaminate(sp, dir, vecStride)
+      case n => SparkEntry.queries(n)
+    }
+
     // codegen/JIT warmup at the smallest scale, unmeasured
-    families.foreach(coldRun(spark, s"$workDir/x${scales.head}", _))
+    families.foreach(f => coldRun(spark, s"$workDir/x${scales.head}", queryFn(f)))
 
     // two cold samples per point, BOTH recorded ("queries" = min is the
     // headline, "queries_max" keeps outliers auditable): each sample is a
@@ -175,7 +198,7 @@ object ScaleBench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     for (name <- families)
       times(name) = scales.map { k =>
-        val samples = Seq.fill(2)(coldRun(spark, s"$workDir/x$k", name))
+        val samples = Seq.fill(2)(coldRun(spark, s"$workDir/x$k", queryFn(name)))
         (samples.min, samples.max)
       }
 

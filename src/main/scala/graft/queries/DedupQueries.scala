@@ -131,6 +131,26 @@ object DedupQueries extends QueryModule {
         posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")))
       .select(col("band_idx").cast("int").as("band_idx"), col("band"), col("doc_id"))
 
+  /** Per-document `(doc_id, sh, bands)` — the band-key math of
+    * [[docBandRows]] with the shingle digest set kept IN-ROW and the bands
+    * as one positional array instead of exploded rows. Pure stateless
+    * column expressions (shingle→minhash→band, the exact catalog math), so
+    * it applies to streaming frames too — the shape the streaming fuzzy-
+    * decontamination guard ([[graft.streaming.StreamingOps.screenDocsFuzzy]])
+    * needs: band array for the broadcast eval-index lookup, shingle set
+    * for the in-row Jaccard verify.
+    */
+  def docShinglesAndBands(docs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh"))
+    val mh =
+      if (NumMinhash <= 8) graft.functions.minhash8(col("sh"))
+      else graft.functions.minhashN(col("sh"), NumMinhash)
+    sets.withColumn("mh", mh)
+      .select(col("doc_id") +: col("sh") +:
+        (0 until NumMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+      .select(col("doc_id"), col("sh"), array(bandCols: _*).as("bands"))
+  }
+
   /** Incremental near-dup ingest against a persisted band-claim store.
     *
     * `store` rows are `(band_idx, band, rep)` — the first doc_id ever seen
@@ -361,6 +381,65 @@ object DedupQueries extends QueryModule {
     */
   private def sharedCache(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     SharedCaches.get(s, d, key)(build)
+
+  /** FUZZY benchmark decontamination (the d17 operator) — the
+    * near-duplicate companion to the exact-overlap family (d9 exact
+    * 5-grams, d10 hashed, d16 graded): a training doc that is a
+    * near-duplicate of an eval doc (Jaccard >= 0.5 over shingles) is
+    * contamination even when shuffled/fragmented overlap keeps any single
+    * long n-gram below the exact detectors' radar. Candidates come from an
+    * LSH band join BETWEEN the two sides (never all-pairs): the eval side
+    * is eval-set-sized at any corpus scale, so its band rows AND its
+    * shingle sets broadcast, and the training side streams map-only
+    * through candidate generation and Jaccard verification — the d9
+    * broadcast discipline applied to the d3 band machinery.
+    * First-shared-band in-row dedup, as everywhere: no distinct() shuffle
+    * of the candidate set.
+    *
+    * `evalCap` bounds the eval side's doc_id: the catalog runs unbounded
+    * (the `%97` harness convention — eval grows 1/97th of the corpus), the
+    * scale harness passes the ×1 corpus's id stride to pin the eval set at
+    * its ×1 size while the training side grows — the PRODUCTION shape
+    * (a fixed benchmark suite screened against an ever-growing corpus),
+    * under which the whole job is linear in corpus size.
+    */
+  def fuzzyDecontaminate(s: SparkSession, d: String, evalCap: Long = Long.MaxValue): DataFrame = {
+    val isEval = col("doc_id") % 97 === 0 && col("doc_id") < evalCap
+    val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+    val trainBands = signatures(sets.filter(!isEval))
+      .select(col("doc_id") +: bandCols: _*)
+    val evalBands = signatures(sets.filter(isEval))
+      .select(col("doc_id") +: bandCols: _*)
+    def bandRows(sigs: DataFrame) = sigs.select(
+      col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
+        posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*)
+    val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
+      when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
+    }
+    val cands = bandRows(trainBands).as("x")
+      .join(broadcast(bandRows(evalBands).as("y")),
+        col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band"))
+      .filter(col("x.band_idx") === firstSharedBand)
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("eid"))
+    val evalSets = sets.filter(isEval)
+      .select(col("doc_id").as("eid"), col("sh").as("esh"))
+    val verified = cands
+      .join(sets.as("sa"), col("did") === col("sa.doc_id"))
+      .join(broadcast(evalSets), Seq("eid"))
+      .select(col("did"), col("eid"),
+        size(array_intersect(col("sa.sh"), col("esh"))).as("isect"),
+        size(col("sa.sh")).as("na"), size(col("esh")).as("nb"))
+      .withColumn("jaccard",
+        round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+    // per contaminated doc: match count + the strongest eval match
+    // (max jaccard, ties to the lowest eval id — one max(struct))
+    verified.groupBy(col("did"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(struct(col("jaccard"), (-col("eid")).as("nid"))).as("m"))
+      .select(col("did").as("doc_id"), col("n_eval_matches"),
+        (-col("m.nid")).as("eval_doc_id"), col("m.jaccard").as("max_jaccard"))
+  }
 
   /** Handles currently registered for (session, dir) — test hook for the
     * lifecycle spec (storage-level assertions need the exact frames).
@@ -812,55 +891,7 @@ object DedupQueries extends QueryModule {
     ),
     QueryDef(
       "d17_fuzzy_decontaminate",
-      (s, d) => {
-        // FUZZY benchmark decontamination — the near-duplicate companion to
-        // the exact-overlap family (d9 exact 5-grams, d10 hashed, d16
-        // graded): a training doc that is a near-duplicate of an eval doc
-        // (Jaccard >= 0.5 over shingles) is contamination even when
-        // shuffled/fragmented overlap keeps any single long n-gram below
-        // the exact detectors' radar. Candidates come from an LSH band join
-        // BETWEEN the two sides (never all-pairs): the eval side is
-        // eval-set-sized at any corpus scale, so its band rows AND its
-        // shingle sets broadcast, and the training side streams map-only
-        // through candidate generation and Jaccard verification — the d9
-        // broadcast discipline applied to the d3 band machinery.
-        // First-shared-band in-row dedup, as everywhere: no distinct()
-        // shuffle of the candidate set.
-        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
-        val trainBands = signatures(sets.filter(col("doc_id") % 97 =!= 0))
-          .select(col("doc_id") +: bandCols: _*)
-        val evalBands = signatures(sets.filter(col("doc_id") % 97 === 0))
-          .select(col("doc_id") +: bandCols: _*)
-        def bandRows(sigs: DataFrame) = sigs.select(
-          col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
-            posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*)
-        val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) { (acc, bi) =>
-          when(col(s"x.band$bi") === col(s"y.band$bi"), lit(bi)).otherwise(acc)
-        }
-        val cands = bandRows(trainBands).as("x")
-          .join(broadcast(bandRows(evalBands).as("y")),
-            col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band"))
-          .filter(col("x.band_idx") === firstSharedBand)
-          .select(col("x.doc_id").as("did"), col("y.doc_id").as("eid"))
-        val evalSets = sets.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("eid"), col("sh").as("esh"))
-        val verified = cands
-          .join(sets.as("sa"), col("did") === col("sa.doc_id"))
-          .join(broadcast(evalSets), Seq("eid"))
-          .select(col("did"), col("eid"),
-            size(array_intersect(col("sa.sh"), col("esh"))).as("isect"),
-            size(col("sa.sh")).as("na"), size(col("esh")).as("nb"))
-          .withColumn("jaccard",
-            round(col("isect").cast("double") / (col("na") + col("nb") - col("isect")), 6))
-          .filter(col("jaccard") >= JaccardThreshold)
-        // per contaminated doc: match count + the strongest eval match
-        // (max jaccard, ties to the lowest eval id — one max(struct))
-        verified.groupBy(col("did"))
-          .agg(count(lit(1)).as("n_eval_matches"),
-            max(struct(col("jaccard"), (-col("eid")).as("nid"))).as("m"))
-          .select(col("did").as("doc_id"), col("n_eval_matches"),
-            (-col("m.nid")).as("eval_doc_id"), col("m.jaccard").as("max_jaccard"))
-      },
+      (s, d) => fuzzyDecontaminate(s, d),
       Some(s"""WITH sets AS ($shingleSetSql),
              |tsig AS (SELECT doc_id, $bandColsSql FROM (
              |  SELECT doc_id, $minhashColsSql FROM sets WHERE doc_id % 97 <> 0)),

@@ -253,6 +253,40 @@ object EmbeddingQueries extends QueryModule {
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
 
+  /** EMBEDDING-SPACE decontamination (the v13 operator) — the semantic
+    * companion to the token-overlap family (d9/d10/d16 exact n-grams, d17
+    * fuzzy Jaccard): a training item whose embedding is near an eval
+    * item's is contamination even when a paraphrase shares no n-grams at
+    * all. The eval side is eval-set-sized at any corpus scale, so its
+    * (quantized) vectors broadcast and the corpus side is ONE map-only
+    * scan folding the |eval| cosines into a partial-aggregated argmax per
+    * vector — no shuffle wider than one row per corpus vector, linear in n
+    * at fixed eval size. Same determinism contract as the rest of the
+    * family: exact integer dots, single-IEEE-op cosine, (cos, -eval_id)
+    * struct max for tie-free argmax.
+    *
+    * `evalCap` bounds the eval side's vec_id: the catalog runs unbounded
+    * (the `%97` harness convention — eval grows 1/97th of the corpus), the
+    * scale harness passes the ×1 corpus's id stride to pin the eval set at
+    * its ×1 size while the corpus side grows — the PRODUCTION shape (a
+    * fixed benchmark suite screened against an ever-growing corpus).
+    */
+  def semanticDecontaminate(s: SparkSession, d: String, evalCap: Long = Long.MaxValue): DataFrame = {
+    val isEval = col("vec_id") % 97 === 0 && col("vec_id") < evalCap
+    val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+    val evals = base.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("q").as("eq"), col("n2").as("en2"))
+    base.filter(!isEval)
+      .select(col("vec_id"), col("q"), col("n2"))
+      .join(broadcast(evals))
+      .withColumn("cos", cosine(idot(col("q"), col("eq")), col("n2"), col("en2")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+        round(col("m.cos"), 6).as("max_cos"),
+        (col("m.cos") >= CosineThreshold).as("contaminated"))
+  }
+
   /** PQ geometry: 64 dims → `PqSub` subspaces × `PqSubDim` dims, `PqCodes`
     * codewords per subspace (first-`PqCodes` seed codebook — per-subspace
     * k-means at scale, the IvfCentroids seam).
@@ -770,31 +804,7 @@ object EmbeddingQueries extends QueryModule {
     ),
     QueryDef(
       "v13_semantic_decontaminate",
-      (s, d) => {
-        // EMBEDDING-SPACE decontamination — the semantic companion to the
-        // token-overlap family (d9/d10/d16 exact n-grams, d17 fuzzy
-        // Jaccard): a training item whose embedding is near an eval item's
-        // is contamination even when a paraphrase shares no n-grams at all.
-        // The eval side is eval-set-sized at any corpus scale, so its
-        // (quantized) vectors broadcast and the corpus side is ONE map-only
-        // scan folding the |eval| cosines into a partial-aggregated argmax
-        // per vector — no shuffle wider than one row per corpus vector,
-        // linear in n at fixed eval size. Same determinism contract as the
-        // rest of the family: exact integer dots, single-IEEE-op cosine,
-        // (cos, -eval_id) struct max for tie-free argmax.
-        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
-        val evals = base.filter(col("vec_id") % 97 === 0)
-          .select(col("vec_id").as("eval_id"), col("q").as("eq"), col("n2").as("en2"))
-        base.filter(col("vec_id") % 97 =!= 0)
-          .select(col("vec_id"), col("q"), col("n2"))
-          .join(broadcast(evals))
-          .withColumn("cos", cosine(idot(col("q"), col("eq")), col("n2"), col("en2")))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cos"), (-col("eval_id")).as("nid"))).as("m"))
-          .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
-            round(col("m.cos"), 6).as("max_cos"),
-            (col("m.cos") >= CosineThreshold).as("contaminated"))
-      },
+      (s, d) => semanticDecontaminate(s, d),
       Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
              |ev AS (SELECT vec_id AS eval_id, q AS eq, n2 AS en2 FROM base WHERE vec_id % 97 = 0),
              |sc AS (SELECT b.vec_id, e.eval_id,

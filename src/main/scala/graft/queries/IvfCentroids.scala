@@ -163,6 +163,28 @@ object IvfCentroids {
     * demo routing depth, two-level coarse→fine at the capacity depth —
     * see `GraftConfig.ivfRouted` for the cost model. Query code and oracle
     * SQL ([[EmbeddingQueries]] `assignSql`) dispatch on the same flag.
+    *
+    * THE NEXT ROUTING RUNG (design note — not needed at the current
+    * budget): the two rungs implemented here cost n·C (flat) and ~2n·√C
+    * (two-level). Past C ≈ 1e6 cells the next rung is a b-ary routing
+    * TREE — hierarchical k-means with branching factor b (equivalently an
+    * inverted multi-index): log_b C levels, n·b·log_b C distance terms
+    * per assignment pass (b=32, C=1e6 → ~4 levels, 128 terms/vector vs
+    * 2000 for two-level). It slots in BEHIND THE SAME SEAM: a drop-in
+    * with [[assignHier]]'s signature `(base, cent, payload) → (vec_id,
+    * payload…, cell)` whose routing tables (level-k centroid → children)
+    * are, like `centg` below, centroid-count work materialized once and
+    * broadcast — the corpus side stays one map-only pass + partial-agg
+    * argmin per level, no shuffle wider than one row per vector. The
+    * contract every rung must satisfy is pinned executable in
+    * IvfCentroidsSpec ("routing-rung seam contract"): exactly one output
+    * row per input vector, `cell` drawn from `cent.cid`, payload columns
+    * passed through byte-identical, deterministic under rerun (total-order
+    * tie-breaks at every level), and cluster quality preserved (the
+    * recall@3 gate). The dispatcher then grows a third branch on a cell-
+    * budget threshold, and the oracle mirrors it the way `hierAssignSql`
+    * mirrors rung two — at C ≤ 1e5 (the 100 TB preset) two-level routing
+    * is strictly cheaper, so rung three stays a documented seam, not code.
     */
   def assign(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame =
     if (graft.GraftConfig.active.ivfRouted) assignHier(base, cent, payload)

@@ -270,6 +270,91 @@ object StreamingOps {
         round(col("m._2"), 6).as("max_cos"), col("m._3").as("contaminated"))
   }
 
+  /** Eval-side serving index for [[screenDocsFuzzy]], built from an eval
+    * document frame `(doc_id, text, …)` with the exact catalog math
+    * ([[graft.queries.DedupQueries.docShinglesAndBands]]): `bands` maps an
+    * (band_idx, band) bucket to its eval doc ids (ascending), `sets` maps
+    * eval doc id to its shingle digest set. Bounded collect BY
+    * CONSTRUCTION — the eval set is benchmark-sized (thousands) at any
+    * corpus scale, the same serving seam as [[collectEvalVectors]].
+    */
+  case class EvalDocIndex(bands: Map[(Int, String), Array[Long]],
+                          sets: Map[Long, Array[Long]])
+
+  def collectEvalDocs(evalDocs: DataFrame): EvalDocIndex = {
+    val rows = graft.queries.DedupQueries.docShinglesAndBands(evalDocs)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[String](2)))
+    val bands = rows.flatMap { case (eid, _, bs) => bs.zipWithIndex.map { case (b, i) => ((i, b), eid) } }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    EvalDocIndex(bands, rows.map(r => r._1 -> r._2).toMap)
+  }
+
+  /** Streaming fuzzy-decontamination guard — the d17 operator
+    * (DedupQueries `d17_fuzzy_decontaminate`) as an ingest-time screen,
+    * completing the decontamination pillar's batch/stream parity story
+    * (d9-exact has the hash guard, v13-semantic has [[screenVectors]]):
+    * an arriving doc is shingled and banded by the SAME stateless column
+    * expressions as the batch side, then checked in-row against the
+    * closure-captured eval band index; band collisions are exact-Jaccard
+    * verified against the eval shingle sets. Stateless map-filter (one
+    * row in, ≤1 row out; no shuffle, no state store), so batch and
+    * streaming results are row-identical — the batch op's broadcast band
+    * join + verify + argmax collapses to a per-row loop because the eval
+    * side is already in-memory-sized (which is what MAKES it
+    * broadcastable in batch). Determinism contract matches d17 exactly:
+    * integer intersection counts, one double divide, HALF_UP round to 6
+    * places BEFORE the threshold filter and the argmax, (jaccard, -eid)
+    * tie rule → lowest eval id. Output schema = d17's:
+    * (doc_id, n_eval_matches, eval_doc_id, max_jaccard), rows only for
+    * contaminated docs.
+    */
+  def screenDocsFuzzy(docs: DataFrame, eval: EvalDocIndex,
+                      threshold: Double = 0.5): DataFrame = {
+    // closure-captured, not sparkContext.broadcast — see scoreDocs
+    val bandIdx = eval.bands
+    val setsMap = eval.sets
+    def r6(x: Double) = // Spark Round(double, 6): valueOf-path BigDecimal, HALF_UP
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val screen = udf { (sh: Seq[Long], bands: Seq[String]) =>
+      if (sh == null || bands == null) (0L, -1L, 0.0)
+      else {
+        // candidates = eval docs sharing ANY band position (ascending ids:
+        // SortedSet union replays the batch first-shared-band dedup + the
+        // ascending-eid argmax iteration)
+        val cands = scala.collection.mutable.SortedSet.empty[Long]
+        var b = 0
+        while (b < bands.length) {
+          if (bands(b) != null)
+            bandIdx.get((b, bands(b))).foreach(es => cands ++= es)
+          b += 1
+        }
+        if (cands.isEmpty) (0L, -1L, 0.0)
+        else {
+          val mySet = sh.toSet
+          val na = sh.length
+          var n = 0L; var bestJ = Double.NegativeInfinity; var bestEid = -1L
+          for (eid <- cands) {
+            val esh = setsMap(eid)
+            var isect = 0; var i = 0
+            while (i < esh.length) { if (mySet.contains(esh(i))) isect += 1; i += 1 }
+            val j = r6(isect.toDouble / (na + esh.length - isect))
+            if (j >= threshold) {
+              n += 1
+              // ascending-eid + strict > replays max(struct(jaccard, -eid))
+              if (j > bestJ) { bestJ = j; bestEid = eid }
+            }
+          }
+          if (n == 0) (0L, -1L, 0.0) else (n, bestEid, bestJ)
+        }
+      }
+    }
+    graft.queries.DedupQueries.docShinglesAndBands(docs)
+      .withColumn("m", screen(col("sh"), col("bands")))
+      .filter(col("m._1") > 0)
+      .select(col("doc_id"), col("m._1").as("n_eval_matches"),
+        col("m._2").as("eval_doc_id"), col("m._3").as("max_jaccard"))
+  }
+
   /** Ingest-time IVF index maintenance: assign each arriving vector to its
     * cell against the closure-captured codebook — the streaming sibling of
     * the batch corpus→cell index (EmbeddingQueries' shared assignment) and

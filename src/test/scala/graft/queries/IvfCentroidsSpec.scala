@@ -108,6 +108,41 @@ class IvfCentroidsSpec extends SparkSpec {
     assert(dispatched == viaFlags)
   }
 
+  test("routing-rung seam contract: every assigner is a drop-in behind assign()") {
+    // The executable half of the IvfCentroids "next routing rung" design
+    // note: a deeper router (b-ary tree / IMI) replaces assignHier ONLY if
+    // it satisfies this contract — run here against both existing rungs so
+    // the contract can't drift from what the serving layer (layout, probe,
+    // oracle dispatch) actually relies on.
+    val cent = IvfCentroids.cappedSeed(quantized, 1000)
+    val validCells = cent.select("cid").collect().map(_.getLong(0)).toSet
+    val base = quantized.withColumn("n2", graft.functions.longDot(col("q"), col("q")))
+    val inputs = base.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+
+    for ((name, rung) <- Seq[(String, (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, Seq[String]) => org.apache.spark.sql.DataFrame)](
+      "assignFlat" -> IvfCentroids.assignFlat, "assignHier" -> IvfCentroids.assignHier)) {
+      val out = rung(base, cent, Seq("q", "n2"))
+      // schema: vec_id + payload pass-through + cell, nothing else
+      assert(out.columns.toSeq === Seq("vec_id", "q", "n2", "cell"), s"$name schema")
+      val rows = out.collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      // exactly one output row per input vector
+      assert(rows.length === inputs.size, s"$name row count")
+      assert(rows.map(_._1).toSet === inputs.keySet, s"$name vec coverage")
+      // cell validity + payload byte-identity
+      rows.foreach { case (vid, (q, n2, cell)) =>
+        assert(validCells.contains(cell), s"$name: vec $vid routed to unknown cell $cell")
+        assert((q, n2) === inputs(vid), s"$name: payload mutated for vec $vid")
+      }
+      // deterministic under rerun (total-order tie-breaks at every level)
+      val again = rung(base, cent, Seq("q", "n2"))
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.map(r => r._1 -> r._2._3).toMap === again, s"$name determinism")
+    }
+  }
+
   test("v6 with the trained codebook keeps recall@3 against exact brute force") {
     val vecs = quantized.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     def cos(a: Array[Long], b: Array[Long]): Double = {

@@ -507,6 +507,59 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("screenDocsFuzzy: streaming fuzzy-decontamination guard is row-identical to batch d17") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // the driver testdata has no cross-%97 near-dup pairs (d17 = 0 rows
+    // there), so parity is asserted on a fixture with real contamination:
+    // doc 0 is eval (0 % 97 == 0); docs 1-2 are near-dups of it, doc 3 an
+    // exact dup, doc 97 a second unrelated eval, the rest clean filler
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17-stream").toString
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("quick", "swift")),
+      (2L, base.replace("lazy dog", "sleepy cat")),
+      (3L, base),
+      (97L, "benchmarks deserve their own unrelated sentence with enough words to shingle cleanly")
+    ) ++ (4L to 40L).map(i => i ->
+      s"document number $i talks about topic $i with entirely distinct content tokens alpha$i beta$i gamma$i delta$i epsilon$i")
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val batch = graft.queries.DedupQueries.fuzzyDecontaminate(s, dir)
+      .collect().map(key).sortBy(_._1)
+    assert(batch.nonEmpty, "fixture must produce contamination")
+    assert(batch.map(_._1).toSet.subsetOf((1L to 96L).toSet), s"only train docs flagged: $batch")
+    assert(batch.exists(_._4 == 1.0), "exact dup must verify at jaccard 1.0")
+
+    // same training docs through the stateless guard, batch execution
+    val evalIdx = StreamingOps.collectEvalDocs(
+      graft.Tables.documents(s, dir).filter(col("doc_id") % 97 === 0))
+    assert(evalIdx.sets.size === 2)
+    val train = graft.Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
+    val guarded = StreamingOps.screenDocsFuzzy(train, evalIdx)
+      .collect().map(key).sortBy(_._1)
+    assert(guarded.toSeq == batch.toSeq)
+
+    // stream parity across a mid-corpus trigger split (stateless: the
+    // split cannot change any row)
+    val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.screenDocsFuzzy(mem.toDF().toDF("doc_id", "text"), evalIdx)
+      .writeStream.format("memory").queryName("fuzzscreen").outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = s.table("fuzzscreen").collect().map(key).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("assignVectors: streaming cell assignment is row-identical to the batch flat argmin") {
     val s = spark
     import s.implicits._
