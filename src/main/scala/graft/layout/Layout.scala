@@ -103,4 +103,75 @@ object Layout {
     */
   def writeIvfClustered(assigned: DataFrame, path: String, numFiles: Int): Unit =
     writeRangeClustered(assigned, path, Seq(col("cell")), numFiles)
+
+  /** Incrementally fold a DELTA of newly assigned vectors (e.g. the
+    * streaming ingest path: `StreamingOps.assignVectors` → per-trigger
+    * parquet) into an existing inverted-list layout, rewriting ONLY the
+    * files whose cell span the delta lands in. At the capacity geometry
+    * an ingest batch lands in a small cell subset; a full
+    * [[writeIvfClustered]] re-run would rewrite the entire corpus (100 TB
+    * of I/O for a GB of delta), while this touches
+    * O(delta cells / cells-per-file) files + the delta itself — the same
+    * economics [[compact]] gives the small-file pathology, applied to
+    * index maintenance.
+    *
+    * Routing rule (driver-side, metadata-only): files sorted by their
+    * min cell partition the cell axis into half-open spans
+    * `[lo_i, lo_{i+1})` (the first span extended down, the last up); a
+    * delta row joins the file owning its cell's span. Each touched file
+    * is then rewritten INDEPENDENTLY (its rows + its delta slice, sorted
+    * by cell, one output file) — per-file spans can only extend into the
+    * gap before the next file's min, so the disjoint-ranges contract
+    * that footer pruning relies on survives by construction, untouched
+    * files are not read and not rewritten (the spec pins byte-identity),
+    * and each file's rewrite is an independently restartable unit.
+    *
+    * Driver-side work: one listing + a per-file min-cell aggregate
+    * (file-count rows) + the delta's distinct cells (≤ numCells rows).
+    * Data rows never collect. Returns (filesRewritten, filesTotal).
+    */
+  def mergeIvfDelta(spark: SparkSession, listsPath: String, delta: DataFrame): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(listsPath), spark.sparkContext.hadoopConfiguration)
+    // per-file min cell from the data (one file-count-row aggregate; at
+    // production scale this comes from footer stats / a manifest)
+    val lows = spark.read.parquet(listsPath)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("cell")).as("lo"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1))
+    val baseCols = spark.read.parquet(listsPath).columns.toIndexedSeq
+    val deltaCells = delta.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(deltaCells.nonEmpty, "mergeIvfDelta: empty delta")
+    // span owner: last file whose lo <= c (clamped to the first file)
+    def owner(c: Long): Int = {
+      val i = lows.lastIndexWhere(_._2 <= c)
+      math.max(i, 0)
+    }
+    val touched = deltaCells.map(owner).distinct.sorted
+    for (i <- touched) {
+      val (file, _) = lows(i)
+      val sliceLo = if (i == 0) Long.MinValue else lows(i)._2
+      val sliceHi = if (i == lows.length - 1) Long.MaxValue else lows(i + 1)._2
+      val slice = delta.select(baseCols.map(col): _*)
+        .filter(col("cell") >= sliceLo && col("cell") < sliceHi)
+      val tmp = s"$listsPath/.merge_tmp_$i"
+      spark.read.parquet(file).unionByName(slice)
+        .coalesce(1).sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").parquet(tmp)
+      // rename in BEFORE deleting the original: a crash in the window
+      // double-exposes one file's rows instead of losing them (a real
+      // deployment commits the swap through a table-format manifest; the
+      // demo layout has no manifest, so fail toward duplication)
+      fs.listStatus(new Path(tmp)).filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (st, j) =>
+          fs.rename(st.getPath, new Path(s"$listsPath/merged-${System.nanoTime()}-$i-$j.parquet"))
+        }
+      fs.delete(new Path(new java.net.URI(file).getPath), false)
+      fs.delete(new Path(tmp), true)
+    }
+    (touched.length, lows.length)
+  }
 }

@@ -148,6 +148,46 @@ class LayoutSpec extends SparkSpec {
     assert(scanRows >= 200 && scanRows <= 800, s"scan read $scanRows rows of 12800")
   }
 
+  test("mergeIvfDelta rewrites only the touched files; untouched files stay byte-identical") {
+    val df = spark.range(12800).select(col("id").as("vec_id"), (col("id") % 128).as("cell"))
+    val path = tmp("ivfmerge")
+    Layout.writeIvfClustered(df, path, numFiles = 16)
+    def parquetFiles = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def digest(f: java.io.File) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    val before = parquetFiles.map(f => f.getName -> digest(f)).toMap
+
+    // delta: new vectors in two in-range cells + one FRESH cell above
+    // every file's range (the boundary-extension path)
+    val delta = spark.range(51).select((col("id") + 100000L).as("vec_id"),
+      when(col("id") % 3 === 0, 3L).when(col("id") % 3 === 1, 64L).otherwise(200L).as("cell"))
+    val (rewritten, total) = Layout.mergeIvfDelta(spark, path, delta)
+    assert(total === before.size)
+    assert(rewritten >= 1 && rewritten <= 3, s"rewrote $rewritten files for 3 delta cells")
+
+    // content equivalence: merged layout == base ∪ delta, no loss, no dup
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (df.collect() ++ delta.collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === want.toSeq)
+
+    // untouched files: same names, same bytes — they were never read or
+    // rewritten, so serving locality and caches survive the merge
+    val after = parquetFiles.map(f => f.getName -> digest(f)).toMap
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.size === total - rewritten)
+    survivors.foreach(n => assert(after(n) === before(n), s"untouched file $n changed"))
+
+    // the disjoint per-file range contract (footer pruning) still holds
+    val ranges = fileRanges(path, "cell").sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap after merge: $ranges")
+      case _                      =>
+    }
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
