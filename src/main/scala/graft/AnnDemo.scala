@@ -136,6 +136,34 @@ object AnnDemo {
       .agg(avg(col("nf")), max(col("nf"))).head()
     val (fAvg, fMax) = (filesPerQuery.getDouble(0), filesPerQuery.getLong(1))
 
+    // 4. incremental maintenance: an ingest delta (the streaming
+    // assignVectors path, batch-executed here) folds into the layout via
+    // mergeIvfDelta — only the files whose cell span the delta lands in
+    // are rewritten, and the probe keeps its pruning afterwards
+    // a realistic ingest batch lands in a FEW cells (new content is
+    // locally clustered), so the delta here re-ingests the residents of 5
+    // known cells under fresh ids — assignVectors (the streaming seam,
+    // preset-dispatched like the batch index build) routes them back to
+    // those cells, and the merge should touch only those cells' files
+    val maxVid = quantized.agg(max(col("vec_id"))).head().getLong(0)
+    val codebookArr = codebook.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val deltaCellPick = q1Cells.take(5)
+    val delta = graft.streaming.StreamingOps.assignVectors(
+        assigned.filter(col("cell").isin(deltaCellPick.map(Long.box): _*))
+          .select((col("vec_id") + maxVid + 1).as("vec_id"), col("q")),
+        codebookArr)
+      .withColumn("n2", graft.functions.longDot(col("q"), col("q")))
+    val ((filesRewritten, filesAfter), mergeS) = timed {
+      graft.layout.Layout.mergeIvfDelta(spark, s"$workDir/lists", delta)
+    }
+    val listsAfter = spark.read.parquet(s"$workDir/lists")
+    val rowsAfter = listsAfter.count()
+    val q1after = listsAfter.filter(col("cell").isin(q1Cells.map(Long.box): _*))
+    q1after.collect()
+    val rowsRead1qAfter = q1after.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     val line =
       s"""{"metric":"ann_serving","preset":${Artifacts.jsonStr(preset)},"scale":$scale,""" +
@@ -145,7 +173,11 @@ object AnnDemo {
         s""""files_per_query_avg":${fmt(fAvg)},"files_per_query_max":$fMax,""" +
         s""""rows_total":$rowsTotal,"rows_read_1q":$rowsRead1q,""" +
         s""""scan_skip_1q":${fmt(rowsTotal.toDouble / math.max(1L, rowsRead1q))},""" +
-        s""""topk_rows":$topk,"sf":${Artifacts.jsonStr(sfDir)}}"""
+        s""""topk_rows":$topk,""" +
+        s""""merge_s":${fmt(mergeS)},"delta_rows":${rowsAfter - rowsTotal},""" +
+        s""""files_rewritten":$filesRewritten,"files_after":$filesAfter,""" +
+        s""""scan_skip_1q_after":${fmt(rowsAfter.toDouble / math.max(1L, rowsRead1qAfter))},""" +
+        s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)
     spark.stop()
