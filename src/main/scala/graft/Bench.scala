@@ -21,6 +21,51 @@ import org.apache.spark.sql.SparkSession
   *     first probe for cross-round comparability with BENCH_r01..r09.
   */
 object Bench {
+
+  /** The harness keeps only the last ~2000 chars of output; a full-name
+    * 9-decimal map for 120+ queries overflows that window and the JSON
+    * line gets decapitated ("parsed": null — it happened two rounds
+    * running). Emit the shortest unambiguous prefix per query id
+    * (q1_agg -> q1, e_tumbling_window -> e_tumbling) and centisecond
+    * precision so the one line stays well under the window.
+    */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    def prefix(n: String, toks: Int) = n.split('_').take(toks).mkString("_")
+    names.map { n =>
+      val cand = (1 to n.count(_ == '_') + 1).iterator
+        .map(t => prefix(n, t))
+        .find(p => names.count(m => prefix(m, p.count(_ == '_') + 1) == p) == 1)
+        .getOrElse(n)
+      n -> cand
+    }.toMap
+  }
+
+  /** (stdout line, durable full line). The stdout line carries the
+    * min-of-2 map + 3-point calib and must stay under the scrape window;
+    * the full line (bench_last.json only) adds the per-query max map.
+    * Contract spec'd in BenchFormatSpec: both parse as JSON, short keys
+    * stay unique, the stdout line stays under 1900 chars at catalog size.
+    */
+  private[graft] def renderLines(results: Seq[(String, (Double, Double))],
+      calibPts: Seq[Double], sfDir: String): (String, String) = {
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val short = shortKeys(results.map(_._1))
+    def qmap(pick: ((Double, Double)) => Double) = results.map { case (k, v) =>
+      val x = pick(v)
+      "\"" + short(k) + "\":" + (if (x < 0) "-1" else fmt(x))
+    }.mkString("{", ",", "}")
+    // headline total covers SURVIVING queries only; failed ones are counted
+    // explicitly so a partial run can never masquerade as a comparable total
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._1 < 0)
+    val pts = calibPts.map(fmt).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibPts.head)},"calib_pts":$pts,"samples":2,"n":${results.size},"failed":$nFailed,"queries":${qmap(_._1)},"sf":${Artifacts.jsonStr(sfDir)}}"""
+    // full record (with per-query max) goes only to the durable file: the
+    // stderr tail the driver scrapes is ~2000 chars, and a second full map
+    // on the stdout line would decapitate it again
+    (line, line.dropRight(1) + s""","queries_max":${qmap(_._2)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -75,39 +120,7 @@ object Bench {
       name -> (math.min(s1, s2), math.max(s1, s2))
     }
     val calibEnd = Artifacts.calibrate(spark)
-    // The harness keeps only the last ~2000 chars of output; a full-name
-    // 9-decimal map for 80+ queries overflows that window and the JSON line
-    // gets decapitated. Emit the shortest unambiguous prefix per query id
-    // (q1_agg -> q1, e_tumbling_window -> e_tumbling) and centisecond
-    // precision so the one line stays well under the window.
-    def shortKeys(names: Seq[String]): Map[String, String] = {
-      def prefix(n: String, toks: Int) = n.split('_').take(toks).mkString("_")
-      names.map { n =>
-        val cand = (1 to n.count(_ == '_') + 1).iterator
-          .map(t => prefix(n, t))
-          .find(p => names.count(m => prefix(m, p.count(_ == '_') + 1) == p) == 1)
-          .getOrElse(n)
-        n -> cand
-      }.toMap
-    }
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val short = shortKeys(results.map(_._1))
-    def qmap(pick: ((Double, Double)) => Double) = results.map { case (k, v) =>
-      val x = pick(v)
-      "\"" + short(k) + "\":" + (if (x < 0) "-1" else fmt(x))
-    }.mkString("{", ",", "}")
-    val qs = qmap(_._1)
-    val qsMax = qmap(_._2)
-    // headline total covers SURVIVING queries only; failed ones are counted
-    // explicitly so a partial run can never masquerade as a comparable total
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val nFailed = results.count(_._2._1 < 0)
-    val calibPts = s"[${fmt(calib0)},${fmt(calibMid)},${fmt(calibEnd)}]"
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib0)},"calib_pts":$calibPts,"samples":2,"n":${results.size},"failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
-    // full record (with per-query max) goes only to the durable file: the
-    // stderr tail the driver scrapes is ~2000 chars, and a second full map on
-    // the stdout line would decapitate it again ("parsed": null, two rounds)
-    val full = line.dropRight(1) + s""","queries_max":$qsMax}"""
+    val (line, full) = renderLines(results, Seq(calib0, calibMid, calibEnd), sfDir)
     Artifacts.writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"), full)
     // Stop Spark BEFORE printing: executor/blockmanager shutdown logs land on
     // stderr first, leaving the JSON as the process's final stdout line (the
