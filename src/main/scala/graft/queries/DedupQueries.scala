@@ -406,10 +406,19 @@ object DedupQueries extends QueryModule {
   def fuzzyDecontaminate(s: SparkSession, d: String, evalCap: Long = Long.MaxValue): DataFrame = {
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < evalCap
     val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
-    val trainBands = signatures(sets.filter(!isEval))
-      .select(col("doc_id") +: bandCols: _*)
-    val evalBands = signatures(sets.filter(isEval))
-      .select(col("doc_id") +: bandCols: _*)
+    // signatures are PER-ROW (minhash slices + band md5 of one doc's
+    // shingle set), so side-splitting commutes with signing: filter the
+    // family's shared full-corpus band table instead of signing each side
+    // separately — the 128-slice signature pass (the dominant cost at the
+    // capacity geometry: 55 of 158 s in the ×10 catalog run before this)
+    // is paid once per session by whichever family query touches the
+    // cache first, and d17 pays only its band join + verify
+    val allBands = sharedCache(s, d, "bandSigs")(
+      signatures(Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.shingleHashes(col("text"), 3).as("sh")))
+        .select(col("doc_id") +: bandCols: _*))
+    val trainBands = allBands.filter(!isEval)
+    val evalBands = allBands.filter(isEval)
     def bandRows(sigs: DataFrame) = sigs.select(
       col("doc_id") +: (0 until NumBands).map(b => col(s"band$b")) :+
         posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")): _*)

@@ -522,7 +522,11 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, base.replace("quick", "swift")),
       (2L, base.replace("lazy dog", "sleepy cat")),
       (3L, base),
-      (97L, "benchmarks deserve their own unrelated sentence with enough words to shingle cleanly")
+      (97L, "benchmarks deserve their own unrelated sentence with enough words to shingle cleanly"),
+      // degenerate docs: empty and sub-shingle-length text — batch and
+      // stream must agree these are clean, not crash or false-positive
+      (41L, ""),
+      (42L, "two tokens")
     ) ++ (4L to 40L).map(i => i ->
       s"document number $i talks about topic $i with entirely distinct content tokens alpha$i beta$i gamma$i delta$i epsilon$i")
     docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
