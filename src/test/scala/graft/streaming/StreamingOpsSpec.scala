@@ -579,15 +579,27 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(batch.map(_._2).distinct.length > 1)
 
-    val served = StreamingOps.assignVectors(quantized, codebook)
+    // routed = false pins the FLAT rung under test regardless of the
+    // active preset (the 100tb suite sweep runs with default dispatch =
+    // routed; the routed rung has its own parity test below)
+    val served = StreamingOps.assignVectors(quantized, codebook, routed = false)
       .select(col("vec_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(served.toSeq == batch.toSeq)
 
+    // and the DEFAULT dispatch must equal the batch preset dispatch
+    val dispatched = StreamingOps.assignVectors(quantized, codebook)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val batchDispatched = graft.queries.IvfCentroids.assign(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(dispatched.toSeq == batchDispatched.toSeq)
+
     // stream parity across a trigger split (stateless)
     val rows = quantized.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     val mem = MemoryStream[(Long, Seq[Long])]
-    val q = StreamingOps.assignVectors(mem.toDF().toDF("vec_id", "q"), codebook)
+    val q = StreamingOps.assignVectors(mem.toDF().toDF("vec_id", "q"), codebook, routed = false)
       .select(col("vec_id"), col("cell"))
       .writeStream.format("memory").queryName("cellassign").outputMode("append").start()
     try {
