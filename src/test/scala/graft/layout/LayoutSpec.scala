@@ -186,6 +186,23 @@ class LayoutSpec extends SparkSpec {
       case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap after merge: $ranges")
       case _                      =>
     }
+
+    // edge: a delta BELOW every file's min clamps to the first file and
+    // extends the bottom boundary without breaking disjointness
+    val below = spark.range(3).select((col("id") + 200000L).as("vec_id"), lit(-5L).as("cell"))
+    val (rw2, _) = Layout.mergeIvfDelta(spark, path, below)
+    assert(rw2 === 1)
+    val rows2 = spark.read.parquet(path)
+    assert(rows2.count() === 12800 + 51 + 3)
+    assert(rows2.agg(min(col("cell"))).head().getLong(0) === -5L)
+    fileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlap after below-range merge")
+      case _                      =>
+    }
+    // empty delta is a loud error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      Layout.mergeIvfDelta(spark, path, below.filter(col("cell") > 0))
+    }
   }
 
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
