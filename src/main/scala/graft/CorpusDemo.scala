@@ -54,6 +54,17 @@ object CorpusDemo {
       .select(col("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
 
+    // fuzzy decontamination (the d17 guard): screen the deduped
+    // representatives against an EXTERNAL eval suite — here the original
+    // corpus's %97 rows, collected once into the broadcast-sized serving
+    // index (the production shape: a fixed benchmark set, corpus-scale
+    // training side, stateless map-only screen)
+    val evalIdx = graft.streaming.StreamingOps.collectEvalDocs(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0))
+    val contaminated = graft.streaming.StreamingOps
+      .screenDocsFuzzy(reps.select(col("doc_id"), col("text")), evalIdx)
+      .select(col("doc_id")).withColumn("contaminated", lit(true))
+
     // LM-surprisal band (t14) trained on the deduped representatives —
     // training the filter model AFTER exact collapse is the production
     // order (replica mass would otherwise skew the vocabulary counts)
@@ -63,12 +74,14 @@ object CorpusDemo {
 
     val funnel = sig
       .join(hits, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         col("keep_quality"),
         (col("doc_id") =!= col("exact_rep")).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
         coalesce(col("lm_ok"), lit(false)).as("lm_ok"),
         col("keep_sample"))
       .cache()
@@ -79,13 +92,14 @@ object CorpusDemo {
       coalesce(sum(when(col("keep_quality"), 1L).otherwise(0L)), lit(0L)).as("quality"),
       coalesce(sum(when(col("keep_quality") && !col("exact_dup"), 1L).otherwise(0L)), lit(0L)).as("exact"),
       coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup"), 1L).otherwise(0L)), lit(0L)).as("near"),
-      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("lm_ok"), 1L).otherwise(0L)), lit(0L)).as("lm"),
-      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("lm_ok") && col("keep_sample"), 1L).otherwise(0L)), lit(0L)).as("sampled")
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && !col("contaminated"), 1L).otherwise(0L)), lit(0L)).as("decon"),
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && !col("contaminated") && col("lm_ok"), 1L).otherwise(0L)), lit(0L)).as("lm"),
+      coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && !col("contaminated") && col("lm_ok") && col("keep_sample"), 1L).otherwise(0L)), lit(0L)).as("sampled")
     ).collect()(0)
 
     // survivors → offset-based sequence packing (t8 shape)
     val survivors = funnel.filter(
-      col("keep_quality") && !col("exact_dup") && !col("near_dup") && col("lm_ok") && col("keep_sample"))
+      col("keep_quality") && !col("exact_dup") && !col("near_dup") && !col("contaminated") && col("lm_ok") && col("keep_sample"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // coalesce: sum over zero groups is null when every doc was gated out
@@ -110,12 +124,12 @@ object CorpusDemo {
     val secs = (System.nanoTime() - t0) / 1e9
     val n = stages.getLong(0)
     println(f"[corpus] funnel: input=${n} quality=${stages.getLong(1)} " +
-      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} lm=${stages.getLong(4)} " +
-      f"sampled=${stages.getLong(5)} packs=$packs shards=$nShards")
+      f"exact=${stages.getLong(2)} near=${stages.getLong(3)} decon=${stages.getLong(4)} " +
+      f"lm=${stages.getLong(5)} sampled=${stages.getLong(6)} packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     Artifacts.writeLine(
       sys.env.getOrElse("SPARK_GRAFT_TPUT_CORPUS_OUT", "throughput_corpus.json"),
-      f"""{"metric":"corpus_docs_per_s","value":${n / secs}%.0f,"docs":$n%d,"sampled":${stages.getLong(5)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
+      f"""{"metric":"corpus_docs_per_s","value":${n / secs}%.0f,"docs":$n%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"sampled":${stages.getLong(6)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
     funnel.unpersist()
     sig.unpersist()
     spark.stop()
