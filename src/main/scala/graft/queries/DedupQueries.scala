@@ -33,6 +33,10 @@ object DedupQueries extends QueryModule {
   private val RowsPerBand = graft.GraftConfig.active.rowsPerBand
   private val JaccardThreshold = 0.5
   private val ContainmentThreshold = 0.6
+  // d18 audit sample: 1/17 of the corpus by seeded hash — all-pairs work
+  // stays inside the sample (|S|² = n²/289); production pins |S| with a
+  // fixed-size TABLESAMPLE instead of a corpus-proportional mod
+  private val AuditMod = 17L
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
 
@@ -921,6 +925,85 @@ object DedupQueries extends QueryModule {
              |FROM agg JOIN verified v ON v.did = agg.did AND v.jaccard = agg.max_jaccard
              |GROUP BY agg.did, agg.n_eval_matches, agg.max_jaccard""".stripMargin),
       "Fuzzy decontamination: LSH band join between training and eval sides (eval side broadcast), exact Jaccard verify >= 0.5 — catches near-duplicate contamination that fragmented overlap hides from exact n-gram detectors."
+    ),
+    QueryDef(
+      "d18_lsh_geometry_audit",
+      (s, d) => {
+        // EMPIRICAL LSH geometry audit — the knob-tuning table a 100 TB
+        // operator reads before committing a (minhash, bands, rows)
+        // preset: per exact-Jaccard decile over a deterministic doc
+        // SAMPLE, (a) the measured band-collision rate — the S-curve the
+        // GraftConfigSpec property-checks analytically, observed on real
+        // data — and (b) the minhash estimator's bias/error vs exact
+        // Jaccard. All-pairs work happens ONLY inside the sample (|S| =
+        // n/17 here; production pins |S| with TABLESAMPLE instead), and
+        // the pair join broadcasts one sample side — a bounded
+        // BroadcastNestedLoopJoin by design, never a corpus cross join.
+        // Determinism: per-pair values quantized to integer millionths
+        // (jq, est_micro — the /NumMinhash divide is by a power of two,
+        // so exact in IEEE), integer sums per decile, ONE double-divide
+        // chain per output column, round 6 — the house contract.
+        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sample = sets.filter(
+          pmod(h60(concat(lit("aud:"), col("doc_id").cast("string"))), lit(AuditMod)) === 0)
+        val base = sample.join(signatures(sample), Seq("doc_id"))
+          .select(col("doc_id") +: col("sh") +:
+            (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*)
+        val l = base.select(base.columns.map(c => col(c).as("l_" + c)).toIndexedSeq: _*)
+        val r = base.select(base.columns.map(c => col(c).as("r_" + c)).toIndexedSeq: _*)
+        val estMatches = (0 until NumMinhash)
+          .map(j => when(col(s"l_mh$j") === col(s"r_mh$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val bandHit = (0 until NumBands)
+          .map(b => col(s"l_band$b") === col(s"r_band$b"))
+          .reduce(_ || _)
+        val pairs = l.join(broadcast(r), col("l_doc_id") < col("r_doc_id"))
+          .withColumn("isect", size(array_intersect(col("l_sh"), col("r_sh"))))
+          .withColumn("uni", size(col("l_sh")) + size(col("r_sh")) - col("isect"))
+          .filter(col("uni") > 0)
+          .withColumn("jq",
+            round(col("isect").cast("double") / col("uni") * lit(1000000.0)).cast("long"))
+          .withColumn("est_micro",
+            round(estMatches * lit(1000000.0) / lit(NumMinhash)).cast("long"))
+          .withColumn("collide", when(bandHit, 1L).otherwise(0L))
+          .withColumn("decile",
+            least(lit(9L), floor(col("jq").cast("double") / lit(100000.0)).cast("long")))
+        pairs.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("collide")).as("hits"),
+            sum(col("est_micro")).as("se"), sum(col("jq")).as("sx"),
+            sum(abs(col("est_micro") - col("jq"))).as("serr"))
+          .select(col("decile"), col("n_pairs"),
+            round(col("hits").cast("double") / col("n_pairs").cast("double"), 6).as("band_hit_rate"),
+            round(col("se").cast("double") / (col("n_pairs").cast("double") * lit(1000000.0)), 6).as("avg_est"),
+            round(col("sx").cast("double") / (col("n_pairs").cast("double") * lit(1000000.0)), 6).as("avg_exact"),
+            round(col("serr").cast("double") / (col("n_pairs").cast("double") * lit(1000000.0)), 6).as("avg_abs_err"))
+      },
+      Some(s"""WITH sets AS ($shingleSetSql),
+             |samp AS (SELECT * FROM sets
+             |  WHERE ${h60Sql("concat('aud:', CAST(doc_id AS VARCHAR))")} % $AuditMod = 0),
+             |sig AS (SELECT doc_id, sh, $minhashColsSql FROM samp),
+             |sigb AS (SELECT doc_id, sh, ${(0 until NumMinhash).map(j => s"mh$j").mkString(", ")}, $bandColsSql FROM sig),
+             |pairs AS (SELECT
+             |    ${(0 until NumMinhash).map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString("(", " + ", ")")} AS est_matches,
+             |    CASE WHEN ${bandOrSql("a", "b")} THEN 1 ELSE 0 END AS collide,
+             |    $isectSql AS isect, len(a.sh) AS na, len(b.sh) AS nb
+             |  FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id),
+             |scored AS (SELECT collide,
+             |    CAST(round(CAST(isect AS DOUBLE) / (na + nb - isect) * 1000000.0) AS BIGINT) AS jq,
+             |    CAST(round(est_matches * 1000000.0 / $NumMinhash) AS BIGINT) AS est_micro
+             |  FROM pairs WHERE (na + nb - isect) > 0),
+             |agg AS (SELECT
+             |    LEAST(9, CAST(floor(CAST(jq AS DOUBLE) / 100000.0) AS BIGINT)) AS decile,
+             |    count(*) AS n_pairs, sum(collide) AS hits, sum(est_micro) AS se,
+             |    sum(jq) AS sx, sum(abs(est_micro - jq)) AS serr
+             |  FROM scored GROUP BY 1)
+             |SELECT decile, n_pairs,
+             |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS band_hit_rate,
+             |  round(CAST(se AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0), 6) AS avg_est,
+             |  round(CAST(sx AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0), 6) AS avg_exact,
+             |  round(CAST(serr AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0), 6) AS avg_abs_err
+             |FROM agg""".stripMargin),
+      "Empirical LSH geometry audit on a deterministic doc sample: measured band-collision S-curve + minhash estimator bias/error per exact-Jaccard decile — the tuning table for committing a (minhash, bands, rows) preset."
     )
   )
 }

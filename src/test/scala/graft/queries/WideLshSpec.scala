@@ -51,4 +51,48 @@ class WideLshSpec extends SparkSpec {
     assert(!bands(1L).zip(bands(3L)).exists { case (a, b) => a == b })
     assert(!bands(2L).zip(bands(3L)).exists { case (a, b) => a == b })
   }
+
+  test("d18 geometry audit measures the full S-curve on an engineered corpus") {
+    // the driver testdata has no near-dup mass in the audit sample (one
+    // decile-0 row), so the audit's point — collision rate RISING with
+    // exact jaccard, estimator tracking it — is demonstrated here on a
+    // corpus with pairs at controlled token overlap. Doc ids are chosen
+    // to PASS the audit's h60("aud:"+id) % 17 sample filter.
+    val ids = (0L until 5000L)
+      .filter(i => PipelineFns.h60Jvm(s"aud:$i") % 17L == 0).toIndexedSeq
+    assert(ids.size >= 60, s"need ≥60 sampled ids, got ${ids.size}")
+    val baseToks = (0 until 60).map(k => s"base$k")
+    // overlap prefix p of 60 tokens → shingle jaccard ≈ (p-2)/(118-p):
+    // p=60 → 1.0, 56 → ~0.87, 50 → ~0.70, 40 → ~0.49, 30 → ~0.32
+    val overlaps = Seq(60, 56, 50, 40, 30)
+    val engineered = overlaps.zipWithIndex.flatMap { case (p, i) =>
+      val a = ids(2 * i); val b = ids(2 * i + 1)
+      val toksB = baseToks.take(p) ++ (p until 60).map(k => s"alt${i}v$k")
+      Seq(a -> baseToks.mkString(" "), b -> toksB.mkString(" "))
+    }
+    val fillers = ids.slice(10, 40).map(id =>
+      id -> (0 until 60).map(k => s"f${id}t$k").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d18").toString
+    val s = spark
+    import s.implicits._
+    (engineered ++ fillers).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = graft.SparkEntry.queries("d18_lsh_geometry_audit")(s, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap // decile -> (n, hit_rate, avg_est, avg_exact, avg_abs_err)
+    assert(rows.size >= 4, s"expected several deciles, got $rows")
+    // the identical pair lands in decile 9 and MUST band-collide
+    val (_, topHit, topEst, topExact, _) = rows(9L)
+    assert(topHit >= 0.5, s"top-decile hit rate $topHit")
+    // decile 0 (filler cross pairs) collides at most rarely
+    val (n0, loHit, _, _, _) = rows(0L)
+    assert(n0 > 100 && loHit <= 0.05, s"decile-0: n=$n0 hit=$loHit")
+    assert(topHit > loHit * 10, "S-curve: top decile must collide ≫ bottom")
+    // estimator tracks exact jaccard at the top of the curve
+    assert(math.abs(topEst - topExact) <= 0.25, s"est $topEst vs exact $topExact")
+    // and the overall error stays bounded in every populated decile
+    rows.values.foreach { case (_, _, _, _, err) => assert(err <= 0.3) }
+  }
 }
