@@ -816,6 +816,84 @@ object EmbeddingQueries extends QueryModule {
              |FROM agg a JOIN sc s ON s.vec_id = a.vec_id AND s.cos = a.mc
              |GROUP BY a.vec_id, a.mc""".stripMargin),
       "Semantic decontamination: broadcast eval embeddings, map-only per-vector max-cosine argmax, contaminated = max_cos >= 0.4 — catches paraphrase contamination token overlap misses."
+    ),
+    QueryDef(
+      "v14_ivf_nprobe_sweep",
+      (s, d) => {
+        // SERVING-KNOB tuning table for the IVF index — the ANN analog of
+        // d18's LSH geometry audit: recall@5 per (nprobe, query) against
+        // exact brute force, for nprobe ∈ {1, 2, 4}. This is the
+        // measurement that sets a deployment's nprobe (AnnDemo serves at
+        // nprobe=10; the 100 TB math assumes 2) before trading candidate
+        // reads for recall. Reuses the SHARED routed assignment (the
+        // serving index is built once) and a broadcast probe ranking;
+        // per-branch rank windows are the v11 WindowGroupLimit shape, so
+        // each shuffle carries at most k × n_queries rows. Candidate work
+        // per query is nprobe/C of the corpus — the sweep's whole cost is
+        // ~(1+2+4)/C corpus scans, not three brute-force passes.
+        val assigned = seedAssigned(s, d)
+        val cent = cellSeed(s, d)
+        val queries = assigned.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+        val probes = queries.join(broadcast(cent))
+          .withColumn("pdist", IvfCentroids.l2(col("qq"), col("cq")))
+          .withColumn("prk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("pdist").asc, col("cid").asc)))
+          .filter(col("prk") <= 4)
+          .select(col("query_id"), col("qq"), col("qn2"), col("cid").as("cell"), col("prk"))
+        val cands = assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+        def top5(cand: DataFrame) = cand
+          .withColumn("cos", cosine(idot(col("q"), col("qq")), col("n2"), col("qn2")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val nprobes = Seq(1, 2, 4)
+        val approx = nprobes.map(np =>
+          top5(cands.filter(col("prk") <= np)).withColumn("nprobe", lit(np)))
+          .reduce(_ unionAll _)
+        val exact = top5(assigned.join(broadcast(queries), col("vec_id") =!= col("query_id")))
+        val exactPerNp = nprobes.map(np => exact.withColumn("nprobe", lit(np)))
+          .reduce(_ unionAll _)
+        exactPerNp
+          .join(approx.withColumn("hit", lit(1L)), Seq("nprobe", "query_id", "neighbor_id"), "left")
+          .groupBy(col("nprobe"), col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+          .select(col("nprobe"), col("query_id"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_5"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "ha", "assigned")},
+             |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM assigned WHERE vec_id < 8),
+             |probes AS (SELECT query_id, qq, qn2, cell, prk FROM (
+             |  SELECT q.query_id, q.qq, q.qn2, c.cid AS cell,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${l2ListSql("q.qq", "c.cq")} ASC, c.cid ASC) AS prk
+             |  FROM qs q CROSS JOIN cent c) WHERE prk <= 4),
+             |nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(nprobe)),
+             |cands AS (SELECT p.query_id, p.qq, p.qn2, p.prk, a.vec_id, a.q, a.n2
+             |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+             |approx AS (SELECT nprobe, query_id, neighbor_id FROM (
+             |  SELECT n.nprobe, c.query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY n.nprobe, c.query_id
+             |      ORDER BY ${cosineSql(idotSql("c.q", "c.qq"), "c.n2", "c.qn2")} DESC, c.vec_id ASC) AS rk
+             |  FROM cands c JOIN nps n ON c.prk <= n.nprobe) WHERE rk <= 5),
+             |exact AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.query_id, b.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${cosineSql(idotSql("b.q", "q.qq"), "b.n2", "q.qn2")} DESC, b.vec_id ASC) AS rk
+             |  FROM assigned b JOIN qs q ON b.vec_id <> q.query_id) WHERE rk <= 5)
+             |SELECT n.nprobe, e.query_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_at_5
+             |FROM exact e CROSS JOIN nps n
+             |LEFT JOIN approx a ON a.nprobe = n.nprobe AND a.query_id = e.query_id
+             |  AND a.neighbor_id = e.neighbor_id
+             |GROUP BY n.nprobe, e.query_id""".stripMargin),
+      "IVF serving-knob sweep: recall@5 vs nprobe in {1,2,4} against exact brute force, per query — the tuning table that sets a deployment's probe count on the shared routed-assignment index."
     )
   )
 }
