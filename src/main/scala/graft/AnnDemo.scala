@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * one row group, so row-group skip IS file skip. (The 100 TB version of
   * the same math: 1e5 cells, ~6k files, nprobe=2 → ≲2 files per query.)
   *
-  * All instrumentation (files touched, scan metrics) runs OUTSIDE the
-  * timed blocks; `probe_s` times exactly one serving job: the 8-query
-  * batch's filter→rerank→top-3. One JSON line → `ann_demo_last.json`
+  * All instrumentation (files touched, scan metrics, the nprobe sweep)
+  * runs OUTSIDE the timed blocks; `probe_s` times exactly one serving
+  * job: the 8-query batch's filter→rerank→top-3. The `nprobe_sweep`
+  * array is the serving-knob table — recall@5 vs measured rows read per
+  * nprobe ∈ {1,2,4,8,10,16} at this index's geometry — so the demo's
+  * nprobe=10 choice and the 100 TB nprobe=2 math are justified by the
+  * same committed artifact. One JSON line → `ann_demo_last.json`
   * (SPARK_GRAFT_ANN_OUT to override).
   *
   *   runMain graft.AnnDemo [sfDir] [workDir] [scale]
@@ -84,18 +88,24 @@ object AnnDemo {
 
     // probe routing (untimed index lookup prep): nprobe nearest cells per
     // query vector; the per-query cell lists are driver-side tiny
-    // (nQueries × nprobe longs) — exactly what a query router holds
+    // (nQueries × nprobe longs) — exactly what a query router holds.
+    // Ranked to the sweep's MAX probe depth once; the serving table is the
+    // prk<=nProbe slice, so sweep and serve share one routing pass.
     val nProbe = 10
     val nQueries = 8
-    val probes = quantized.filter(col("vec_id") < nQueries)
+    val sweepProbes = Seq(1, 2, 4, 8, 10, 16)
+    val probesAll = quantized.filter(col("vec_id") < nQueries)
       .join(broadcast(codebook))
       .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
       .withColumn("prk", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
-      .filter(col("prk") <= nProbe)
+      .filter(col("prk") <= sweepProbes.max)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        graft.functions.longDot(col("q"), col("q")).as("qn2"), col("cid").as("cell"))
+        graft.functions.longDot(col("q"), col("q")).as("qn2"),
+        col("cid").as("cell"), col("prk"))
       .cache()
+    probesAll.count()
+    val probes = probesAll.filter(col("prk") <= nProbe).drop("prk").cache()
     probes.count()
     val batchCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
@@ -136,6 +146,48 @@ object AnnDemo {
       .agg(avg(col("nf")), max(col("nf"))).head()
     val (fAvg, fMax) = (filesPerQuery.getDouble(0), filesPerQuery.getLong(1))
 
+    //  - the SERVING-KNOB table (untimed): recall@5 + measured rows read
+    //    per nprobe operating point, at THIS index's geometry — the v14
+    //    sweep run where the knob is actually set, so the demo's
+    //    nprobe=10 and the 100 TB math's nprobe=2 are justified by the
+    //    same committed artifact. Ground truth = one exact brute-force
+    //    pass over the corpus for the 8-query batch (bounded, untimed);
+    //    each approx arm reuses the shared probe ranking, so the sweep's
+    //    marginal cost is nprobe/C of the corpus per point.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    def top5(cands: org.apache.spark.sql.DataFrame) = cands
+      .withColumn("cos", graft.functions.longDot(col("q"), col("qq")).cast("double") /
+        (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val queriesTbl = probesAll.select(col("query_id"), col("qq"), col("qn2")).distinct()
+    val exactTop = top5(
+      assigned.withColumn("n2", graft.functions.longDot(col("q"), col("q")))
+        .join(broadcast(queriesTbl), col("vec_id") =!= col("query_id"))).cache()
+    val nExact = exactTop.count() // nQueries × 5
+    val sweep = sweepProbes.map { np =>
+      val probeN = probesAll.filter(col("prk") <= np)
+      val approxTop = top5(lists
+        .join(broadcast(probeN), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id")))
+      val hit = exactTop.join(approxTop, Seq("query_id", "vec_id"), "left_semi").count()
+      // measured read cost at this operating point: the parquet scan's own
+      // numOutputRows for query 0's pushed `cell IN` filter (row-group skip)
+      val cellsNp = probeN.filter(col("query_id") === 0).select("cell")
+        .collect().map(_.getLong(0)).sorted
+      val scanNp = lists.filter(col("cell").isin(cellsNp.map(Long.box): _*))
+      scanNp.collect()
+      val rowsNp = scanNp.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      (np, hit.toDouble / nExact, rowsNp)
+    }
+    def fmt4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val sweepJson = sweep.map { case (np, rec, rows) =>
+      s"""{"nprobe":$np,"recall_at_5":${fmt4(rec)},"rows_read_1q":$rows}"""
+    }.mkString("[", ",", "]")
+
     // 4. incremental maintenance: an ingest delta (the streaming
     // assignVectors path, batch-executed here) folds into the layout via
     // mergeIvfDelta — only the files whose cell span the delta lands in
@@ -173,6 +225,7 @@ object AnnDemo {
         s""""files_per_query_avg":${fmt(fAvg)},"files_per_query_max":$fMax,""" +
         s""""rows_total":$rowsTotal,"rows_read_1q":$rowsRead1q,""" +
         s""""scan_skip_1q":${fmt(rowsTotal.toDouble / math.max(1L, rowsRead1q))},""" +
+        s""""nprobe_sweep":$sweepJson,""" +
         s""""topk_rows":$topk,""" +
         s""""merge_s":${fmt(mergeS)},"delta_rows":${rowsAfter - rowsTotal},""" +
         s""""files_rewritten":$filesRewritten,"files_after":$filesAfter,""" +

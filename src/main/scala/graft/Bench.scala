@@ -117,6 +117,12 @@ object Bench {
       val s1 = sample()
       // don't burn a second sample on a failed query
       val s2 = if (s1 < 0) s1 else sample()
+      // PROTOCOL BOUNDARY (round 10): headline = min-of-2, where sample 2
+      // runs with a warm OS page cache — totals are systematically LOWER
+      // than the single-cold-sample records of BENCH_r01..r09. The
+      // artifact's "samples":2 field marks the boundary; cross-round
+      // comparisons spanning it must discount the protocol delta
+      // (queries_max ≈ the old single-sample convention).
       name -> (math.min(s1, s2), math.max(s1, s2))
     }
     val calibEnd = Artifacts.calibrate(spark)

@@ -58,11 +58,17 @@ object CorpusDemo {
     // representatives against an EXTERNAL eval suite — here the original
     // corpus's %97 rows, collected once into the broadcast-sized serving
     // index (the production shape: a fixed benchmark set, corpus-scale
-    // training side, stateless map-only screen)
+    // training side, stateless map-only screen). Eval MEMBERS themselves
+    // (the copy-0 %97 rows that survive dedup) are excluded from the
+    // screen and removed by explicit membership instead — d17's
+    // training-side convention — so the decon stage counts true near-dup
+    // contamination plus membership removal, never jaccard-1.0 self-hits
+    // dressed up as fuzzy matches.
     val evalIdx = graft.streaming.StreamingOps.collectEvalDocs(
       Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0))
+    val isEvalMember = col("doc_id") < 1000000000L && col("doc_id") % 97 === 0
     val contaminated = graft.streaming.StreamingOps
-      .screenDocsFuzzy(reps.select(col("doc_id"), col("text")), evalIdx)
+      .screenDocsFuzzy(reps.filter(!isEvalMember).select(col("doc_id"), col("text")), evalIdx)
       .select(col("doc_id")).withColumn("contaminated", lit(true))
 
     // LM-surprisal band (t14) trained on the deduped representatives —
@@ -81,7 +87,9 @@ object CorpusDemo {
         col("keep_quality"),
         (col("doc_id") =!= col("exact_rep")).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        // removed at the decon stage either way: fuzzy match OR benchmark
+        // membership (the explicit form of "eval rows never reach training")
+        (coalesce(col("contaminated"), lit(false)) || isEvalMember).as("contaminated"),
         coalesce(col("lm_ok"), lit(false)).as("lm_ok"),
         col("keep_sample"))
       .cache()
@@ -127,9 +135,13 @@ object CorpusDemo {
       f"exact=${stages.getLong(2)} near=${stages.getLong(3)} decon=${stages.getLong(4)} " +
       f"lm=${stages.getLong(5)} sampled=${stages.getLong(6)} packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
-    Artifacts.writeLine(
+    // upsert keyed on (src, copies): the demo-scale and ×10 funnel lines
+    // coexist in one artifact instead of clobbering each other
+    val key = s""""src":${Artifacts.jsonStr(sfDir)},"copies":$copies"""
+    Artifacts.upsertLine(
       sys.env.getOrElse("SPARK_GRAFT_TPUT_CORPUS_OUT", "throughput_corpus.json"),
-      f"""{"metric":"corpus_docs_per_s","value":${n / secs}%.0f,"docs":$n%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"sampled":${stages.getLong(6)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
+      key,
+      f"""{"metric":"corpus_docs_per_s",$key%s,"value":${n / secs}%.0f,"docs":$n%d,"quality":${stages.getLong(1)}%d,"exact":${stages.getLong(2)}%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"lm":${stages.getLong(5)}%d,"sampled":${stages.getLong(6)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
     funnel.unpersist()
     sig.unpersist()
     spark.stop()

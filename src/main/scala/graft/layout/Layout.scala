@@ -118,17 +118,34 @@ object Layout {
     * Routing rule (driver-side, metadata-only): files sorted by their
     * min cell partition the cell axis into half-open spans
     * `[lo_i, lo_{i+1})` (the first span extended down, the last up); a
-    * delta row joins the file owning its cell's span. Each touched file
-    * is then rewritten INDEPENDENTLY (its rows + its delta slice, sorted
-    * by cell, one output file) — per-file spans can only extend into the
-    * gap before the next file's min, so the disjoint-ranges contract
-    * that footer pruning relies on survives by construction, untouched
-    * files are not read and not rewritten (the spec pins byte-identity),
-    * and each file's rewrite is an independently restartable unit.
+    * delta row joins the file owning its cell's span. The rewrite is ONE
+    * distributed job regardless of how many files the delta touches: the
+    * touched files' resident rows ∪ the whole delta, each row routed to
+    * its owner span (binary search over the lo bounds — file rows map to
+    * their own span because per-file cell ranges are disjoint), hash-
+    * repartitioned by span, (span, cell)-sorted, and written as ONE
+    * dynamic-partition job into a hidden swap dir (`graft_span=i/` → one
+    * cell-sorted file per touched span). Only then does the driver commit:
+    * per span, rename the merged file in and delete the original — pure
+    * metadata. Per-file spans can only extend into the gap before the
+    * next file's min, so the disjoint-ranges contract that footer pruning
+    * relies on survives by construction, and untouched files are not read
+    * and not rewritten (the spec pins byte-identity).
     *
     * Driver-side work: one listing + a per-file min-cell aggregate
-    * (file-count rows) + the delta's distinct cells (≤ numCells rows).
-    * Data rows never collect. Returns (filesRewritten, filesTotal).
+    * (file-count rows) + the delta's distinct cells (≤ numCells rows) +
+    * O(touched) renames. Data rows never collect.
+    *
+    * CONCURRENCY CONTRACT — single writer, no concurrent readers: the
+    * commit is a sequence of rename-in-then-delete steps with no
+    * manifest, so a crash mid-commit double-exposes a file's rows
+    * (deliberately failing toward duplication, never loss — the swap is
+    * fully staged before the first destructive step), and a reader
+    * scanning mid-commit can observe one file's rows twice or a
+    * just-deleted file missing. A production deployment commits the same
+    * swap through a table-format manifest (one atomic metadata swap),
+    * which removes both windows; this demo layout has no manifest, so
+    * schedule merges exclusively. Returns (filesRewritten, filesTotal).
     */
   def mergeIvfDelta(spark: SparkSession, listsPath: String, delta: DataFrame): (Int, Int) = {
     import org.apache.hadoop.fs.Path
@@ -146,32 +163,61 @@ object Layout {
       .collect().map(_.getLong(0)).sorted
     require(deltaCells.nonEmpty, "mergeIvfDelta: empty delta")
     // span owner: last file whose lo <= c (clamped to the first file)
+    val loBounds = lows.map(_._2)
     def owner(c: Long): Int = {
-      val i = lows.lastIndexWhere(_._2 <= c)
+      val idx = java.util.Arrays.binarySearch(loBounds, c)
+      val i = if (idx >= 0) idx else -idx - 2 // insertion point - 1
       math.max(i, 0)
     }
     val touched = deltaCells.map(owner).distinct.sorted
+    // the one distributed job: resident rows of touched files ∪ delta,
+    // routed to owner spans executor-side by the same binary search
+    val spanOf = udf { (c: Long) => owner(c) }
+    val resident = spark.read.parquet(touched.map(lows(_)._1).toIndexedSeq: _*)
+      .select(baseCols.map(col): _*)
+    val combined = resident.unionByName(delta.select(baseCols.map(col): _*))
+      .withColumn("graft_span", spanOf(col("cell")))
+    val swap = s"$listsPath/.merge_swap" // dot-dir: invisible to parquet scans
+    combined.repartition(touched.length, col("graft_span"))
+      .sortWithinPartitions(col("graft_span"), col("cell"))
+      .write.mode("overwrite").partitionBy("graft_span").parquet(swap)
+    // commit (metadata-only; swap fully staged before the first rename):
+    // rename each span's merged file in BEFORE deleting the original —
+    // see the concurrency contract above
     for (i <- touched) {
-      val (file, _) = lows(i)
-      val sliceLo = if (i == 0) Long.MinValue else lows(i)._2
-      val sliceHi = if (i == lows.length - 1) Long.MaxValue else lows(i + 1)._2
-      val slice = delta.select(baseCols.map(col): _*)
-        .filter(col("cell") >= sliceLo && col("cell") < sliceHi)
-      val tmp = s"$listsPath/.merge_tmp_$i"
-      spark.read.parquet(file).unionByName(slice)
-        .coalesce(1).sortWithinPartitions(col("cell"))
-        .write.mode("overwrite").parquet(tmp)
-      // rename in BEFORE deleting the original: a crash in the window
-      // double-exposes one file's rows instead of losing them (a real
-      // deployment commits the swap through a table-format manifest; the
-      // demo layout has no manifest, so fail toward duplication)
-      fs.listStatus(new Path(tmp)).filter(_.getPath.getName.endsWith(".parquet"))
+      fs.listStatus(new Path(s"$swap/graft_span=$i"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (st, j) =>
           fs.rename(st.getPath, new Path(s"$listsPath/merged-${System.nanoTime()}-$i-$j.parquet"))
         }
-      fs.delete(new Path(new java.net.URI(file).getPath), false)
-      fs.delete(new Path(tmp), true)
+      fs.delete(new Path(new java.net.URI(lows(i)._1).getPath), false)
     }
+    fs.delete(new Path(swap), true)
     (touched.length, lows.length)
+  }
+
+  /** At-most-once wrapper for streaming index maintenance: fold a
+    * micro-batch's delta into the layout keyed by its `batchId`, so a
+    * foreachBatch sink that restarts from a checkpoint and re-delivers a
+    * committed batch does NOT double-merge it. The ledger is a hidden
+    * marker dir per batch (`_graft_merge_ledger/batch-N`, invisible to
+    * parquet scans), checked before the merge and written after it —
+    * a crash between merge and marker re-merges on replay (fail toward
+    * duplication, the house stance; a table-format manifest would make
+    * marker+merge one atomic commit). Returns true when the merge ran,
+    * false when the ledger showed the batch already applied.
+    */
+  def mergeIvfDeltaOnce(spark: SparkSession, listsPath: String, delta: DataFrame,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(listsPath), spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$listsPath/_graft_merge_ledger/batch-$batchId")
+    if (fs.exists(marker)) false
+    else {
+      mergeIvfDelta(spark, listsPath, delta)
+      fs.mkdirs(marker)
+      true
+    }
   }
 }

@@ -33,10 +33,16 @@ object DedupQueries extends QueryModule {
   private val RowsPerBand = graft.GraftConfig.active.rowsPerBand
   private val JaccardThreshold = 0.5
   private val ContainmentThreshold = 0.6
-  // d18 audit sample: 1/17 of the corpus by seeded hash — all-pairs work
-  // stays inside the sample (|S|² = n²/289); production pins |S| with a
-  // fixed-size TABLESAMPLE instead of a corpus-proportional mod
+  // d18 audit sample: 1/17 of the corpus by seeded hash, then PINNED to at
+  // most `AuditSampleCap` docs by seeded-hash order (TakeOrderedAndProject —
+  // per-partition top-k, cap-row driver merge). The cap is what makes the
+  // audit's all-pairs stage O(cap²) — CONSTANT in corpus size — instead of
+  // n²/289; the mod prefilter just keeps the top-k scan off the full
+  // shingle sets at big n. The cap binds only above ~8.7k docs (17 × 512),
+  // so the sf0.01/sf0.1 demo results are unchanged; the scale harness is
+  // exactly where it engages (bench_scale d18 leg).
   private val AuditMod = 17L
+  private val AuditSampleCap = 512
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
 
@@ -935,17 +941,24 @@ object DedupQueries extends QueryModule {
         // SAMPLE, (a) the measured band-collision rate — the S-curve the
         // GraftConfigSpec property-checks analytically, observed on real
         // data — and (b) the minhash estimator's bias/error vs exact
-        // Jaccard. All-pairs work happens ONLY inside the sample (|S| =
-        // n/17 here; production pins |S| with TABLESAMPLE instead), and
-        // the pair join broadcasts one sample side — a bounded
-        // BroadcastNestedLoopJoin by design, never a corpus cross join.
+        // Jaccard. All-pairs work happens ONLY inside the sample, and the
+        // sample is PINNED: 1/17 by seeded hash, then the lowest
+        // `AuditSampleCap` rows by the same hash — Limit(Sort) plans as
+        // TakeOrderedAndProject (per-partition top-k, cap-row driver
+        // merge), so the pair stage is O(cap²) — CONSTANT in corpus size —
+        // and the broadcast side is cap-bounded, never a corpus cross
+        // join (bench_scale's d18 leg measures the resulting linearity).
         // Determinism: per-pair values quantized to integer millionths
         // (jq, est_micro — the /NumMinhash divide is by a power of two,
         // so exact in IEEE), integer sums per decile, ONE double-divide
         // chain per output column, round 6 — the house contract.
         val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
-        val sample = sets.filter(
-          pmod(h60(concat(lit("aud:"), col("doc_id").cast("string"))), lit(AuditMod)) === 0)
+        val sample = sets
+          .withColumn("au", h60(concat(lit("aud:"), col("doc_id").cast("string"))))
+          .filter(pmod(col("au"), lit(AuditMod)) === 0)
+          .orderBy(col("au").asc, col("doc_id").asc)
+          .limit(AuditSampleCap)
+          .drop("au")
         val base = sample.join(signatures(sample), Seq("doc_id"))
           .select(col("doc_id") +: col("sh") +:
             (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*)
@@ -979,8 +992,10 @@ object DedupQueries extends QueryModule {
             round(col("serr").cast("double") / (col("n_pairs").cast("double") * lit(1000000.0)), 6).as("avg_abs_err"))
       },
       Some(s"""WITH sets AS ($shingleSetSql),
-             |samp AS (SELECT * FROM sets
-             |  WHERE ${h60Sql("concat('aud:', CAST(doc_id AS VARCHAR))")} % $AuditMod = 0),
+             |samp AS (SELECT doc_id, sh FROM (
+             |  SELECT doc_id, sh, ${h60Sql("concat('aud:', CAST(doc_id AS VARCHAR))")} AS au FROM sets)
+             |  WHERE au % $AuditMod = 0
+             |  ORDER BY au ASC, doc_id ASC LIMIT $AuditSampleCap),
              |sig AS (SELECT doc_id, sh, $minhashColsSql FROM samp),
              |sigb AS (SELECT doc_id, sh, ${(0 until NumMinhash).map(j => s"mh$j").mkString(", ")}, $bandColsSql FROM sig),
              |pairs AS (SELECT

@@ -337,8 +337,15 @@ object StreamingOps {
             val esh = setsMap(eid)
             var isect = 0; var i = 0
             while (i < esh.length) { if (mySet.contains(esh(i))) isect += 1; i += 1 }
-            val j = r6(isect.toDouble / (na + esh.length - isect))
-            if (j >= threshold) {
+            // zero-union guard (defense-in-depth): docShinglesAndBands never
+            // emits an empty set (an empty doc digests its zero-token window,
+            // so empty×empty is a genuine 1/1 match), but a hand-built
+            // EvalDocIndex can hold empty sets — 0/0 would become
+            // BigDecimal(NaN) and throw, failing the whole trigger. Batch
+            // semantics: NaN fails the >= threshold filter; skip to match.
+            val uni = na + esh.length - isect
+            val j = if (uni == 0) Double.NaN else r6(isect.toDouble / uni)
+            if (uni > 0 && j >= threshold) {
               n += 1
               // ascending-eid + strict > replays max(struct(jaccard, -eid))
               if (j > bestJ) { bestJ = j; bestEid = eid }

@@ -564,6 +564,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("screenDocsFuzzy: empty-doc x empty-eval collision matches batch (and 0/0 cannot throw)") {
+    // Degenerate-doc parity: an empty doc digests to ONE shingle (md5 of
+    // the zero-token window — shingle sets are never empty by
+    // construction), so empty-train × empty-eval is a GENUINE jaccard-1.0
+    // match on both sides, 1/1 not 0/0. The zero-union guard in the
+    // streaming screen is therefore defense-in-depth for hand-built
+    // EvalDocIndex maps with empty sets: it must never turn a degenerate
+    // pair into a BigDecimal(NaN) throw that fails the whole trigger.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17-empty").toString
+    Seq(
+      (0L, ""),           // eval member (0 % 97 == 0), empty text
+      (5L, ""),           // train doc, empty text → exact match of eval 0
+      (6L, "short text"), // sub-shingle-length train doc
+      (7L, "a perfectly ordinary training document with plenty of distinct shingle material here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val batch = graft.queries.DedupQueries.fuzzyDecontaminate(s, dir)
+      .collect().map(key).sortBy(_._1)
+    assert(batch.toSeq === Seq((5L, 1L, 0L, 1.0)),
+      "empty train doc is an exact dup of the empty eval doc")
+
+    val evalIdx = StreamingOps.collectEvalDocs(
+      graft.Tables.documents(s, dir).filter(col("doc_id") % 97 === 0))
+    val train = graft.Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
+    val guarded = StreamingOps.screenDocsFuzzy(train, evalIdx)
+      .collect().map(key).sortBy(_._1)
+    assert(guarded.toSeq === batch.toSeq)
+
+    // the defense-in-depth path itself: a hand-built index with a truly
+    // empty eval set sharing the empty doc's band keys — the screen must
+    // skip the 0/0 candidate (batch semantics: NaN fails the threshold),
+    // not throw from BigDecimal(NaN)
+    val emptyBands = StreamingOps.collectEvalDocs(
+      Seq((0L, "")).toDF("doc_id", "text")).bands
+    val degenerate = StreamingOps.EvalDocIndex(emptyBands, Map(0L -> Array.empty[Long]))
+    val screened = StreamingOps.screenDocsFuzzy(
+      Seq((5L, "")).toDF("doc_id", "text"), degenerate).collect()
+    assert(screened.isEmpty, s"zero-union candidate leaked: ${screened.toSeq}")
+  }
+
   test("assignVectors: streaming cell assignment is row-identical to the batch flat argmin") {
     val s = spark
     import s.implicits._
@@ -661,5 +705,82 @@ class StreamingOpsSpec extends SparkSpec {
     val good = Seq((7L, Seq(1000L, 0L, 0L))).toDF("vec_id", "q")
     assert(StreamingOps.screenVectors(good, evals).collect().length == 1)
     assert(StreamingOps.assignVectors(good, codebook).collect().length == 1)
+  }
+
+  test("ANN index maintenance survives a checkpoint restart without double-merging a batch") {
+    // End-to-end streaming maintenance: assignVectors → foreachBatch delta
+    // → mergeIvfDeltaOnce, stopped and restarted from the checkpoint with
+    // a FORCED re-delivery (offsets committed, commit record removed — the
+    // exact crash window a restart replays). The re-delivered micro-batch
+    // re-invokes the sink with the same batchId; the merge ledger must
+    // skip it, so the layout holds each delta row exactly once.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import graft.layout.Layout
+
+    // 2-dim geometry with 4 well-separated cells; base corpus = one
+    // resident per cell, clustered into 4 files (1 cell per file)
+    val codebook = Seq(0L -> Array(0L, 0L), 1L -> Array(100L, 0L),
+      2L -> Array(0L, 100L), 3L -> Array(100L, 100L))
+    val base = Seq((0L, Seq(1L, 1L)), (1L, Seq(99L, 2L)),
+      (2L, Seq(2L, 98L)), (3L, Seq(101L, 99L))).toDF("vec_id", "q")
+    val lists = java.nio.file.Files.createTempDirectory("graft-ann-lists").toString
+    Layout.writeIvfClustered(
+      StreamingOps.assignVectors(base, codebook, routed = false), lists, numFiles = 4)
+    assert(s.read.parquet(lists).count() === 4)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Long])]
+    def start() = StreamingOps.assignVectors(
+        mem.toDF().toDF("vec_id", "q"), codebook, routed = false)
+      .writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // skip no-data triggers: mergeIvfDelta treats an empty delta as a
+        // loud caller error, but an empty MICRO-BATCH is routine
+        if (!delta.isEmpty) Layout.mergeIvfDeltaOnce(s, lists, delta, id): Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    // batch 0: two vectors near cell 1 — merged once, rows 4 → 6
+    val q1 = start()
+    try {
+      mem.addData((10L, Seq(98L, 1L)), (11L, Seq(97L, 3L)))
+      q1.processAllAvailable()
+      assert(s.read.parquet(lists).count() === 6)
+    } finally q1.stop()
+
+    // forced replay: drop batch 0's commit record (offsets survive), so the
+    // restarted query re-runs batch 0 through the sink with batchId 0
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.exists(commit0), "fixture: batch 0 should have committed")
+    java.nio.file.Files.delete(commit0)
+    // the local checksum FS shadows every file with a .crc — leave it
+    // behind and the re-commit's rename fails as a spurious "concurrent
+    // writer" instead of replaying
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 0 → ledger skips the merge
+      assert(s.read.parquet(lists).count() === 6,
+        "re-delivered batch must not double-merge")
+      // a FRESH batch still merges (the ledger gates per batch, not globally)
+      mem.addData((12L, Seq(3L, 99L)))
+      q2.processAllAvailable()
+      assert(s.read.parquet(lists).count() === 7)
+    } finally q2.stop()
+
+    // exactly-once outcome, row-level: every id present once
+    val ids = s.read.parquet(lists).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L))
+    // and the direct at-most-once contract: a second call with a merged
+    // batchId is a no-op that reports false
+    val again = StreamingOps.assignVectors(
+      Seq((13L, Seq(98L, 2L))).toDF("vec_id", "q"), codebook, routed = false)
+    assert(!Layout.mergeIvfDeltaOnce(s, lists, again, batchId = 0L))
+    assert(s.read.parquet(lists).count() === 7)
+    assert(Layout.mergeIvfDeltaOnce(s, lists, again, batchId = 99L))
+    assert(s.read.parquet(lists).count() === 8)
   }
 }
