@@ -12,7 +12,16 @@ import org.apache.spark.sql.expressions.Window
   * Replication note: the input is the driver's testdata replicated
   * `copies`× with offset doc_ids — a load test of the dedup path (replicas
   * are exact duplicates by construction, so the exact-collapse stage must
-  * remove all but one of each; survivors are original-corpus-sized).
+  * remove all but one of each; survivors are original-corpus-sized). This
+  * replication keeps the VOCABULARY invariant, so the absolute t14
+  * surprisal band (3.0–4.1 mean bits) stays meaningful at any `copies` —
+  * the ×10 funnel artifact uses it (copies=320 → 1.6M docs). Running the
+  * funnel over a SfSynth/ScaleBench ROTATION-synthesized dir instead
+  * multiplies the vocabulary by k (every rotated token is new), which
+  * raises every doc's surprisal by ~log2(k) bits and empties the LM stage
+  * — a fixture artifact (real corpora grow vocab sub-linearly, Heaps'
+  * law), recorded as such in the committed throughput_corpus.json line
+  * for that dir, not a funnel property.
   *
   * Usage: runMain graft.CorpusDemo [sfDir] [copies] [exportDir]
   */

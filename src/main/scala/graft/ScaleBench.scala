@@ -63,7 +63,13 @@ object ScaleBench {
     // the eval set at its ×1 size (ids < the ×1 stride — the replica-0
     // rows) while the training side scales — the production contract
     // ("eval side is eval-set-sized at any corpus scale") made measurable
-    "d17_fixed_eval", "v13_fixed_eval")
+    "d17_fixed_eval", "v13_fixed_eval",
+    // LSH geometry audit (round 11): the sample is pinned at
+    // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
+    // over the seeded hash), so this leg measures what the pin buys — the
+    // audit's cost must go LINEAR (scan + top-k) once the cap binds at ×3+,
+    // where the old corpus-proportional sample grew the pair stage n²/289
+    "d18_lsh_geometry_audit")
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val Digits = "0123456789"
