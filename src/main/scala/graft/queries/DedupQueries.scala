@@ -43,6 +43,14 @@ object DedupQueries extends QueryModule {
   // exactly where it engages (bench_scale d18 leg).
   private val AuditMod = 17L
   private val AuditSampleCap = 512
+
+  /** Balanced `(a + b)` reduction for generated SQL: a left-deep fold of
+    * the capacity preset's 128 minhash terms exceeds DuckDB's binder
+    * recursion cap (128); a log-depth tree is identical arithmetic.
+    */
+  private def balSumSql(ts: Seq[String]): String =
+    if (ts.size == 1) ts.head
+    else { val (a, b) = ts.splitAt(ts.size / 2); s"(${balSumSql(a)} + ${balSumSql(b)})" }
   private val SimhashBits = 56 // 4 chunks × 14 bits; pigeonhole covers hamming ≤ 3
   private val HammingMax = 3
 
@@ -964,9 +972,15 @@ object DedupQueries extends QueryModule {
             (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*)
         val l = base.select(base.columns.map(c => col(c).as("l_" + c)).toIndexedSeq: _*)
         val r = base.select(base.columns.map(c => col(c).as("r_" + c)).toIndexedSeq: _*)
-        val estMatches = (0 until NumMinhash)
-          .map(j => when(col(s"l_mh$j") === col(s"r_mh$j"), 1L).otherwise(0L))
-          .reduce(_ + _)
+        // balanced reduction, not a left-deep fold: at the capacity preset
+        // this is a 128-term sum, and depth-128 expression chains break
+        // DuckDB's binder (recursion cap 128) and deepen Spark codegen for
+        // nothing — a log-depth tree is identical arithmetic
+        def balSum(ts: Seq[Column]): Column =
+          if (ts.size == 1) ts.head
+          else { val (a, b) = ts.splitAt(ts.size / 2); balSum(a) + balSum(b) }
+        val estMatches = balSum((0 until NumMinhash)
+          .map(j => when(col(s"l_mh$j") === col(s"r_mh$j"), 1L).otherwise(0L)))
         val bandHit = (0 until NumBands)
           .map(b => col(s"l_band$b") === col(s"r_band$b"))
           .reduce(_ || _)
@@ -999,7 +1013,7 @@ object DedupQueries extends QueryModule {
              |sig AS (SELECT doc_id, sh, $minhashColsSql FROM samp),
              |sigb AS (SELECT doc_id, sh, ${(0 until NumMinhash).map(j => s"mh$j").mkString(", ")}, $bandColsSql FROM sig),
              |pairs AS (SELECT
-             |    ${(0 until NumMinhash).map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString("(", " + ", ")")} AS est_matches,
+             |    ${balSumSql((0 until NumMinhash).map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END"))} AS est_matches,
              |    CASE WHEN ${bandOrSql("a", "b")} THEN 1 ELSE 0 END AS collide,
              |    $isectSql AS isect, len(a.sh) AS na, len(b.sh) AS nb
              |  FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id),
@@ -1019,6 +1033,47 @@ object DedupQueries extends QueryModule {
              |  round(CAST(serr AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0), 6) AS avg_abs_err
              |FROM agg""".stripMargin),
       "Empirical LSH geometry audit on a deterministic doc sample: measured band-collision S-curve + minhash estimator bias/error per exact-Jaccard decile — the tuning table for committing a (minhash, bands, rows) preset."
+    ),
+    QueryDef(
+      "d20_dedup_cluster_profile",
+      (s, d) => {
+        // Dedup-mass audit — the corpus-health report a 100 TB dedup run
+        // emits alongside its output: duplicate-cluster size distribution
+        // over the d8 group pipeline (exact-collapse → LSH near-dup CC),
+        // bucketed by cluster size class, with the redundant-doc count
+        // (what dedup removes) per class. Answers the two operational
+        // questions: how much corpus mass is duplicated, and is it spread
+        // thin (many small clusters — banding is doing the work) or
+        // concentrated (few giant clusters — boilerplate/mirror pathology
+        // that wants a skew guard). Reuses the MEMOIZED group pipeline —
+        // d8/d13/d20 share one band join + verify + CC run per session —
+        // and adds only a groups-count aggregate (group-count rows) plus a
+        // 4-row bucket rollup: observability at the cost of a rollup, not
+        // a second dedup.
+        val sizes = dedupGroups(s, d)
+          .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+        sizes
+          .withColumn("bucket",
+            when(col("sz") === 1, "1_unique")
+              .when(col("sz") <= 4, "2_small_2_4")
+              .when(col("sz") <= 16, "3_medium_5_16")
+              .otherwise("4_large_17_plus"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1).as("n_redundant"))
+      },
+      Some(s"""WITH RECURSIVE $dedupGroupsSql,
+             |gsz AS (SELECT group_id, count(*) AS sz FROM groups GROUP BY group_id)
+             |SELECT bucket, count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_docs,
+             |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
+             |FROM (SELECT CASE WHEN sz = 1 THEN '1_unique'
+             |    WHEN sz <= 4 THEN '2_small_2_4'
+             |    WHEN sz <= 16 THEN '3_medium_5_16'
+             |    ELSE '4_large_17_plus' END AS bucket, sz FROM gsz)
+             |GROUP BY bucket""".stripMargin),
+      "Dedup-mass audit: duplicate-cluster size distribution over the d8 group pipeline with per-class redundant-doc counts — the corpus-health report that distinguishes thin-spread duplication from mirror/boilerplate pathology."
     )
   )
 }

@@ -894,6 +894,69 @@ object EmbeddingQueries extends QueryModule {
              |  AND a.neighbor_id = e.neighbor_id
              |GROUP BY n.nprobe, e.query_id""".stripMargin),
       "IVF serving-knob sweep: recall@5 vs nprobe in {1,2,4} against exact brute force, per query — the tuning table that sets a deployment's probe count on the shared routed-assignment index."
+    ),
+    QueryDef(
+      "v16_ivf_cell_balance",
+      (s, d) => {
+        // IVF cell-balance audit — the third tuning table (d18 sets the
+        // LSH banding, v14 sets nprobe, THIS sets numCells/salting): the
+        // per-cell occupancy distribution of the shared routed assignment.
+        // At 100 TB the imbalance factor (max/avg) is what decides whether
+        // a hot cell needs a re-split or a salted layout before it
+        // serializes a probe, and empty_cells says the codebook is over-
+        // provisioned. Cost: one count-per-cell aggregate over the SHARED
+        // materialized assignment (map-side partial combine; ≤ numCells
+        // result rows = metadata scale), then single-row stats — the
+        // collect_list runs over cell COUNTS, never corpus rows, bounded
+        // by numCells (1e5 at capacity → a 800 KB array, driver-safe).
+        // Exact discrete percentiles in integer space: element_at on the
+        // sorted size list at ceil(p·n) (floor((p·n+99)/100) — identical
+        // expression on both engines), NOT percentile_approx, so the
+        // oracle matches bit-for-bit. One double-divide chain per double
+        // column, round 6 — the house contract.
+        val assigned = seedAssigned(s, d)
+        val nc = cellSeed(s, d).agg(count(lit(1)).as("n_centroids"))
+        val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+        def pidx(p: Int) =
+          floor((col("n_cells_used") * p + lit(99)) / lit(100.0)).cast("int")
+        sizes.agg(
+            count(lit(1)).as("n_cells_used"),
+            sum(col("sz")).as("n_vecs"),
+            min(col("sz")).as("min_sz"),
+            max(col("sz")).as("max_sz"),
+            sort_array(collect_list(col("sz"))).as("szs"))
+          .crossJoin(broadcast(nc))
+          .select(
+            col("n_centroids"),
+            col("n_cells_used"),
+            (col("n_centroids") - col("n_cells_used")).as("empty_cells"),
+            col("n_vecs"),
+            col("min_sz"),
+            element_at(col("szs"), pidx(50)).as("p50_sz"),
+            element_at(col("szs"), pidx(90)).as("p90_sz"),
+            element_at(col("szs"), pidx(99)).as("p99_sz"),
+            col("max_sz"),
+            round(col("n_vecs").cast("double") / col("n_cells_used"), 6).as("avg_sz"),
+            round(col("max_sz").cast("double") * col("n_cells_used") / col("n_vecs"), 6)
+              .as("imbalance"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "cb", "cbassigned")},
+             |sizes AS (SELECT cell, count(*) AS sz FROM cbassigned GROUP BY cell),
+             |stats AS (SELECT count(*) AS n_cells_used, CAST(sum(sz) AS BIGINT) AS n_vecs,
+             |    min(sz) AS min_sz, max(sz) AS max_sz, list_sort(list(sz)) AS szs FROM sizes),
+             |nc AS (SELECT count(*) AS n_centroids FROM cent)
+             |SELECT n_centroids, n_cells_used, n_centroids - n_cells_used AS empty_cells,
+             |  n_vecs, min_sz,
+             |  szs[CAST(floor((n_cells_used * 50 + 99) / 100.0) AS INT)] AS p50_sz,
+             |  szs[CAST(floor((n_cells_used * 90 + 99) / 100.0) AS INT)] AS p90_sz,
+             |  szs[CAST(floor((n_cells_used * 99 + 99) / 100.0) AS INT)] AS p99_sz,
+             |  max_sz,
+             |  round(CAST(n_vecs AS DOUBLE) / n_cells_used, 6) AS avg_sz,
+             |  round(CAST(max_sz AS DOUBLE) * n_cells_used / n_vecs, 6) AS imbalance
+             |FROM stats CROSS JOIN nc""".stripMargin),
+      "IVF cell-balance audit: occupancy distribution (exact integer-space percentiles), imbalance factor, and empty-cell count of the routed assignment — the tuning table that sets numCells and flags hot cells for salting/re-split."
     )
   )
 }
