@@ -25,4 +25,11 @@ object shims {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name), info, builder)
+
+  /** Drain the async listener bus — `SparkContext.listenerBus` is
+    * `private[spark]`, and per-query metrics attribution (ShuffleAudit)
+    * needs every TaskEnd event delivered before reading the counters.
+    */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

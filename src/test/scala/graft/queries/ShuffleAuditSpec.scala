@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.ShuffleAudit
+import graft.vlm.SparkSpec
+
+/** Runtime shuffle/spill contracts — the measured counterpart to
+  * PlanSpec/PlanContracts' static plan-shape assertions.
+  *
+  * Scope note: the zero-shuffle contract pins only queries that are
+  * map-only BY CONSTRUCTION (per-row scans, filters, broadcast-side
+  * screens) — properties that hold at any data size and either preset. It
+  * deliberately excludes queries that merely HAPPEN to be shuffle-free at
+  * test scale because AQE/stats chose a broadcast join (d3's band
+  * self-join, j1's dim join): those shuffle legitimately once the data
+  * outgrows the broadcast threshold, so pinning them would encode a
+  * fixture accident as a contract.
+  *
+  * The no-spill contract covers the audited set including the catalog's
+  * heaviest shufflers: any spill at fixture scale on a 4-core local
+  * session means a partition working set outgrew its task slot — a
+  * config/geometry bug that 100 TB would turn into OOM-thrash.
+  */
+class ShuffleAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Map-only by construction: pure filters, per-row scalar/text/media
+  // scans, and the broadcast-screen decontaminators (eval side broadcasts;
+  // the training side streams map-only past it).
+  private val mapOnly = Seq(
+    "f2_range_filter", "f14_prefix_regex",
+    "m1_string_ops", "m2_round_units", "m3_seeded_random",
+    "t1_token_stats", "t3_quality_score", "t4_fingerprint",
+    "t7_repetition_quality", "t9_bpe_pretokens", "t10_gopher_rules",
+    "t12_denylist_scrub", "t17_pii_scrub",
+    "mm1_media_catalog", "mm2_frame_sample", "mm3_decode_features",
+    "mm4_resize_plan", "mm5_audio_chunks")
+
+  // Constant-bounded shuffle: the corpus side streams map-only, but a
+  // CONSTANT-sized side legitimately shuffles — a 1-row stats aggregate
+  // (f12's count, the scalar-join family), a bounded-category rollup
+  // (m4's date buckets, t2's language tallies, m5's extracted fields), or
+  // the eval-set-sized prep of a broadcast screen (d17). Their shuffle
+  // bytes are independent of corpus size — the contract is a small
+  // absolute ceiling, not zero. (At sf0.001 they measure 64 B–2 KB; the
+  // 64 KB ceiling leaves room for preset geometry, not for a corpus
+  // dependency — the corpus side at any sf would blow through it.)
+  private val boundedShuffle = Seq(
+    "f12_sample_mod", "m4_date_buckets", "m5_json_extract",
+    "t2_language_id", "d17_fuzzy_decontaminate")
+  private val BoundedCeiling = 65536L
+
+  // Must-shuffle sanity: these queries' semantics REQUIRE repartitioning
+  // (corpus-wide span frequency, per-frame self-join pairs). If the
+  // listener ever reported zero for them, the metrics plumbing is broken
+  // and the zero-shuffle contract above would be vacuous.
+  private val mustShuffle = Seq("t11_span_dedup", "j8_selfjoin_pairs")
+
+  private lazy val measured: Map[String, ShuffleAudit.QueryBytes] =
+    (mapOnly ++ boundedShuffle ++ mustShuffle)
+      .map(n => n -> ShuffleAudit.measure(spark, sf, n)).toMap
+
+  test("map-only catalog queries shuffle zero bytes") {
+    val offenders = mapOnly.map(n => n -> measured(n).shuffleWrite).filter(_._2 > 0)
+    assert(offenders.isEmpty,
+      s"map-only queries wrote shuffle bytes: ${offenders.mkString(", ")}")
+  }
+
+  test("constant-side queries stay under the bounded-shuffle ceiling") {
+    val offenders = boundedShuffle
+      .map(n => n -> measured(n).shuffleWrite).filter(_._2 > BoundedCeiling)
+    assert(offenders.isEmpty,
+      s"constant-bounded queries exceeded ${BoundedCeiling}B: ${offenders.mkString(", ")}")
+  }
+
+  test("must-shuffle queries register shuffle bytes (listener sanity)") {
+    mustShuffle.foreach { n =>
+      assert(measured(n).shuffleWrite > 0, s"$n reported zero shuffle — metrics plumbing broken?")
+    }
+  }
+
+  test("no audited query spills, in memory or to disk") {
+    val spilled = measured.toSeq
+      .map { case (n, b) => n -> (b.diskSpill + b.memSpill) }.filter(_._2 > 0)
+    assert(spilled.isEmpty, s"spilled at fixture scale: ${spilled.mkString(", ")}")
+  }
+
+  test("map-only queries actually read input (zero-shuffle is not vacuous)") {
+    val empty = mapOnly.map(n => n -> measured(n).input).filter(_._2 == 0)
+    assert(empty.isEmpty, s"queries read zero input bytes: ${empty.mkString(", ")}")
+  }
+}
