@@ -957,6 +957,76 @@ object EmbeddingQueries extends QueryModule {
              |  round(CAST(max_sz AS DOUBLE) * n_cells_used / n_vecs, 6) AS imbalance
              |FROM stats CROSS JOIN nc""".stripMargin),
       "IVF cell-balance audit: occupancy distribution (exact integer-space percentiles), imbalance factor, and empty-cell count of the routed assignment — the tuning table that sets numCells and flags hot cells for salting/re-split."
+    ),
+    QueryDef(
+      "v17_sq8_adc",
+      (s, d) => {
+        // Scalar quantization (SQ8) — the compression rung BETWEEN raw
+        // vectors and PQ codes (v8/v9): each dimension affine-quantizes
+        // independently to 8 bits against the corpus's per-dim [min, max],
+        // 64 B/vector at Dim=64 — 8× smaller than the int64 vectors, 8×
+        // bigger than a PQ code, with far lower distortion than PQ (no
+        // subspace structure assumed). The production storage tier for
+        // "cheap but nearly exact" rerank layers (FAISS's SQ8 fills the
+        // same slot).
+        //
+        // Serving is asymmetric: the query keeps its exact vector; each
+        // corpus vector is reconstructed from its codes (dequantize =
+        // min + code·range/255) and scanned map-only. Scale shape: the
+        // per-dim stats are ONE partial-aggregated row broadcast back
+        // (the scalar-join pattern), the 10-query set broadcasts, the
+        // corpus side never shuffles wider than its top-k partials, and
+        // the rank<=3 window collapses to WindowGroupLimit partial top-k.
+        //
+        // Determinism: quantize/dequantize in pure integer arithmetic —
+        // code = (x−mn)·255 div rng via mod-subtract exact division (both
+        // operands nonnegative, products ≤ ~1e6, so the IEEE divide of
+        // exact multiples is exact in both engines); adist is an exact
+        // integer L2 (longDot of the diff with itself). No doubles anywhere
+        // in the output row.
+        val base = quantized(s, d)
+        val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
+          (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
+        val stats = base.agg(aggs.head, aggs.tail: _*).select(
+          array((0 until Dim).map(i => col(s"mn$i")): _*).as("mns"),
+          array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
+        val enc = base.crossJoin(broadcast(stats))
+          .withColumn("dq", zip_with(col("q"), col("mns"), (x, m) => x - m))
+          .withColumn("c", zip_with(col("dq"), col("rng"), (dd, r) =>
+            when(r === 0L, 0L).otherwise(
+              (((dd * 255L) - ((dd * 255L) % r)) / r).cast("long"))))
+          .withColumn("t", zip_with(col("c"), col("rng"), (ci, r) =>
+            (((ci * r) - ((ci * r) % 255L)) / 255L).cast("long")))
+          .withColumn("xh", zip_with(col("mns"), col("t"), (m, v) => m + v))
+          .select(col("vec_id"), col("xh"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+        enc.join(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("diff", zip_with(col("qq"), col("xh"), (a, b) => a - b))
+          .withColumn("adist", graft.functions.longDot(col("diff"), col("diff")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk").cast("long").as("rk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+      },
+      Some(s"""WITH base AS ($quantizedSql),
+             |mm AS (SELECT pos, min(v) AS mn, max(v) - min(v) AS r FROM (
+             |    SELECT unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM base) GROUP BY pos),
+             |st AS (SELECT list(mn ORDER BY pos) AS mns, list(r ORDER BY pos) AS rng FROM mm),
+             |enc AS (SELECT vec_id, list_transform(range(1, $Dim + 1), i ->
+             |    mns[i] + ((CASE WHEN rng[i] = 0 THEN 0 ELSE ((q[i] - mns[i]) * 255) // rng[i] END) * rng[i]) // 255) AS xh
+             |  FROM base, st),
+             |qs AS (SELECT vec_id AS query_id, q AS qq FROM base WHERE vec_id < 10),
+             |ad AS (SELECT query_id, vec_id, CAST(list_sum(list_transform(range(1, $Dim + 1), i ->
+             |    (qq[i] - xh[i]) * (qq[i] - xh[i]))) AS BIGINT) AS adist
+             |  FROM enc, qs WHERE vec_id <> query_id)
+             |SELECT query_id, rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM ad) WHERE rk <= 3""".stripMargin),
+      "Scalar quantization (SQ8) serving: per-dim affine 8-bit codes against corpus [min,max] (one broadcast stats row), asymmetric distance on integer-exact reconstructions, top-3 per query — the compression rung between raw vectors and PQ."
     )
   )
 }

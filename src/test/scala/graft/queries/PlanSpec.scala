@@ -240,6 +240,15 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p) // partial + final, × 2 sides
   }
 
+  test("v17_sq8_adc: broadcast stats + query set, partial top-k, map-only corpus side") {
+    // the 1-row per-dim stats and the 10-query set both broadcast; the
+    // corpus side encodes/reconstructs map-only; the rank<=3 filter runs
+    // as WindowGroupLimit so only top-k partials reach the rank exchange
+    val p = plan("v17_sq8_adc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("w1_rank_topk benefits from WindowGroupLimit (partial top-k before the shuffle)") {
     // rank()<=k filters should trigger Spark's window-group-limit
     // optimization: a per-partition partial top-k runs BELOW the exchange,
