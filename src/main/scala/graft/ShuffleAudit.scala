@@ -115,13 +115,14 @@ object ShuffleAudit {
     val qjson = rows.map { case (n, b) =>
       s""""$n":{"sw_mb":${mb(b.shuffleWrite)},"in_mb":${mb(b.input)},"ratio":${math.rint(b.ratio * 1e4) / 1e4},"spill_mb":${mb(b.diskSpill + b.memSpill)},"peak_task_mb":${mb(b.peakExecMem)}}"""
     }.mkString("{", ",", "}")
+    // preset+sf adjacent at the tail: the pair is the upsert identity, so
+    // one artifact can carry sf0.1 AND capacity-×10 legs per preset
+    val marker =
+      s""""preset":${Artifacts.jsonStr(sys.env.getOrElse("GRAFT_PRESET", "demo"))},"sf":${Artifacts.jsonStr(sfDir)}"""
     val line =
-      s"""{"metric":"shuffle_audit","n":${rows.size},"zero_shuffle":${zero.size},"spilled":${spilled.size},"spilled_queries":${spilled.map(Artifacts.jsonStr).mkString("[", ",", "]")},"total_shuffle_mb":${mb(rows.map(_._2.shuffleWrite).sum)},"total_input_mb":${mb(rows.map(_._2.input).sum)},"preset":${Artifacts.jsonStr(sys.env.getOrElse("GRAFT_PRESET", "demo"))},"queries":$qjson,"sf":${Artifacts.jsonStr(sfDir)}}"""
-    // one line per preset, upserted (the plan_audit_last.json convention)
+      s"""{"metric":"shuffle_audit","n":${rows.size},"zero_shuffle":${zero.size},"spilled":${spilled.size},"spilled_queries":${spilled.map(Artifacts.jsonStr).mkString("[", ",", "]")},"total_shuffle_mb":${mb(rows.map(_._2.shuffleWrite).sum)},"total_input_mb":${mb(rows.map(_._2.input).sum)},"queries":$qjson,$marker}"""
     Artifacts.upsertLine(
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_OUT", "shuffle_audit_last.json"),
-      s""""preset":${Artifacts.jsonStr(sys.env.getOrElse("GRAFT_PRESET", "demo"))}""",
-      line)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_OUT", "shuffle_audit_last.json"), marker, line)
     // compact stdout line (scrape-window discipline, see Bench.renderLines)
     println(s"""{"metric":"shuffle_audit","n":${rows.size},"zero_shuffle":${zero.size},"spilled":${spilled.size},"total_shuffle_mb":${mb(rows.map(_._2.shuffleWrite).sum)},"total_input_mb":${mb(rows.map(_._2.input).sum)},"sf":${Artifacts.jsonStr(sfDir)}}""")
     spark.stop()

@@ -381,6 +381,44 @@ object EmbeddingQueries extends QueryModule {
   private val quantizedSql =
     s"SELECT vec_id, label, $qvecSql AS q FROM embeddings"
 
+  /** SQ8 reconstructions `(vec_id, xh)`: per-dim affine 8-bit codes
+    * against the corpus's per-dim [min, max] (ONE partial-aggregated
+    * stats row, broadcast back — the scalar-join pattern), dequantized in
+    * pure integer arithmetic (mod-subtract exact division; operands
+    * nonnegative and ≤ ~1e6, so the IEEE divide of exact multiples is
+    * exact in both engines). Shared by v17 (ADC serving) and v18 (recall
+    * audit). Production stores the CODES (1 B/dim); the catalog encodes
+    * in-line because the corpus is the testdata parquet.
+    */
+  private def sq8Recon(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
+      (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*).select(
+      array((0 until Dim).map(i => col(s"mn$i")): _*).as("mns"),
+      array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("dq", zip_with(col("q"), col("mns"), (x, m) => x - m))
+      .withColumn("c", zip_with(col("dq"), col("rng"), (dd, r) =>
+        when(r === 0L, 0L).otherwise(
+          (((dd * 255L) - ((dd * 255L) % r)) / r).cast("long"))))
+      .withColumn("t", zip_with(col("c"), col("rng"), (ci, r) =>
+        (((ci * r) - ((ci * r) % 255L)) / 255L).cast("long")))
+      .withColumn("xh", zip_with(col("mns"), col("t"), (m, v) => m + v))
+      .select(col("vec_id"), col("xh"))
+  }
+
+  /** SQL mirror of [[sq8Recon]] (CTEs `mm`, `st`, `enc`); requires a
+    * `base` CTE of [[quantizedSql]] in scope.
+    */
+  private val sq8ReconSql =
+    s"""mm AS (SELECT pos, min(v) AS mn, max(v) - min(v) AS r FROM (
+       |    SELECT unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM base) GROUP BY pos),
+       |st AS (SELECT list(mn ORDER BY pos) AS mns, list(r ORDER BY pos) AS rng FROM mm),
+       |enc AS (SELECT vec_id, list_transform(range(1, $Dim + 1), i ->
+       |    mns[i] + ((CASE WHEN rng[i] = 0 THEN 0 ELSE ((q[i] - mns[i]) * 255) // rng[i] END) * rng[i]) // 255) AS xh
+       |  FROM base, st)""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "v1_knn_bruteforce",
@@ -985,20 +1023,7 @@ object EmbeddingQueries extends QueryModule {
         // integer L2 (longDot of the diff with itself). No doubles anywhere
         // in the output row.
         val base = quantized(s, d)
-        val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
-          (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
-        val stats = base.agg(aggs.head, aggs.tail: _*).select(
-          array((0 until Dim).map(i => col(s"mn$i")): _*).as("mns"),
-          array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
-        val enc = base.crossJoin(broadcast(stats))
-          .withColumn("dq", zip_with(col("q"), col("mns"), (x, m) => x - m))
-          .withColumn("c", zip_with(col("dq"), col("rng"), (dd, r) =>
-            when(r === 0L, 0L).otherwise(
-              (((dd * 255L) - ((dd * 255L) % r)) / r).cast("long"))))
-          .withColumn("t", zip_with(col("c"), col("rng"), (ci, r) =>
-            (((ci * r) - ((ci * r) % 255L)) / 255L).cast("long")))
-          .withColumn("xh", zip_with(col("mns"), col("t"), (m, v) => m + v))
-          .select(col("vec_id"), col("xh"))
+        val enc = sq8Recon(s, d)
         val queries = base.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("q").as("qq"))
         enc.join(broadcast(queries))
@@ -1012,12 +1037,7 @@ object EmbeddingQueries extends QueryModule {
             col("vec_id").as("neighbor_id"), col("adist"))
       },
       Some(s"""WITH base AS ($quantizedSql),
-             |mm AS (SELECT pos, min(v) AS mn, max(v) - min(v) AS r FROM (
-             |    SELECT unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM base) GROUP BY pos),
-             |st AS (SELECT list(mn ORDER BY pos) AS mns, list(r ORDER BY pos) AS rng FROM mm),
-             |enc AS (SELECT vec_id, list_transform(range(1, $Dim + 1), i ->
-             |    mns[i] + ((CASE WHEN rng[i] = 0 THEN 0 ELSE ((q[i] - mns[i]) * 255) // rng[i] END) * rng[i]) // 255) AS xh
-             |  FROM base, st),
+             |$sq8ReconSql,
              |qs AS (SELECT vec_id AS query_id, q AS qq FROM base WHERE vec_id < 10),
              |ad AS (SELECT query_id, vec_id, CAST(list_sum(list_transform(range(1, $Dim + 1), i ->
              |    (qq[i] - xh[i]) * (qq[i] - xh[i]))) AS BIGINT) AS adist
@@ -1027,6 +1047,71 @@ object EmbeddingQueries extends QueryModule {
              |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
              |  FROM ad) WHERE rk <= 3""".stripMargin),
       "Scalar quantization (SQ8) serving: per-dim affine 8-bit codes against corpus [min,max] (one broadcast stats row), asymmetric distance on integer-exact reconstructions, top-3 per query — the compression rung between raw vectors and PQ."
+    ),
+    QueryDef(
+      "v18_sq8_recall",
+      (s, d) => {
+        // SQ8 index-quality audit — the v11/v14 measurement applied to the
+        // v17 rung: recall@3 of SQ8 asymmetric serving against exact
+        // integer-L2 brute force, per query, SAME metric on both sides
+        // (L2 on raw vectors vs L2 on reconstructions) so the gap is
+        // purely quantization distortion, not a metric mismatch. Every
+        // approximate tier in the engine ships with its own measured
+        // recall (v11 LSH, v14 IVF-nprobe, v18 SQ8): committing a storage
+        // tier without its recall table is how 100 TB serving deployments
+        // end up debugging silent quality loss.
+        //
+        // Scale shape: both arms broadcast the same 10-query set, both
+        // rank windows collapse to WindowGroupLimit partial top-k, and
+        // the recall join touches only 2×(k × n_queries) rank rows —
+        // metadata-scale at any corpus size.
+        val base = quantized(s, d)
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+        def topk(side: DataFrame, vcol: String): DataFrame =
+          side.join(broadcast(queries))
+            .filter(col("vec_id") =!= col("query_id"))
+            .withColumn("diff", zip_with(col("qq"), col(vcol), (a, b) => a - b))
+            .withColumn("dist", graft.functions.longDot(col("diff"), col("diff")))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("vec_id").asc)))
+            .filter(col("rk") <= 3)
+            .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val exact = topk(base.select(col("vec_id"), col("q")), "q")
+        val approx = topk(sq8Recon(s, d), "xh")
+        exact
+          .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_3"))
+      },
+      Some(s"""WITH base AS ($quantizedSql),
+             |$sq8ReconSql,
+             |qs AS (SELECT vec_id AS query_id, q AS qq FROM base WHERE vec_id < 10),
+             |exact AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rk
+             |  FROM (SELECT query_id, vec_id, CAST(list_sum(list_transform(range(1, $Dim + 1), i ->
+             |      (qq[i] - q[i]) * (qq[i] - q[i]))) AS BIGINT) AS dist
+             |    FROM base, qs WHERE vec_id <> query_id))
+             |  WHERE rk <= 3),
+             |approx AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rk
+             |  FROM (SELECT query_id, vec_id, CAST(list_sum(list_transform(range(1, $Dim + 1), i ->
+             |      (qq[i] - xh[i]) * (qq[i] - xh[i]))) AS BIGINT) AS dist
+             |    FROM enc, qs WHERE vec_id <> query_id))
+             |  WHERE rk <= 3)
+             |SELECT ex.query_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_at_3
+             |FROM exact ex LEFT JOIN approx ap
+             |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+             |GROUP BY ex.query_id""".stripMargin),
+      "SQ8 recall audit: recall@3 of scalar-quantized asymmetric serving vs exact integer-L2 brute force over the same broadcast query set — the quantization-distortion measurement that certifies the SQ8 storage tier."
     )
   )
 }

@@ -249,6 +249,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("v18_sq8_recall: both arms pre-reduce with WindowGroupLimit partial top-k") {
+    val p = plan("v18_sq8_recall")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p) // partial + final, × 2 arms
+  }
+
   test("w1_rank_topk benefits from WindowGroupLimit (partial top-k before the shuffle)") {
     // rank()<=k filters should trigger Spark's window-group-limit
     // optimization: a per-partition partial top-k runs BELOW the exchange,
