@@ -691,6 +691,58 @@ object RelationalQueries extends QueryModule {
              |    SELECT user_id FROM events WHERE event_type = 'purchase')) GROUP BY kind""".stripMargin),
       "INTERSECT / EXCEPT as semi/anti duals (SURVEY U4/U5; create_labeled_dataset.py:81)."
     ),
+    QueryDef(
+      "u6_snapshot_delta",
+      (s, d) => {
+        // Snapshot delta — the incremental-processing primitive a daily
+        // 100 TB corpus pipeline runs before anything else: classify every
+        // doc as added / removed / changed / unchanged between yesterday's
+        // snapshot and today's by primary key + content hash, so the
+        // expensive downstream stages (signatures, embeddings, QA) touch
+        // only the added∪changed slice. Shape: map-side md5 on both scans,
+        // ONE hash-partitioned full-outer join on the primary key — and
+        // with both snapshots bucketed by doc_id (the BucketingSpec
+        // layout), the join plans exchange-free, making the daily diff a
+        // pure co-partitioned merge at any scale.
+        //
+        // The prior snapshot is SIMULATED deterministically from the same
+        // table (the catalog has one snapshot per dir): docs with
+        // doc_id % 50 == 0 are absent from it (→ added), % 7 == 0 carry a
+        // different prior hash (→ changed), and % 131 == 0 contribute a
+        // synthetic prior-only row at doc_id + 1e7 (→ removed; the offset
+        // stays collision-free for any catalog/scale-harness corpus).
+        val docs = Tables.documents(s, d)
+        val cur = docs.select(col("doc_id"), md5(col("text")).as("ch"))
+        val prior = docs
+          .filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("-v0"))))
+              .otherwise(md5(col("text"))).as("ph"))
+          .unionByName(docs.filter(col("doc_id") % 131 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              md5(concat(col("text"), lit("-rm"))).as("ph")))
+        cur.join(prior, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("ph").isNull, "added")
+              .when(col("ch").isNull, "removed")
+              .when(col("ch") =!= col("ph"), "changed")
+              .otherwise("unchanged").as("change_class"))
+      },
+      Some("""WITH cur AS (SELECT doc_id, md5(text) AS ch FROM documents),
+             |pri AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN md5(text || '-v0') ELSE md5(text) END AS ph
+             |  FROM documents WHERE doc_id % 50 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, md5(text || '-rm') FROM documents WHERE doc_id % 131 = 0)
+             |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+             |  CASE WHEN p.doc_id IS NULL THEN 'added'
+             |       WHEN c.doc_id IS NULL THEN 'removed'
+             |       WHEN c.ch <> p.ph THEN 'changed'
+             |       ELSE 'unchanged' END AS change_class
+             |FROM cur c FULL OUTER JOIN pri p ON c.doc_id = p.doc_id""".stripMargin),
+      "Snapshot delta: per-doc added/removed/changed/unchanged classification via content hash + one pk full-outer join — the incremental primitive that confines daily downstream work to the added∪changed slice (exchange-free when snapshots are bucketed)."
+    ),
     // ------------------------------------------------------ scalar functions
     QueryDef(
       "m1_string_ops",
