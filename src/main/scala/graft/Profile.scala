@@ -14,6 +14,23 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate()
+    // SPARK_GRAFT_PROFILE_JOBS=1: print per-Spark-job wall times — the
+    // breakdown that separates cache-build jobs, codegen-heavy first
+    // executions, and the steady-state query cost inside one run() sample
+    if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.lastOption.map(s => s"${s.name} [${s.numTasks}t]").getOrElse("?")
+          starts.put(j.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val v = starts.remove(j.jobId)
+          if (v != null)
+            println(f"[profile]   job ${j.jobId}: ${(System.nanoTime() - v._1) / 1e9}%.2f s  ${v._2}")
+        }
+      })
+    }
     def time[T](n: String)(f: => T): Double = {
       val t0 = System.nanoTime; f
       val s = (System.nanoTime - t0) / 1e9

@@ -61,19 +61,42 @@ object ShuffleAudit {
     def ratio: Double = if (input > 0) shuffleWrite.toDouble / input else 0.0
   }
 
-  /** Task-metrics accumulator. Thread-safe: the listener bus delivers
-    * events on its own thread while the query's action blocks the caller.
+  /** Task-metrics accumulator, scoped to ONE job group. Thread-safe: the
+    * listener bus delivers events on its own thread while the query's
+    * action blocks the caller. The job-group scoping is what makes the
+    * measurement correct under concurrent Spark activity (sbt runs test
+    * suites in parallel inside one JVM — an unscoped listener counts
+    * whatever another suite happens to shuffle into this query's window):
+    * only tasks of stages belonging to jobs tagged with `tag` are
+    * counted. Broadcast-exchange and shared-cache-build jobs submitted
+    * during the measured query inherit the caller's thread-local job
+    * group, so they stay inside the window by construction.
     */
-  private final class MetricsListener extends SparkListener {
+  private final class MetricsListener(tag: String) extends SparkListener {
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val sw = new java.util.concurrent.atomic.LongAdder
     private val sr = new java.util.concurrent.atomic.LongAdder
     private val ds = new java.util.concurrent.atomic.LongAdder
     private val ms = new java.util.concurrent.atomic.LongAdder
     private val in = new java.util.concurrent.atomic.LongAdder
     private val pk = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (j.properties != null && tag == j.properties.getProperty("spark.jobGroup.id"))
+        j.stageIds.foreach(id => stages.add(id))
+    // SPARK_GRAFT_AUDIT_DEBUG=1: per-stage attribution for chasing where
+    // a query's bytes come from (stage name ≈ the callsite that ran it)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      if (sys.env.get("SPARK_GRAFT_AUDIT_DEBUG").contains("1")
+          && stages.contains(sc.stageInfo.stageId)) {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.bytesWritten > 0)
+          println(s"[audit-debug] $tag stage ${sc.stageInfo.stageId} " +
+            s"sw=${m.shuffleWriteMetrics.bytesWritten} ${sc.stageInfo.name.takeWhile(_ != '\n').take(120)}")
+      }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) {
+      if (m != null && stages.contains(t.stageId)) {
         sw.add(m.shuffleWriteMetrics.bytesWritten)
         sr.add(m.shuffleReadMetrics.totalBytesRead)
         ds.add(m.diskBytesSpilled)
@@ -91,14 +114,19 @@ object ShuffleAudit {
     * TaskEnd events can't leak into the next query's window.
     */
   def measure(spark: SparkSession, sfDir: String, name: String): QueryBytes = {
-    val l = new MetricsListener
+    val tag = s"shuffle-audit-$name-${System.nanoTime()}"
+    val l = new MetricsListener(tag)
     spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(tag, s"shuffle-audit $name", interruptOnCancel = false)
     try {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       org.apache.spark.sql.graft.shims.waitListenerBus(spark)
       l.snapshot
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   def main(args: Array[String]): Unit = {

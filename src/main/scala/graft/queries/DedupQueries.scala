@@ -68,6 +68,33 @@ object DedupQueries extends QueryModule {
       graft.functions.shingleHashes(col("text"), 3).as("sh")
     )
 
+  /** [[shingleSets]] with the docs scan SPREAD to core width first — for
+    * the once-per-session shared-cache builds ONLY. CPU-dense per-row
+    * work (fused shingle scan, then the minhash family) must not inherit
+    * the scan's split count there: byte-based file packing folds a
+    * synthesized ×N corpus (a handful of sub-MB files) into 1–2
+    * partitions, serializing the build (measured: 77 s cold at ×10
+    * capacity geometry, CPU-bound on 2 of 32 cores). One cheap shuffle of
+    * the skinny (id, text) rows buys full-width parallelism for the build
+    * AND core-width cache partitions for every consumer (the d12
+    * repartition-before-len² precedent). Per-query UNCACHED lineages keep
+    * the plain map-only [[shingleSets]] scan — a per-execution corpus
+    * shuffle would be pure overhead at production split counts, and the
+    * d17/v13 screens' map-only training-side contract
+    * (ShuffleAuditSpec's bounded ceiling) depends on its absence. The
+    * under-split branch never fires at 100 TB (thousands of row groups).
+    */
+  private def shingleSetsWide(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val par = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par, col("doc_id")) else docs
+    spread.select(
+      col("doc_id"),
+      graft.functions.shingleHashes(col("text"), 3).as("sh")
+    )
+  }
+
   private val shingleSetSql =
     s"SELECT doc_id, list_distinct(list_transform(${shinglesSql("toks", 3)}, x -> ${h60Sql("x")})) AS sh FROM (SELECT doc_id, $tokensSql AS toks FROM documents)"
 
@@ -408,8 +435,26 @@ object DedupQueries extends QueryModule {
     * signing is per-row, so per-query side filters commute with it.
     */
   private def bandSigsCached(s: SparkSession, d: String): DataFrame =
-    sharedCache(s, d, "bandSigs")(
-      signatures(shingleSets(s, d)).select(col("doc_id") +: bandCols: _*))
+    sharedCache(s, d, "bandSigs") {
+      // Build THROUGH a materialized (doc_id, mh) boundary, not straight
+      // off signatures(): CollapseProject folds the 128 element_at slices
+      // AND the band expressions onto the raw minhash_n call, and when the
+      // collapsed projection leaves whole-stage codegen (the cache-build
+      // path at the 128-slice geometry), common-subexpression elimination
+      // goes with it — the full shingle→minhash pipeline re-evaluates per
+      // OUTPUT COLUMN, turning a 4 s signature pass into a 56 s cache
+      // build (measured, ×10 capacity corpus). The InMemoryRelation
+      // boundary pins minhash_n to exactly one evaluation per row; the
+      // band projection above it reads a materialized array.
+      val mhExpr =
+        if (NumMinhash <= 8) graft.functions.minhash8(col("sh"))
+        else graft.functions.minhashN(col("sh"), NumMinhash)
+      val mh = sharedCache(s, d, "mhSigs")(
+        shingleSetsWide(s, d).select(col("doc_id"), mhExpr.as("mh")))
+      mh.select(col("doc_id") +:
+          (0 until NumMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+        .select(col("doc_id") +: bandCols: _*)
+    }
 
   /** FUZZY benchmark decontamination (the d17 operator) — the
     * near-duplicate companion to the exact-overlap family (d9 exact
@@ -434,7 +479,7 @@ object DedupQueries extends QueryModule {
     */
   def fuzzyDecontaminate(s: SparkSession, d: String, evalCap: Long = Long.MaxValue): DataFrame = {
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < evalCap
-    val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+    val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
     // signatures are PER-ROW (minhash slices + band md5 of one doc's
     // shingle set), so side-splitting commutes with signing: filter the
     // family's shared full-corpus band table instead of signing each side
@@ -458,7 +503,16 @@ object DedupQueries extends QueryModule {
       .select(col("x.doc_id").as("did"), col("y.doc_id").as("eid"))
     val evalSets = sets.filter(isEval)
       .select(col("doc_id").as("eid"), col("sh").as("esh"))
-    val verified = cands
+    // payload-fetch direction, the d12 discipline: the CANDIDATE side
+    // broadcasts (eval-bounded band collisions, tiny next to the corpus)
+    // and the corpus-side shingle sets STREAM past it — left to stats,
+    // Catalyst can shuffle the corpus side here, which at sf0.001 already
+    // re-networks the whole sets table and at 100 TB is a full-corpus
+    // shuffle per screen. The hint is mandatory (honored regardless of
+    // size); past broadcastable candidate counts the scale adaptation is
+    // to DROP it and shuffle on doc_id — the property that scales is
+    // fetch-only-candidate-payloads, not the broadcast itself.
+    val verified = broadcast(cands)
       .join(sets.as("sa"), col("did") === col("sa.doc_id"))
       .join(broadcast(evalSets), Seq("eid"))
       .select(col("did"), col("eid"),
@@ -665,7 +719,7 @@ object DedupQueries extends QueryModule {
         // shared cached handle: d6 and d7 consume the identical canonical
         // plan — independent .cache() calls would be CacheManager-warning
         // no-ops after the first
-        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
         val sigs = bandSigsCached(s, d)
         // bucketed candidate generation: explode band keys, equi-join per
         // (band index, band hash) bucket — the scale path; no cross join,
@@ -746,7 +800,7 @@ object DedupQueries extends QueryModule {
         // end-to-end dedup decision: LSH candidates → Jaccard >= 0.5 →
         // connected representative = min doc_id over each doc's neighbors
         // (single-link 1-hop approximation, deterministic).
-        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
         val sigs = bandSigsCached(s, d)
         // first-shared-band dedup, as in d3 — directed pairs here; one
         // definition of the machinery: bandCandidatePairs
@@ -786,7 +840,7 @@ object DedupQueries extends QueryModule {
         // 2-3 in practice). Each round is one shuffle join + one
         // aggregation; the driver loop only reads a 1-row convergence
         // count.
-        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
         val edges = sharedCache(s, d, "fullEdges")(verifiedEdges(sets))
         val undirected = sharedCache(s, d, "fullUndirected")(
           edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
@@ -823,7 +877,7 @@ object DedupQueries extends QueryModule {
         // (tiny excerpt in a huge doc) may never band-collide — this
         // operator catches near-size containment; small-in-large detection
         // needs the t11 span-hash shapes.
-        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
         val sigs = bandSigsCached(s, d)
         val cands = bandCandidatePairs(sigs, directed = true)
           .select(col("a").as("did"), col("b").as("cid"))
@@ -960,7 +1014,7 @@ object DedupQueries extends QueryModule {
         // (jq, est_micro — the /NumMinhash divide is by a power of two,
         // so exact in IEEE), integer sums per decile, ONE double-divide
         // chain per output column, round 6 — the house contract.
-        val sets = sharedCache(s, d, "shingleSets")(shingleSets(s, d))
+        val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
         val sample = sets
           .withColumn("au", h60(concat(lit("aud:"), col("doc_id").cast("string"))))
           .filter(pmod(col("au"), lit(AuditMod)) === 0)

@@ -51,10 +51,20 @@ object SharedCaches {
     // second .cache() logs the CacheManager warning this registry
     // exists to eliminate). Builds are rare; serializing them per
     // (session, dir) is free.
+    // SELF-HEALING membership test: a memoized handle is only valid while
+    // its plan is still registered with the CacheManager. An external
+    // `spark.catalog.clearCache()` (harness hygiene, an operator clearing
+    // storage on a long-lived session) drops the cached data WITHOUT
+    // telling this registry — a stale memo would then hand every consumer
+    // an uncached lineage that silently recomputes per execution, forever.
+    // `df.storageLevel` asks the CacheManager, so a lost cache is detected
+    // and rebuilt on next access (CacheLifecycleSpec pins both paths).
+    def live(df: DataFrame): Boolean =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     m.get(key) match {
-      case Some(df) => df
-      case None => m.synchronized {
-        m.getOrElseUpdate(key, {
+      case Some(df) if live(df) => df
+      case _ => m.synchronized {
+        m.get(key).filter(live).getOrElse {
           val df = build.cache()
           // Materialize EAGERLY: every registered lineage is consumed by at
           // least two downstream stages (that's why it's cached), and when
@@ -68,8 +78,9 @@ object SharedCaches {
           // (Verify/Bench run everything they build); plan-only audits
           // (PlanAudit) flip [[eagerMaterialize]] off instead.
           if (eagerMaterialize) df.count()
+          m.put(key, df)
           df
-        })
+        }
       }
     }
   }
