@@ -101,8 +101,82 @@ object Layout {
     * inverted list contiguous, so row-group stats prune inside the file
     * too.
     */
-  def writeIvfClustered(assigned: DataFrame, path: String, numFiles: Int): Unit =
+  def writeIvfClustered(assigned: DataFrame, path: String, numFiles: Int): Unit = {
     writeRangeClustered(assigned, path, Seq(col("cell")), numFiles)
+    // seed the manifest snapshot (v1): the file-name list readers consult
+    // for a consistent view across incremental merges — see readIvfLists
+    val spark = assigned.sparkSession
+    val fs = fileSystem(spark, path)
+    commitManifest(fs, path, 1L, dataFileNames(fs, path))
+  }
+
+  // ------------------------------------------------------------ manifest
+  // Minimal table-format-style manifest for the inverted-list layout: a
+  // versioned file-NAME list (`_graft_manifest-<v>`, underscore-prefixed
+  // so raw parquet scans ignore it) committed via tmp-write + atomic
+  // rename. Readers that resolve files through the manifest (readIvfLists)
+  // get SNAPSHOT isolation across a concurrent mergeIvfDelta: every crash
+  // window leaves either the old manifest (staged/renamed-in merged files
+  // not yet listed) or the new one (replaced originals delisted before
+  // they are deleted), never a state that lists a row twice or misses one.
+  // LayoutSpec kills the writer at each stage boundary and pins this.
+
+  private def fileSystem(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toIndexedSeq.sorted
+
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toIndexedSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_graft_manifest-"))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("_graft_manifest-").toLong -> st.getPath).toOption)
+      .sortBy(_._1)
+  }
+
+  /** Current manifest snapshot: (version, live data-file names), or None
+    * for a layout that predates the manifest (readers fall back to a raw
+    * dir listing — the pre-manifest behavior).
+    */
+  def currentManifest(spark: SparkSession, path: String): Option[(Long, Seq[String])] = {
+    val fs = fileSystem(spark, path)
+    manifestVersions(fs, path).lastOption.map { case (v, p) =>
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      v -> txt.split('\n').toIndexedSeq.filter(_.nonEmpty)
+    }
+  }
+
+  /** Commit manifest version `v`: write the name list to a hidden tmp
+    * file, then one atomic rename into place. A reader never observes a
+    * half-written manifest — it sees version v-1 until the rename lands.
+    */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long, names: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(s"$path/.manifest_tmp-$v")
+    val out = fs.create(tmp, true)
+    try out.write((names.sorted.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(s"$path/_graft_manifest-$v")))
+      sys.error(s"manifest commit failed: rename to _graft_manifest-$v")
+  }
+
+  /** Read the inverted-list layout through its manifest snapshot — the
+    * reader half of the merge commit protocol. Falls back to a raw dir
+    * scan when no manifest exists (pre-manifest layouts).
+    */
+  def readIvfLists(spark: SparkSession, path: String): DataFrame =
+    currentManifest(spark, path) match {
+      case Some((_, names)) => spark.read.parquet(names.map(n => s"$path/$n"): _*)
+      case None => spark.read.parquet(path)
+    }
 
   /** Incrementally fold a DELTA of newly assigned vectors (e.g. the
     * streaming ingest path: `StreamingOps.assignVectors` → per-trigger
@@ -136,29 +210,51 @@ object Layout {
     * (file-count rows) + the delta's distinct cells (≤ numCells rows) +
     * O(touched) renames. Data rows never collect.
     *
-    * CONCURRENCY CONTRACT — single writer, no concurrent readers: the
-    * commit is a sequence of rename-in-then-delete steps with no
-    * manifest, so a crash mid-commit double-exposes a file's rows
-    * (deliberately failing toward duplication, never loss — the swap is
-    * fully staged before the first destructive step), and a reader
-    * scanning mid-commit can observe one file's rows twice or a
-    * just-deleted file missing. A production deployment commits the same
-    * swap through a table-format manifest (one atomic metadata swap),
-    * which removes both windows; this demo layout has no manifest, so
-    * schedule merges exclusively. Returns (filesRewritten, filesTotal).
+    * CONCURRENCY CONTRACT — single writer; readers resolve files through
+    * the MANIFEST ([[readIvfLists]]) and get snapshot isolation: the
+    * commit sequence is (1) stage the merged span files in a hidden swap
+    * dir, (2) rename them into the lists dir (not yet listed — manifest
+    * readers still see the old snapshot), (3) commit manifest v+1 via one
+    * atomic rename (the COMMIT POINT: readers atomically switch to the
+    * new file set, which delists the replaced originals), (4) delete the
+    * replaced originals and prune old manifests (garbage collection —
+    * already invisible to manifest readers). A writer crash at any stage
+    * boundary leaves a manifest that lists each row exactly once
+    * (LayoutSpec kills the writer at each boundary and pins this); the
+    * only residue is unreferenced garbage files, swept by the next
+    * successful merge's GC or a manual prune. A RAW `spark.read.parquet
+    * (dir)` scan keeps the pre-manifest caveat — between (2) and (4) it
+    * can observe merged and original rows together — so concurrent
+    * readers must use [[readIvfLists]]. Returns
+    * (filesRewritten, filesTotal).
     */
-  def mergeIvfDelta(spark: SparkSession, listsPath: String, delta: DataFrame): (Int, Int) = {
+  def mergeIvfDelta(spark: SparkSession, listsPath: String, delta: DataFrame): (Int, Int) =
+    mergeIvfDeltaStaged(spark, listsPath, delta, _ => ())
+
+  /** [[mergeIvfDelta]] with a stage hook for crash-window testing:
+    * `onStage` fires at each commit-stage boundary ("staged",
+    * "renamed_in", "manifest_committed", "gc_done"); a hook that throws
+    * simulates a writer killed at exactly that boundary.
+    */
+  private[graft] def mergeIvfDeltaStaged(spark: SparkSession, listsPath: String,
+      delta: DataFrame, onStage: String => Unit): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(listsPath), spark.sparkContext.hadoopConfiguration)
+    val fs = fileSystem(spark, listsPath)
+    // live file set from the manifest snapshot (fallback: dir listing for
+    // pre-manifest layouts); all reads below go through these names, so a
+    // previous crashed merge's unreferenced garbage is never re-read
+    val manifest = currentManifest(spark, listsPath)
+    val liveNames = manifest.map(_._2).getOrElse(dataFileNames(fs, listsPath))
+    val nextVersion = manifest.map(_._1 + 1).getOrElse(1L)
+    val livePaths = liveNames.map(n => s"$listsPath/$n")
     // per-file min cell from the data (one file-count-row aggregate; at
-    // production scale this comes from footer stats / a manifest)
-    val lows = spark.read.parquet(listsPath)
+    // production scale this comes from footer stats / the manifest)
+    val lows = spark.read.parquet(livePaths: _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("cell")).as("lo"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(t => (t._2, t._1))
-    val baseCols = spark.read.parquet(listsPath).columns.toIndexedSeq
+    val baseCols = spark.read.parquet(livePaths: _*).columns.toIndexedSeq
     val deltaCells = delta.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     require(deltaCells.nonEmpty, "mergeIvfDelta: empty delta")
@@ -181,18 +277,37 @@ object Layout {
     combined.repartition(touched.length, col("graft_span"))
       .sortWithinPartitions(col("graft_span"), col("cell"))
       .write.mode("overwrite").partitionBy("graft_span").parquet(swap)
-    // commit (metadata-only; swap fully staged before the first rename):
-    // rename each span's merged file in BEFORE deleting the original —
-    // see the concurrency contract above
+    onStage("staged")
+    // (2) rename merged files in — present on disk, absent from the
+    // manifest, so manifest readers still see the old snapshot
+    val mergedNames = Seq.newBuilder[String]
     for (i <- touched) {
       fs.listStatus(new Path(s"$swap/graft_span=$i"))
         .filter(_.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (st, j) =>
-          fs.rename(st.getPath, new Path(s"$listsPath/merged-${System.nanoTime()}-$i-$j.parquet"))
+          val name = s"merged-${System.nanoTime()}-$i-$j.parquet"
+          fs.rename(st.getPath, new Path(s"$listsPath/$name"))
+          mergedNames += name
         }
-      fs.delete(new Path(new java.net.URI(lows(i)._1).getPath), false)
     }
+    onStage("renamed_in")
+    // (3) COMMIT: manifest v+1 = live − replaced + merged, one atomic
+    // rename — the instant readers switch snapshots
+    val replacedNames = touched.map(i => new Path(new java.net.URI(lows(i)._1).getPath).getName).toSet
+    val newNames = liveNames.filterNot(replacedNames) ++ mergedNames.result()
+    commitManifest(fs, listsPath, nextVersion, newNames)
+    onStage("manifest_committed")
+    // (4) GC: every data file absent from the committed snapshot is
+    // garbage — the replaced originals plus any residue a previously
+    // crashed merge renamed in but never listed; prune old manifests and
+    // the swap dir
+    val live = newNames.toSet
+    dataFileNames(fs, listsPath).filterNot(live)
+      .foreach(n => fs.delete(new Path(s"$listsPath/$n"), false))
+    manifestVersions(fs, listsPath).filter(_._1 < nextVersion)
+      .foreach { case (_, p) => fs.delete(p, false) }
     fs.delete(new Path(swap), true)
+    onStage("gc_done")
     (touched.length, lows.length)
   }
 
@@ -206,17 +321,40 @@ object Layout {
     * duplication, the house stance; a table-format manifest would make
     * marker+merge one atomic commit). Returns true when the merge ran,
     * false when the ledger showed the batch already applied.
+    *
+    * LEDGER COMPACTION — the ledger stays O(1) entries, not one per
+    * batch forever (a long-lived stream would otherwise accumulate
+    * unbounded marker dirs — namenode/inode pressure at scale): batchIds
+    * from a foreachBatch sink are MONOTONE, and a checkpoint restart can
+    * only re-deliver the LAST committed batch, so after committing batch
+    * N every marker < N is dead and is pruned in the same call. A caller
+    * replaying batches out of order breaks this contract — monotone
+    * delivery is part of the single-writer contract above.
     */
   def mergeIvfDeltaOnce(spark: SparkSession, listsPath: String, delta: DataFrame,
       batchId: Long): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(listsPath), spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$listsPath/_graft_merge_ledger/batch-$batchId")
-    if (fs.exists(marker)) false
+    val ledger = new Path(s"$listsPath/_graft_merge_ledger")
+    val marker = new Path(ledger, s"batch-$batchId")
+    def batchOf(p: Path): Option[Long] =
+      Option(p.getName).filter(_.startsWith("batch-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch-").toLong).toOption)
+    val applied = fs.exists(marker) ||
+      // monotone contract: any surviving marker >= batchId proves this
+      // batch was committed before a later one pruned its own marker
+      (fs.exists(ledger) && fs.listStatus(ledger)
+        .flatMap(st => batchOf(st.getPath)).exists(_ >= batchId))
+    if (applied) false
     else {
       mergeIvfDelta(spark, listsPath, delta)
       fs.mkdirs(marker)
+      // compact: markers below the new high watermark are unreachable
+      // under monotone replay — prune them so the ledger stays O(1)
+      fs.listStatus(ledger).foreach { st =>
+        if (batchOf(st.getPath).exists(_ < batchId)) fs.delete(st.getPath, true)
+      }
       true
     }
   }

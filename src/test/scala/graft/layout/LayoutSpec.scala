@@ -205,6 +205,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mergeIvfDelta crash windows: manifest readers see exactly-once rows at every stage boundary") {
+    // kill the writer at each commit-stage boundary and assert the
+    // manifest reader observes either the complete old snapshot or the
+    // complete new one — never a duplicated or missing row. This is the
+    // load-bearing test for the manifest commit protocol (the crash
+    // window the pre-manifest rename-in-then-delete sequence left open).
+    val df = spark.range(6400).select(col("id").as("vec_id"), (col("id") % 64).as("cell"))
+    val preRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (stage <- Seq("staged", "renamed_in", "manifest_committed")) {
+      val path = tmp(s"crash-$stage")
+      Layout.writeIvfClustered(df, path, numFiles = 8)
+      val delta = spark.range(21).select((col("id") + 100000L).as("vec_id"),
+        (col("id") % 3 * 20).as("cell"))
+      val postRows = (preRows ++ delta.collect().map(r => (r.getLong(0), r.getLong(1)))).sorted
+      val boom = intercept[RuntimeException] {
+        Layout.mergeIvfDeltaStaged(spark, path, delta,
+          st => if (st == stage) throw new RuntimeException(s"killed at $st"))
+      }
+      assert(boom.getMessage === s"killed at $stage")
+      val seen = Layout.readIvfLists(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // before the manifest commit the reader sees the OLD snapshot in
+      // full; from the commit point on, the NEW one — atomically
+      val expect = if (stage == "manifest_committed") postRows else preRows
+      assert(seen === expect, s"reader saw a torn snapshot after crash at $stage")
+
+      if (stage != "manifest_committed") {
+        // recovery: re-running the merge converges to the new snapshot…
+        Layout.mergeIvfDelta(spark, path, delta)
+        val recovered = Layout.readIvfLists(spark, path).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(recovered === postRows, s"recovery after $stage crash")
+        // …and sweeps the crashed attempt's unreferenced garbage files,
+        // so a raw dir scan agrees with the manifest again
+        val onDisk = new java.io.File(path).listFiles
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        val manifest = Layout.currentManifest(spark, path).map(_._2.toSet)
+        assert(manifest.contains(onDisk), s"garbage not swept after $stage crash")
+      }
+    }
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
