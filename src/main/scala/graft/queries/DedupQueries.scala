@@ -43,6 +43,11 @@ object DedupQueries extends QueryModule {
   // exactly where it engages (bench_scale d18 leg).
   private val AuditMod = 17L
   private val AuditSampleCap = 512
+  // d17 broadcast-hint ceiling: (did, eid) candidate pairs above this
+  // count fall back to a doc_id shuffle join instead of OOMing the driver
+  // with a forced broadcast (4M pairs ≈ 64 MB packed — comfortably inside
+  // the driver budget, far past anything a sane eval screen produces)
+  private val MaxBroadcastCands = 4_000_000L
 
   /** Balanced `(a + b)` reduction for generated SQL: a left-deep fold of
     * the capacity preset's 128 minhash terms exceeds DuckDB's binder
@@ -508,11 +513,18 @@ object DedupQueries extends QueryModule {
     // and the corpus-side shingle sets STREAM past it — left to stats,
     // Catalyst can shuffle the corpus side here, which at sf0.001 already
     // re-networks the whole sets table and at 100 TB is a full-corpus
-    // shuffle per screen. The hint is mandatory (honored regardless of
-    // size); past broadcastable candidate counts the scale adaptation is
-    // to DROP it and shuffle on doc_id — the property that scales is
+    // shuffle per screen. The hint is GATED, not unconditional: a
+    // collision-heavy corpus (boilerplate pathology inflating band hits
+    // against the eval set) can blow the candidate set past driver
+    // memory, so we count it first — `rdd.count()` is a map-only action
+    // (driver-side partition-count reduce, zero shuffle bytes, so d17's
+    // bounded-shuffle ledger contract holds) over the cached band
+    // lineage — and past the ceiling we DROP the hint and let the verify
+    // shuffle on doc_id. The property that scales is
     // fetch-only-candidate-payloads, not the broadcast itself.
-    val verified = broadcast(cands)
+    val candsSide =
+      if (cands.rdd.count() <= MaxBroadcastCands) broadcast(cands) else cands
+    val verified = candsSide
       .join(sets.as("sa"), col("did") === col("sa.doc_id"))
       .join(broadcast(evalSets), Seq("eid"))
       .select(col("did"), col("eid"),
@@ -1010,17 +1022,24 @@ object DedupQueries extends QueryModule {
         // merge), so the pair stage is O(cap²) — CONSTANT in corpus size —
         // and the broadcast side is cap-bounded, never a corpus cross
         // join (bench_scale's d18 leg measures the resulting linearity).
+        // The top-k runs over a NARROW (doc_id, au) projection — the
+        // TakeOrderedAndProject heaps then carry 16-byte rows, not whole
+        // shingle sets — and the cap winners broadcast-semi-join back to
+        // `sets` to fetch `sh` for exactly cap rows (same winners, same
+        // determinism; the array payload is only ever touched cap times).
         // Determinism: per-pair values quantized to integer millionths
         // (jq, est_micro — the /NumMinhash divide is by a power of two,
         // so exact in IEEE), integer sums per decile, ONE double-divide
         // chain per output column, round 6 — the house contract.
         val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
-        val sample = sets
-          .withColumn("au", h60(concat(lit("aud:"), col("doc_id").cast("string"))))
+        val winners = sets
+          .select(col("doc_id"),
+            h60(concat(lit("aud:"), col("doc_id").cast("string"))).as("au"))
           .filter(pmod(col("au"), lit(AuditMod)) === 0)
           .orderBy(col("au").asc, col("doc_id").asc)
           .limit(AuditSampleCap)
-          .drop("au")
+          .select(col("doc_id"))
+        val sample = sets.join(broadcast(winners), Seq("doc_id"))
         val base = sample.join(signatures(sample), Seq("doc_id"))
           .select(col("doc_id") +: col("sh") +:
             (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*)
