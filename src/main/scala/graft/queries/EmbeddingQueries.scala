@@ -390,22 +390,39 @@ object EmbeddingQueries extends QueryModule {
     * audit). Production stores the CODES (1 B/dim); the catalog encodes
     * in-line because the corpus is the testdata parquet.
     */
-  private def sq8Recon(s: SparkSession, d: String): DataFrame = {
+  private def sq8Recon(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).crossJoin(broadcast(sq8Stats(s, d)))
+      .withColumn("xh", sq8Dequant(col("q"), col("mns"), col("rng")))
+      .select(col("vec_id"), col("xh"))
+
+  /** The SQ8 per-dim stats row `(mns, rng)` — ONE partial-aggregated
+    * corpus aggregate, broadcast back to every consumer (the scalar-join
+    * pattern). Split out of [[sq8Recon]] so serving paths (v19) can
+    * dequantize CANDIDATE rows inline instead of joining a corpus-wide
+    * reconstruction table.
+    */
+  private def sq8Stats(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d)
     val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
       (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
-    val stats = base.agg(aggs.head, aggs.tail: _*).select(
+    base.agg(aggs.head, aggs.tail: _*).select(
       array((0 until Dim).map(i => col(s"mn$i")): _*).as("mns"),
       array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
-    base.crossJoin(broadcast(stats))
-      .withColumn("dq", zip_with(col("q"), col("mns"), (x, m) => x - m))
-      .withColumn("c", zip_with(col("dq"), col("rng"), (dd, r) =>
-        when(r === 0L, 0L).otherwise(
-          (((dd * 255L) - ((dd * 255L) % r)) / r).cast("long"))))
-      .withColumn("t", zip_with(col("c"), col("rng"), (ci, r) =>
-        (((ci * r) - ((ci * r) % 255L)) / 255L).cast("long")))
-      .withColumn("xh", zip_with(col("mns"), col("t"), (m, v) => m + v))
-      .select(col("vec_id"), col("xh"))
+  }
+
+  /** Quantize-then-dequantize `q` against the per-dim stats — the SQ8
+    * round trip in pure integer arithmetic (mod-subtract exact division;
+    * operands nonnegative and ≤ ~1e6, so the IEEE divide of exact
+    * multiples is exact in both engines).
+    */
+  private def sq8Dequant(q: Column, mns: Column, rng: Column): Column = {
+    val dq = zip_with(q, mns, (x, m) => x - m)
+    val codes = zip_with(dq, rng, (dd, r) =>
+      when(r === 0L, 0L).otherwise(
+        (((dd * 255L) - ((dd * 255L) % r)) / r).cast("long")))
+    val t = zip_with(codes, rng, (ci, r) =>
+      (((ci * r) - ((ci * r) % 255L)) / 255L).cast("long"))
+    zip_with(mns, t, (m, v) => m + v)
   }
 
   /** SQL mirror of [[sq8Recon]] (CTEs `mm`, `st`, `enc`); requires a
@@ -1112,6 +1129,69 @@ object EmbeddingQueries extends QueryModule {
              |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
              |GROUP BY ex.query_id""".stripMargin),
       "SQ8 recall audit: recall@3 of scalar-quantized asymmetric serving vs exact integer-L2 brute force over the same broadcast query set — the quantization-distortion measurement that certifies the SQ8 storage tier."
+    ),
+    QueryDef(
+      "v19_ivfsq8_ann",
+      (s, d) => {
+        // IVF+SQ8 — the SQ8 tier's SERVING rung, parallel to v10's IVF+PQ:
+        // the broadcast coarse codebook routes each query to its nprobe
+        // nearest cells, and only vectors in probed cells are ranked by
+        // SQ8 asymmetric distance (exact integer L2 between the raw query
+        // vector and the candidate's dequantized reconstruction). This is
+        // the index shape a deployment picks when PQ's distortion is too
+        // lossy for its rerank budget but raw vectors are too big to
+        // probe: per-vector serving state = one cell id + 64 SQ8 codes
+        // (1 B/dim) + the shared per-dim stats row. Scale shape: reuses
+        // the SHARED routed assignment (index build runs once), the
+        // 10-query probe set broadcasts, candidate work per query is
+        // nprobe/C of the corpus, and the rank<=3 window collapses to
+        // WindowGroupLimit partial top-k — the v10 economics with the SQ8
+        // storage tier swapped in. Candidates dequantize INLINE against
+        // the broadcast stats row (production reads the codes straight
+        // out of the inverted lists — no corpus-wide reconstruction
+        // join). Determinism: same integer-exact quantize/dequantize as
+        // v17; no doubles in the output row.
+        val base = quantized(s, d)
+        val coarse = cellSeed(s, d)
+        val probes = base.filter(col("vec_id") < 10)
+          .join(broadcast(coarse))
+          .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
+          .withColumn("prk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("prk") <= NumProbe)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cid").as("cell"))
+        seedAssigned(s, d).select(col("vec_id"), col("q"), col("cell"))
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .crossJoin(broadcast(sq8Stats(s, d)))
+          .withColumn("xh", sq8Dequant(col("q"), col("mns"), col("rng")))
+          .withColumn("diff", zip_with(col("qq"), col("xh"), (a, b) => a - b))
+          .withColumn("adist", graft.functions.longDot(col("diff"), col("diff")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk").cast("long").as("rk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+      },
+      Some(s"""WITH base AS ($quantizedSql),
+             |$sq8ReconSql,
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q"), "ha", "assigned")},
+             |probes AS (SELECT query_id, qq, cell FROM (
+             |    SELECT b.vec_id AS query_id, b.q AS qq, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY ${l2ListSql("b.q", "c.cq")} ASC, c.cid ASC) AS prk
+             |    FROM base b CROSS JOIN cent c WHERE b.vec_id < 10) WHERE prk <= $NumProbe),
+             |ad AS (SELECT p.query_id, a.vec_id,
+             |    CAST(list_sum(list_transform(range(1, $Dim + 1), i ->
+             |      (p.qq[i] - e.xh[i]) * (p.qq[i] - e.xh[i]))) AS BIGINT) AS adist
+             |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN enc e ON e.vec_id = a.vec_id)
+             |SELECT query_id, rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM ad) WHERE rk <= 3""".stripMargin),
+      "IVF+SQ8 serving: broadcast coarse codebook routes queries to nprobe=2 cells; candidates ranked by integer-exact SQ8 asymmetric distance — the index shape for deployments needing less distortion than PQ at 1 B/dim serving state."
     )
   )
 }
