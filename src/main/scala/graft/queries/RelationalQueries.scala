@@ -711,30 +711,31 @@ object RelationalQueries extends QueryModule {
         // different prior hash (→ changed), and % 131 == 0 contribute a
         // synthetic prior-only row at doc_id + 1e7 (→ removed; the offset
         // stays collision-free for any catalog/scale-harness corpus).
+        // null-safe content hash: md5(NULL) is NULL in both engines, and a
+        // NULL hash on both sides would classify 'added' here but fall
+        // through '<>'-is-NULL to 'unchanged' in ANSI SQL — coalescing to a
+        // sentinel makes the classification engine-independent (a NULL-text
+        // doc diffs like any other doc: unchanged until its text changes)
         val docs = Tables.documents(s, d)
-        val cur = docs.select(col("doc_id"), md5(col("text")).as("ch"))
         val prior = docs
           .filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"),
-            when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("-v0"))))
-              .otherwise(md5(col("text"))).as("ph"))
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit("-v0")))
+              .otherwise(col("text")).as("text"))
           .unionByName(docs.filter(col("doc_id") % 131 === 0)
             .select((col("doc_id") + 10000000L).as("doc_id"),
-              md5(concat(col("text"), lit("-rm"))).as("ph")))
-        cur.join(prior, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            when(col("ph").isNull, "added")
-              .when(col("ch").isNull, "removed")
-              .when(col("ch") =!= col("ph"), "changed")
-              .otherwise("unchanged").as("change_class"))
+              concat(col("text"), lit("-rm")).as("text")))
+        IncrementalPipeline.snapshotDiff(docs.select("doc_id", "text"), prior)
       },
-      Some("""WITH cur AS (SELECT doc_id, md5(text) AS ch FROM documents),
+      Some("""WITH cur AS (SELECT doc_id, coalesce(md5(text), '~null~') AS ch FROM documents),
              |pri AS (
              |  SELECT doc_id,
-             |    CASE WHEN doc_id % 7 = 0 THEN md5(text || '-v0') ELSE md5(text) END AS ph
+             |    CASE WHEN doc_id % 7 = 0 THEN coalesce(md5(text || '-v0'), '~null~')
+             |         ELSE coalesce(md5(text), '~null~') END AS ph
              |  FROM documents WHERE doc_id % 50 <> 0
              |  UNION ALL
-             |  SELECT doc_id + 10000000, md5(text || '-rm') FROM documents WHERE doc_id % 131 = 0)
+             |  SELECT doc_id + 10000000, coalesce(md5(text || '-rm'), '~null~')
+             |  FROM documents WHERE doc_id % 131 = 0)
              |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
              |  CASE WHEN p.doc_id IS NULL THEN 'added'
              |       WHEN c.doc_id IS NULL THEN 'removed'
@@ -742,6 +743,55 @@ object RelationalQueries extends QueryModule {
              |       ELSE 'unchanged' END AS change_class
              |FROM cur c FULL OUTER JOIN pri p ON c.doc_id = p.doc_id""".stripMargin),
       "Snapshot delta: per-doc added/removed/changed/unchanged classification via content hash + one pk full-outer join — the incremental primitive that confines daily downstream work to the added∪changed slice (exchange-free when snapshots are bucketed)."
+    ),
+    QueryDef(
+      "u7_mvcc_read",
+      (s, d) => {
+        // Read-time supersede over an append-only versioned log — the
+        // merge-on-read half of the incremental story (the public
+        // Hudi-MoR / Delta-CDF shape): ingest appends (doc_id, version)
+        // rows and deletes append TOMBSTONES, so writes stay O(|delta|)
+        // (IncrementalPipeline's merge seam), and the CURRENT snapshot is
+        // reconstructed at read time as latest-version-wins minus
+        // tombstones. Shape: ONE hash-partitioned max_by aggregate on the
+        // pk — partial-aggregated map-side (each partition folds its local
+        // versions first, so the shuffle carries one candidate row per
+        // (partition, key), not the log), no window sort; bucketed by
+        // doc_id the aggregate is exchange-free like u6's diff. The log is
+        // SIMULATED deterministically from the one-snapshot catalog
+        // corpus: every doc contributes v1, doc_id % 7 == 0 an edited v2,
+        // doc_id % 131 == 0 a v3 tombstone.
+        // Determinism: versions are unique per doc_id, so max_by's argmax
+        // is total-ordered; content surfaces as the null-safe md5 (the
+        // u6/IncrementalPipeline hash contract).
+        val docs = Tables.documents(s, d)
+        val log = docs
+          .select(col("doc_id"), lit(1L).as("version"), col("text"),
+            lit(false).as("tombstone"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), lit(2L).as("version"),
+              concat(col("text"), lit(" v2")).as("text"), lit(false).as("tombstone")))
+          .unionByName(docs.filter(col("doc_id") % 131 === 0)
+            .select(col("doc_id"), lit(3L).as("version"),
+              lit(null).cast("string").as("text"), lit(true).as("tombstone")))
+        log.groupBy(col("doc_id"))
+          .agg(max_by(struct(col("version"), col("tombstone"), col("text")),
+            col("version")).as("m"))
+          .filter(!col("m.tombstone"))
+          .select(col("doc_id"), col("m.version").as("version"),
+            IncrementalPipeline.contentHash(col("m.text")).as("ch"))
+      },
+      Some("""WITH log AS (
+             |  SELECT doc_id, CAST(1 AS BIGINT) AS version, text, false AS tombstone FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 2, text || ' v2', false FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id, 3, NULL, true FROM documents WHERE doc_id % 131 = 0)
+             |SELECT doc_id, version, coalesce(md5(text), '~null~') AS ch FROM (
+             |  SELECT doc_id, version, text, tombstone,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rk
+             |  FROM log) WHERE rk = 1 AND NOT tombstone""".stripMargin),
+      "Merge-on-read MVCC snapshot: latest-version-wins minus tombstones over an append-only versioned log, as ONE partial-aggregated max_by on the primary key — the read-time supersede that completes the append-only incremental ingest story."
     ),
     // ------------------------------------------------------ scalar functions
     QueryDef(

@@ -45,4 +45,51 @@ class BucketingSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("u6 snapshot diff over bucketed snapshots plans a full-outer merge with zero exchange") {
+    // pins the u6_snapshot_delta scaladoc claim (RelationalQueries): with
+    // yesterday's and today's snapshots both bucketed by doc_id, the daily
+    // content-hash diff's full-outer join is a pure co-partitioned merge —
+    // the SortMergeJoin reads the bucketed scans directly, no Exchange on
+    // either side, so the diff costs one local merge pass at any scale.
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS snap_cur")
+    s.sql("DROP TABLE IF EXISTS snap_pri")
+
+    val d = "/root/testdata/sf0.001"
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    docs.select(col("doc_id"), md5(col("text")).as("ch"))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("snap_cur")
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("-v0"))))
+          .otherwise(md5(col("text"))).as("ph"))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("snap_pri")
+
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = s.table("snap_cur")
+        .join(s.table("snap_pri"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("ph").isNull, "added")
+            .when(col("ch").isNull, "removed")
+            .when(col("ch") =!= col("ph"), "changed")
+            .otherwise("unchanged").as("change_class"))
+      val counts = diff.groupBy(col("change_class")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the simulated prior makes every class non-empty on real testdata
+      assert(counts.keySet === Set("added", "changed", "unchanged"),
+        s"unexpected classes: $counts")
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS snap_cur")
+      s.sql("DROP TABLE IF EXISTS snap_pri")
+    }
+  }
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.vlm.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** The composed incremental story (IncrementalPipeline): snapshot diff →
+  * delta slice → dedup guard → embed/assign → index merge. The
+  * load-bearing property pinned here is the zero-work contract: an
+  * unchanged document generates NO signature work and NO embedding work —
+  * the downstream stages' inputs are exactly the added∪changed slice —
+  * and the index merge lands exactly the delta's vectors on top of
+  * yesterday's, exactly once.
+  */
+class IncrementalPipelineSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val data = rows.map { case (id, t) => Row(id, t) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  private val prior = Seq(
+    1L -> "alpha body", 2L -> "beta body", 3L -> "gamma body",
+    4L -> "to be removed", 5L -> (null: String))
+  private val cur = Seq(
+    1L -> "alpha body",            // unchanged
+    2L -> "beta body EDITED",      // changed
+    3L -> "gamma body",            // unchanged
+    5L -> (null: String),          // unchanged (null text on both sides)
+    6L -> "brand new doc",         // added
+    7L -> (null: String))          // added with null text
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safely") {
+    val diff = IncrementalPipeline.snapshotDiff(docsDF(cur), docsDF(prior))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "unchanged", 6L -> "added", 7L -> "added"))
+  }
+
+  test("deltaSlice is exactly the added∪changed docs — unchanged docs feed zero downstream work") {
+    val c = docsDF(cur)
+    val diff = IncrementalPipeline.snapshotDiff(c, docsDF(prior))
+    val delta = IncrementalPipeline.deltaSlice(c, diff)
+    assert(delta.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 6L, 7L))
+    // the signature stage's input IS this frame: no unchanged/removed doc
+    // ever reaches shingle/minhash work
+    val sigInput = DedupQueries.docBandRows(delta).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sigInput.subsetOf(Set(2L, 6L, 7L)))
+    // likewise the embedding stage: stubEmbed input rows = delta rows
+    val emb = IncrementalPipeline.stubEmbed(delta, dim = 8)
+    assert(emb.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 6L, 7L))
+  }
+
+  test("stubEmbed is a deterministic pure function of content with the quantized-vector contract") {
+    val d = docsDF(cur)
+    val a = IncrementalPipeline.stubEmbed(d, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = IncrementalPipeline.stubEmbed(d, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.values.forall(q => q.length == 8 && q.forall(v => v >= 0 && v < 2048)))
+    // changed content ⇒ changed vector; same content ⇒ same vector
+    val pa = IncrementalPipeline.stubEmbed(docsDF(prior), dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a(1L) === pa(1L))
+    assert(a(2L) !== pa(2L))
+  }
+
+  test("end to end: merge lands exactly yesterday's vectors plus the delta's, exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incrpipe").toFile
+    dir.deleteOnExit()
+    val lists = s"${dir.getAbsolutePath}/lists"
+    val dim = 8
+    val priorD = docsDF(prior)
+    val curD = docsDF(cur)
+    val vecs0 = IncrementalPipeline.stubEmbed(priorD, dim)
+    val cent = vecs0.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val assigned0 = IvfCentroids.assignFlat(vecs0, cent, Seq("q")).select("vec_id", "q", "cell")
+    graft.layout.Layout.writeIvfClustered(assigned0, lists, numFiles = 2)
+
+    val diff = IncrementalPipeline.snapshotDiff(curD, priorD)
+    val delta = IncrementalPipeline.deltaSlice(curD, diff)
+    val codebookArr = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val deltaAssigned = graft.streaming.StreamingOps.assignVectors(
+        IncrementalPipeline.stubEmbed(delta, dim), codebookArr, routed = false)
+      .select("vec_id", "q", "cell")
+    graft.layout.Layout.mergeIvfDelta(spark, lists, deltaAssigned)
+
+    val after = graft.layout.Layout.readIvfLists(spark, lists)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // prior ids 1..5 plus delta ids 2,6,7 — id 2's vector appears TWICE
+    // (old content + new content), which is the honest contract: delta
+    // ingest appends; supersede/tombstone is the compaction layer's job
+    assert(after === Seq(1L, 2L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+}
