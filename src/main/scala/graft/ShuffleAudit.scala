@@ -141,7 +141,7 @@ object ShuffleAudit {
     val zero = rows.collect { case (n, b) if b.shuffleWrite == 0 => n }
     val spilled = rows.collect { case (n, b) if b.diskSpill + b.memSpill > 0 => n }
     val qjson = rows.map { case (n, b) =>
-      s""""$n":{"sw_mb":${mb(b.shuffleWrite)},"in_mb":${mb(b.input)},"ratio":${math.rint(b.ratio * 1e4) / 1e4},"spill_mb":${mb(b.diskSpill + b.memSpill)},"peak_task_mb":${mb(b.peakExecMem)}}"""
+      s"""${Artifacts.jsonStr(n)}:{"sw_mb":${mb(b.shuffleWrite)},"in_mb":${mb(b.input)},"ratio":${math.rint(b.ratio * 1e4) / 1e4},"spill_mb":${mb(b.diskSpill + b.memSpill)},"peak_task_mb":${mb(b.peakExecMem)}}"""
     }.mkString("{", ",", "}")
     // preset+sf adjacent at the tail: the pair is the upsert identity, so
     // one artifact can carry sf0.1 AND capacity-×10 legs per preset
