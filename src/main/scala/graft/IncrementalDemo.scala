@@ -104,8 +104,12 @@ object IncrementalDemo {
     * the daily increment and record rows-processed per stage. The
     * pipeline order is the production funnel: diff first (the only
     * corpus-scale stage — one co-partitioned hash merge), dedup-guard the
-    * delta, embed/assign only the kept survivors, fold the assigned
-    * vectors into the serving layout via [[graft.layout.Layout.mergeIvfDelta]]
+    * delta, embed/assign only the kept survivors, then UPSERT the
+    * assigned vectors into the serving layout via
+    * [[graft.layout.Layout.mergeIvfDeltaUpsert]] — the changed docs' old
+    * vectors are tombstoned by their `(vec_id, cell)` coordinates from
+    * the day-0 pk→cell catalog in the SAME staged commit the new ones
+    * land in, so the index holds exactly one live vector per doc
     * (O(touched-files) I/O, manifest-committed). Returns the leg's JSON.
     */
   private def deltaLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
@@ -140,6 +144,11 @@ object IncrementalDemo {
       .select("vec_id", "q", "cell")
     val listsPath = s"$leg/lists"
     graft.layout.Layout.writeIvfClustered(assigned0, listsPath, numFiles = 8)
+    // the pk→cell catalog: the slim snapshot the supersede step consults
+    // for victim coordinates (two columns; bucketed by vec_id at scale,
+    // maintained by the same diff machinery as the text snapshots)
+    val pkCellPath = s"$leg/pkcell"
+    assigned0.select("vec_id", "cell").write.mode("overwrite").parquet(pkCellPath)
     val setupS = (System.nanoTime() - t0setup) / 1e9
 
     def timed[A](f: => A): (A, Double) = {
@@ -175,22 +184,35 @@ object IncrementalDemo {
         .localCheckpoint(eager = true)
     }
     val nAssigned = deltaAssigned.count()
-    // stage 5: fold into the serving layout — O(touched-files) I/O
-    val ((filesRewritten, filesTotal), mergeS) = timed {
-      graft.layout.Layout.mergeIvfDelta(spark, listsPath, deltaAssigned)
+    // stage 5: supersede-upsert into the serving layout — tombstones are
+    // the changed∪removed docs' victim coordinates from the pk→cell
+    // catalog (a broadcast-sized semi-join against the slim snapshot);
+    // the merge drops them and lands the new vectors in one staged commit
+    val ((filesRewritten, filesTotal, nTombs), mergeS) = timed {
+      val victims = diff.filter(col("change_class").isin("changed", "removed"))
+        .select(col("doc_id").as("vec_id"))
+      val tombstones = spark.read.parquet(pkCellPath)
+        .join(victims, Seq("vec_id"), "left_semi")
+        .localCheckpoint(eager = true)
+      val (rw, tot) = graft.layout.Layout.mergeIvfDeltaUpsert(
+        spark, listsPath, deltaAssigned, tombstones)
+      (rw, tot, tombstones.count())
     }
     val rowsAfter = graft.layout.Layout.readIvfLists(spark, listsPath).count()
+    val rowsPrior = prior.count()
+    assert(rowsAfter == rowsPrior - nTombs + nAssigned,
+      s"upsert row accounting: $rowsPrior - $nTombs + $nAssigned != $rowsAfter")
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def cls(k: String) = diffCounts.getOrElse(k, 0L)
     println(s"[incremental] pipe mod=$mod: corpus=$nCorpus delta=$nDelta kept=$nKept " +
-      s"assigned=$nAssigned merge files $filesRewritten/$filesTotal")
+      s"assigned=$nAssigned tombs=$nTombs merge files $filesRewritten/$filesTotal")
     s"""{"delta_frac":${fmt(2.0 / mod)},"corpus_rows":$nCorpus,""" +
       s""""added":${cls("added")},"changed":${cls("changed")},"unchanged":${cls("unchanged")},""" +
       s""""diff_s":${fmt(diffS)},"delta_rows":$nDelta,"slice_s":${fmt(sliceS)},""" +
       s""""guard_rows_in":$nDelta,"guard_kept":$nKept,"store_growth":$growth,"guard_s":${fmt(guardS)},""" +
       s""""embed_rows_in":$nKept,"assign_rows_out":$nAssigned,"assign_s":${fmt(assignS)},""" +
-      s""""merge_files_rewritten":$filesRewritten,"merge_files_total":$filesTotal,""" +
+      s""""tombstones":$nTombs,"merge_files_rewritten":$filesRewritten,"merge_files_total":$filesTotal,""" +
       s""""merge_s":${fmt(mergeS)},"index_rows_after":$rowsAfter,"day0_setup_s":${fmt(setupS)}}"""
   }
 }

@@ -231,13 +231,40 @@ object Layout {
   def mergeIvfDelta(spark: SparkSession, listsPath: String, delta: DataFrame): (Int, Int) =
     mergeIvfDeltaStaged(spark, listsPath, delta, _ => ())
 
+  /** [[mergeIvfDelta]] with SUPERSEDE: fold the delta in AND drop the
+    * superseded/removed vectors in the same staged commit. `tombstones`
+    * is a `(vec_id, cell)` frame naming each victim row by primary key
+    * plus the cell it RESIDES in — the coordinates the incremental
+    * pipeline already has (the pk→cell catalog is a slim two-column
+    * snapshot maintained beside the index, bucketed by vec_id like u6's
+    * snapshots; a changed doc's victim cell is yesterday's assignment).
+    * Carrying the cell keeps the victim lookup a file-local anti-join
+    * inside the touched-span rewrite instead of a corpus-wide vec_id
+    * probe: touched files = owners of delta cells ∪ tombstone cells,
+    * still O(delta), and untouched files are still never read.
+    *
+    * Semantics: resident rows matching a tombstone (vec_id, cell) are
+    * dropped; delta rows are appended UNFILTERED (a same-cell edit lands
+    * as drop-old + add-new even though both share (vec_id, cell), because
+    * only RESIDENT rows are anti-joined). An empty delta with non-empty
+    * tombstones is a pure delete (a removed doc's retraction). The
+    * commit/crash contract is [[mergeIvfDelta]]'s unchanged — tombstone
+    * application happens inside the staged rewrite, so readers switch
+    * from the full old snapshot to the full new one atomically
+    * (LayoutSpec pins the upsert crash window too).
+    */
+  def mergeIvfDeltaUpsert(spark: SparkSession, listsPath: String, delta: DataFrame,
+      tombstones: DataFrame): (Int, Int) =
+    mergeIvfDeltaStaged(spark, listsPath, delta, _ => (), Some(tombstones))
+
   /** [[mergeIvfDelta]] with a stage hook for crash-window testing:
     * `onStage` fires at each commit-stage boundary ("staged",
     * "renamed_in", "manifest_committed", "gc_done"); a hook that throws
     * simulates a writer killed at exactly that boundary.
     */
   private[graft] def mergeIvfDeltaStaged(spark: SparkSession, listsPath: String,
-      delta: DataFrame, onStage: String => Unit): (Int, Int) = {
+      delta: DataFrame, onStage: String => Unit,
+      tombstones: Option[DataFrame] = None): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val fs = fileSystem(spark, listsPath)
     // live file set from the manifest snapshot (fallback: dir listing for
@@ -257,7 +284,12 @@ object Layout {
     val baseCols = spark.read.parquet(livePaths: _*).columns.toIndexedSeq
     val deltaCells = delta.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    require(deltaCells.nonEmpty, "mergeIvfDelta: empty delta")
+    // tombstone cells join the touched set: a victim's file must be
+    // rewritten even when no new vector lands in it (pure retraction)
+    val tombCells = tombstones.map(_.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))).getOrElse(Array.empty[Long])
+    require(deltaCells.nonEmpty || tombCells.nonEmpty,
+      "mergeIvfDelta: empty delta" + (if (tombstones.isDefined) " and tombstones" else ""))
     // span owner: last file whose lo <= c (clamped to the first file)
     val loBounds = lows.map(_._2)
     def owner(c: Long): Int = {
@@ -265,12 +297,20 @@ object Layout {
       val i = if (idx >= 0) idx else -idx - 2 // insertion point - 1
       math.max(i, 0)
     }
-    val touched = deltaCells.map(owner).distinct.sorted
-    // the one distributed job: resident rows of touched files ∪ delta,
-    // routed to owner spans executor-side by the same binary search
+    val touched = (deltaCells ++ tombCells).map(owner).distinct.sorted
+    // the one distributed job: resident rows of touched files (minus any
+    // tombstoned victims — a broadcast anti-join on the victim's exact
+    // (vec_id, cell) coordinates; delta-sized, never corpus-sized) ∪
+    // delta, routed to owner spans executor-side by the same binary search
     val spanOf = udf { (c: Long) => owner(c) }
-    val resident = spark.read.parquet(touched.map(lows(_)._1).toIndexedSeq: _*)
+    val residentRaw = spark.read.parquet(touched.map(lows(_)._1).toIndexedSeq: _*)
       .select(baseCols.map(col): _*)
+    val resident = tombstones match {
+      case Some(t) => residentRaw.join(
+          broadcast(t.select(col("vec_id"), col("cell"))), Seq("vec_id", "cell"), "left_anti")
+        .select(baseCols.map(col): _*) // join fronts its keys; keep file column order stable
+      case None => residentRaw
+    }
     val combined = resident.unionByName(delta.select(baseCols.map(col): _*))
       .withColumn("graft_span", spanOf(col("cell")))
     val swap = s"$listsPath/.merge_swap" // dot-dir: invisible to parquet scans
@@ -282,7 +322,11 @@ object Layout {
     // manifest, so manifest readers still see the old snapshot
     val mergedNames = Seq.newBuilder[String]
     for (i <- touched) {
-      fs.listStatus(new Path(s"$swap/graft_span=$i"))
+      // a span can legitimately produce NO merged file: every resident row
+      // tombstoned and no delta landing there — the original is simply
+      // delisted at the manifest commit below
+      val spanDir = new Path(s"$swap/graft_span=$i")
+      (if (fs.exists(spanDir)) fs.listStatus(spanDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
         .filter(_.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (st, j) =>
           val name = s"merged-${System.nanoTime()}-$i-$j.parquet"

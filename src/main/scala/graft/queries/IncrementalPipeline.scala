@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   * [[graft.streaming.StreamingOps.assignVectors]], and the merge is
   * [[graft.layout.Layout.mergeIvfDelta]].
   *
-  * SUPERSEDE SEAM: the index merge is append-exactly-once — a CHANGED
-  * doc's new vector lands next to its superseded one (possibly in a
-  * different cell, so the merge cannot cheaply drop the old row).
-  * Production pairs the merge with a tombstone sidecar (delta doc_ids ×
-  * version) consulted at read time and swept at compaction, the
-  * standard MVCC shape; the spec pins the append contract explicitly so
-  * the seam is visible, not accidental.
+  * SUPERSEDE SEAM — both standard MVCC halves are implemented:
+  * merge-time supersede via [[graft.layout.Layout.mergeIvfDeltaUpsert]]
+  * (tombstones = the changed∪removed docs' `(vec_id, cell)` victim
+  * coordinates from the pk→cell catalog — a slim bucketed snapshot
+  * maintained beside the index — dropped inside the same staged commit
+  * the delta lands in, so the index holds exactly one live vector per
+  * doc), and read-time supersede (latest-version-wins minus tombstones
+  * over an append-only log, the u7_mvcc_read operator) for deployments
+  * that prefer cheap appends + a compaction sweep. The plain
+  * [[graft.layout.Layout.mergeIvfDelta]] append path remains the
+  * streaming sink's contract; IncrementalPipelineSpec pins both.
   */
 object IncrementalPipeline {
 

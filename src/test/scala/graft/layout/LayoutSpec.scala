@@ -247,6 +247,93 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mergeIvfDeltaUpsert supersedes changed vectors and retracts removed ones, exactly once") {
+    // base: 1600 vectors over 32 cells, vec_id v in cell v % 32
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 32).as("cell"))
+    val path = tmp("ivfupsert")
+    Layout.writeIvfClustered(df, path, numFiles = 8)
+    def digest(f: java.io.File) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    def files = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val before = files.map(f => f.getName -> digest(f)).toMap
+
+    // changed doc 5: old vector in cell 5, new one lands in cell 31
+    // (cross-cell move); changed doc 6: re-embedded into its SAME cell 6
+    // (drop-old + add-new under identical (vec_id, cell)); doc 7 removed
+    // (pure retraction, no delta row)
+    val delta = spark.createDataFrame(Seq((5L, 31L), (6L, 6L))).toDF("vec_id", "cell")
+    val tombs = spark.createDataFrame(Seq((5L, 5L), (6L, 6L), (7L, 7L))).toDF("vec_id", "cell")
+    val (rewritten, total) = Layout.mergeIvfDeltaUpsert(spark, path, delta, tombs)
+    assert(total === before.size)
+    assert(rewritten < total, s"upsert rewrote every file ($rewritten/$total)")
+
+    val got = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(t => Set((5L, 5L), (6L, 6L), (7L, 7L))(t)) ++ Seq((5L, 31L), (6L, 6L))).sorted.toSeq
+    assert(got === want)
+    // exactly one live row per surviving vec_id; doc 7 fully gone
+    assert(got.map(_._1).distinct.size === got.size)
+    assert(!got.exists(_._1 == 7L))
+    assert(got.count(_ == (5L, 31L)) === 1 && !got.contains((5L, 5L)))
+    assert(got.count(_ == (6L, 6L)) === 1)
+
+    // untouched files never read or rewritten; disjoint ranges survive
+    val after = files.map(f => f.getName -> digest(f)).toMap
+    before.keySet.intersect(after.keySet)
+      .foreach(n => assert(after(n) === before(n), s"untouched file $n changed"))
+    fileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlap after upsert")
+      case _                      =>
+    }
+
+    // delete-only: empty delta + tombstones is a pure retraction
+    val (rw2, _) = Layout.mergeIvfDeltaUpsert(spark, path,
+      delta.filter(lit(false)), spark.createDataFrame(Seq((8L, 8L))).toDF("vec_id", "cell"))
+    assert(rw2 === 1)
+    val after2 = Layout.readIvfLists(spark, path)
+    assert(after2.count() === want.size - 1)
+    assert(after2.filter(col("vec_id") === 8L).count() === 0)
+    // empty delta AND empty tombstones is still a loud error
+    intercept[IllegalArgumentException] {
+      Layout.mergeIvfDeltaUpsert(spark, path, delta.filter(lit(false)), tombs.filter(lit(false)))
+    }
+  }
+
+  test("mergeIvfDeltaUpsert crash windows: tombstone application is atomic with the delta landing") {
+    // the supersede must never be observable by itself: a reader either
+    // sees the full old snapshot (victims still live, delta absent) or
+    // the full new one — kill the writer before and after the manifest
+    // commit and check both sides
+    val df = spark.range(640).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    val preRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val deltaRows = Seq((9L, 15L))
+    val tombRows = Seq((9L, 9L), (10L, 10L))
+    val postRows = (preRows.filterNot(tombRows.toSet) ++ deltaRows).sorted
+    for (stage <- Seq("staged", "renamed_in", "manifest_committed")) {
+      val path = tmp(s"upsert-crash-$stage")
+      Layout.writeIvfClustered(df, path, numFiles = 4)
+      val delta = spark.createDataFrame(deltaRows).toDF("vec_id", "cell")
+      val tombs = spark.createDataFrame(tombRows).toDF("vec_id", "cell")
+      val boom = intercept[RuntimeException] {
+        Layout.mergeIvfDeltaStaged(spark, path, delta,
+          st => if (st == stage) throw new RuntimeException(s"killed at $st"), Some(tombs))
+      }
+      assert(boom.getMessage === s"killed at $stage")
+      val seen = Layout.readIvfLists(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = if (stage == "manifest_committed") postRows else preRows
+      assert(seen === expect, s"torn upsert snapshot after crash at $stage")
+      if (stage != "manifest_committed") {
+        Layout.mergeIvfDeltaUpsert(spark, path, delta, tombs)
+        val recovered = Layout.readIvfLists(spark, path).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(recovered === postRows, s"upsert recovery after $stage crash")
+      }
+    }
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)

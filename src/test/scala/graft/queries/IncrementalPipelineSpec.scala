@@ -97,8 +97,47 @@ class IncrementalPipelineSpec extends SparkSpec {
     val after = graft.layout.Layout.readIvfLists(spark, lists)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     // prior ids 1..5 plus delta ids 2,6,7 — id 2's vector appears TWICE
-    // (old content + new content), which is the honest contract: delta
-    // ingest appends; supersede/tombstone is the compaction layer's job
+    // (old content + new content), which is the honest contract of the
+    // plain APPEND merge (the streaming sink's path); the supersede
+    // variant below holds exactly one live vector per doc
     assert(after === Seq(1L, 2L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("end to end with supersede: upsert leaves exactly one live vector per current doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incrupsert").toFile
+    dir.deleteOnExit()
+    val lists = s"${dir.getAbsolutePath}/lists"
+    val dim = 8
+    val priorD = docsDF(prior)
+    val curD = docsDF(cur)
+    val vecs0 = IncrementalPipeline.stubEmbed(priorD, dim)
+    val cent = vecs0.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val assigned0 = IvfCentroids.assignFlat(vecs0, cent, Seq("q")).select("vec_id", "q", "cell")
+    graft.layout.Layout.writeIvfClustered(assigned0, lists, numFiles = 2)
+    // the pk→cell catalog the supersede consults for victim coordinates
+    val pkCell = assigned0.select("vec_id", "cell")
+
+    val diff = IncrementalPipeline.snapshotDiff(curD, priorD)
+    val delta = IncrementalPipeline.deltaSlice(curD, diff)
+    val codebookArr = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val deltaAssigned = graft.streaming.StreamingOps.assignVectors(
+        IncrementalPipeline.stubEmbed(delta, dim), codebookArr, routed = false)
+      .select("vec_id", "q", "cell")
+    val victims = diff.filter(col("change_class").isin("changed", "removed"))
+      .select(col("doc_id").as("vec_id"))
+    val tombstones = pkCell.join(victims, Seq("vec_id"), "left_semi")
+    graft.layout.Layout.mergeIvfDeltaUpsert(spark, lists, deltaAssigned, tombstones)
+
+    val after = graft.layout.Layout.readIvfLists(spark, lists)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exactly the CURRENT corpus, one vector each: 4 retracted (removed),
+    // 2 superseded in place, 6/7 added — and every live vector matches
+    // the doc's current content
+    val want = IncrementalPipeline.stubEmbed(curD, dim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(after.keySet === Set(1L, 2L, 3L, 5L, 6L, 7L))
+    assert(graft.layout.Layout.readIvfLists(spark, lists).count() === 6)
+    after.foreach { case (id, q) => assert(q === want(id), s"stale vector for doc $id") }
   }
 }
