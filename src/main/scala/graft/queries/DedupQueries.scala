@@ -397,8 +397,18 @@ object DedupQueries extends QueryModule {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
   }
 
-  private def verifiedEdges(sets: DataFrame): DataFrame = {
-    val cand = bandCandidatePairs(signatures(sets).select(col("doc_id") +: bandCols: _*))
+  /** LSH-candidate → exact-Jaccard-verified edge set over `sets`.
+    * `bands` supplies a precomputed `(doc_id, band0..N-1)` table covering
+    * at least `sets`' doc_ids (the shared [[bandSigsCached]] handle,
+    * optionally pre-filtered) — signing is per-row and deterministic, so
+    * reusing the corpus-wide handle is row-identical to re-signing the
+    * subset, and it skips the one genuinely expensive pass here (the
+    * fused shingle→minhash pipeline; re-signing the rep subset cold was
+    * 59 s of d13's first sample at the ×10 capacity leg).
+    */
+  private def verifiedEdges(sets: DataFrame, bands: Option[DataFrame] = None): DataFrame = {
+    val sigs = bands.getOrElse(signatures(sets).select(col("doc_id") +: bandCols: _*))
+    val cand = bandCandidatePairs(sigs)
     cand
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))
@@ -570,7 +580,12 @@ object DedupQueries extends QueryModule {
     // scale and live until released.
     dedupGroupsMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     dedupGroupsMemo.getOrElseUpdate((s, d),
-      buildDedupGroups(s, d, (key, df) => sharedCache(s, d, key)(df)))
+      buildDedupGroups(s, d, (key, df) => sharedCache(s, d, key)(df),
+        // reuse the corpus-wide shared handles: the rep subset's shingle
+        // sets and signatures are row-identical filtered views of them,
+        // and building them fresh here was the 59 s cold pathology
+        corpusSets = Some(sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))),
+        corpusBands = Some(bandSigsCached(s, d))))
   }
 
   /** Non-memoized pipeline builder. Exposed package-private so invariance
@@ -582,14 +597,18 @@ object DedupQueries extends QueryModule {
     buildDedupGroups(s, d, (_, df) => df.cache())
 
   private def buildDedupGroups(
-      s: SparkSession, d: String, cacheAs: (String, DataFrame) => DataFrame): DataFrame = {
+      s: SparkSession, d: String, cacheAs: (String, DataFrame) => DataFrame,
+      corpusSets: Option[DataFrame] = None,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
     val docsCh = cacheAs("d8.docsCh", Tables.documents(s, d)
       .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("ch"))
     ) // read twice: representative election + final group expansion
     val reps = docsCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
-    val repSets = cacheAs("d8.repSets", shingleSets(s, d)
-      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
-    val edges = cacheAs("d8.edges", verifiedEdges(repSets))
+    val repIds = reps.select(col("rep").as("doc_id"))
+    val repSets = cacheAs("d8.repSets", corpusSets.getOrElse(shingleSets(s, d))
+      .join(repIds, Seq("doc_id"), "left_semi"))
+    val edges = cacheAs("d8.edges", verifiedEdges(repSets,
+      corpusBands.map(_.join(repIds, Seq("doc_id"), "left_semi"))))
     val undirected = cacheAs("d8.undirected",
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
     val comp = minLabelComponents(undirected)
@@ -853,7 +872,8 @@ object DedupQueries extends QueryModule {
         // aggregation; the driver loop only reads a 1-row convergence
         // count.
         val sets = sharedCache(s, d, "shingleSets")(shingleSetsWide(s, d))
-        val edges = sharedCache(s, d, "fullEdges")(verifiedEdges(sets))
+        val edges = sharedCache(s, d, "fullEdges")(
+          verifiedEdges(sets, Some(bandSigsCached(s, d))))
         val undirected = sharedCache(s, d, "fullUndirected")(
           edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
         minLabelComponents(undirected)
