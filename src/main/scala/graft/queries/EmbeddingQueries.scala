@@ -1192,6 +1192,71 @@ object EmbeddingQueries extends QueryModule {
              |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
              |  FROM ad) WHERE rk <= 3""".stripMargin),
       "IVF+SQ8 serving: broadcast coarse codebook routes queries to nprobe=2 cells; candidates ranked by integer-exact SQ8 asymmetric distance — the index shape for deployments needing less distortion than PQ at 1 B/dim serving state."
+    ),
+    QueryDef(
+      "v20_centroid_drift",
+      (s, d) => {
+        // Centroid-drift audit — the RETRAIN TRIGGER for an incrementally
+        // maintained index (the fourth tuning table, closing the loop the
+        // incremental pipeline opens: mergeIvfDeltaUpsert keeps lists
+        // current, but the codebook itself ages as deltas shift content).
+        // Per cell: exact squared L2 between the cell's true mean and its
+        // codebook centroid, computed ENTIRELY in integer space via the
+        // n-scaled identity ‖n·c − Σq‖² = n²(c·c) − 2n(c·Σq) + (Σq·Σq)
+        // (per-dim sums from the LongVecSum aggregator — one map-side
+        // partial-combined shuffle, ≤ numCells result rows = metadata
+        // scale; the three dot terms are codegen'd LongDot loops, no
+        // per-dim explode). True drift = that integer / n², one double
+        // divide at the end (exact integers → identical IEEE doubles on
+        // both engines — the house contract). The global top-10 is
+        // sort+limit, which the planner turns into TakeOrderedAndProject
+        // (per-partition top-k + a 10-row driver merge — no partition-less
+        // window, the catalog plan-audit rule); the (drift, cell) order
+        // is total, so the selected SET is deterministic without a rank
+        // column. Deployment reading: drifted cells re-seed locally
+        // (their vectors re-cluster) before global retrain is worth
+        // 100 TB of re-assignment; empty/near-empty drifted cells say
+        // shrink the codebook instead.
+        val assigned = seedAssigned(s, d)
+        val cent = cellSeed(s, d)
+        val dot = graft.functions.longDot _
+        val per = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            graft.functions.LongVecSum.column(col("q")).as("sv"))
+        val quot = col("dsc").cast("double") / (col("n_vecs") * col("n_vecs"))
+        per.join(broadcast(cent), col("cell") === col("cid"))
+          .withColumn("dsc",
+            col("n_vecs") * col("n_vecs") * dot(col("cq"), col("cq"))
+              - lit(2L) * col("n_vecs") * dot(col("cq"), col("sv"))
+              + dot(col("sv"), col("sv")))
+          .orderBy(quot.desc, col("cell").asc)
+          .limit(10)
+          .select(col("cell"), col("n_vecs"), round(quot, 6).as("drift"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "cb", "cbassigned")},
+             |sums AS (SELECT cell, pos, CAST(sum(v) AS BIGINT) AS sv
+             |  FROM (SELECT cell, unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM cbassigned)
+             |  GROUP BY cell, pos),
+             |cnt AS (SELECT cell, count(*) AS n_vecs FROM cbassigned GROUP BY cell),
+             |dots AS (SELECT s.cell,
+             |    CAST(sum(s.sv * s.sv) AS BIGINT) AS ss,
+             |    CAST(sum(c.cv * s.sv) AS BIGINT) AS cs,
+             |    CAST(sum(c.cv * c.cv) AS BIGINT) AS cc
+             |  FROM sums s JOIN (SELECT cid, unnest(cq) AS cv,
+             |      unnest(range(1, $Dim + 1)) AS pos FROM cent) c
+             |    ON c.cid = s.cell AND c.pos = s.pos
+             |  GROUP BY s.cell),
+             |drift AS (SELECT t.cell, t.n_vecs,
+             |    (t.n_vecs * t.n_vecs * d.cc - 2 * t.n_vecs * d.cs + d.ss) AS dsc
+             |  FROM cnt t JOIN dots d ON d.cell = t.cell)
+             |SELECT cell, n_vecs,
+             |  round(CAST(dsc AS DOUBLE) / (n_vecs * n_vecs), 6) AS drift
+             |FROM drift
+             |ORDER BY CAST(dsc AS DOUBLE) / (n_vecs * n_vecs) DESC, cell ASC
+             |LIMIT 10""".stripMargin),
+      "IVF centroid-drift audit: exact integer n-scaled mean-to-centroid squared L2 per cell over the shared routed assignment, top-10 drifted cells — the retrain trigger for an incrementally maintained index."
     )
   )
 }

@@ -337,6 +337,12 @@ class PlanSpec extends SparkSpec {
     assert(listed == fired, s"stale allowlist entries: ${listed -- fired}")
   }
 
+  test("v20_centroid_drift: broadcast centroids; top-10 is TakeOrderedAndProject, not a global sort/window") {
+    val p = plan("v20_centroid_drift")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("no checked query emits a DECIMAL output column") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when
