@@ -376,7 +376,30 @@ object Layout {
     * delivery is part of the single-writer contract above.
     */
   def mergeIvfDeltaOnce(spark: SparkSession, listsPath: String, delta: DataFrame,
-      batchId: Long): Boolean = {
+      batchId: Long): Boolean =
+    ledgerGated(spark, listsPath, batchId) {
+      mergeIvfDelta(spark, listsPath, delta); ()
+    }
+
+  /** [[mergeIvfDeltaOnce]] for a CDC/update stream: the at-most-once
+    * ledger around [[mergeIvfDeltaUpsert]], so a foreachBatch sink that
+    * folds UPDATES (new vectors + their victims' tombstones) into the
+    * index survives a checkpoint replay without double-applying either
+    * half — the supersede and the landing share one staged commit, and
+    * the ledger gates that commit as a unit.
+    */
+  def mergeIvfDeltaUpsertOnce(spark: SparkSession, listsPath: String, delta: DataFrame,
+      tombstones: DataFrame, batchId: Long): Boolean =
+    ledgerGated(spark, listsPath, batchId) {
+      mergeIvfDeltaUpsert(spark, listsPath, delta, tombstones); ()
+    }
+
+  /** The shared at-most-once gate: run `merge` only if `batchId` is not
+    * yet committed per the ledger, then commit its marker and compact.
+    * See [[mergeIvfDeltaOnce]] for the monotone-delivery contract.
+    */
+  private def ledgerGated(spark: SparkSession, listsPath: String,
+      batchId: Long)(merge: => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(listsPath), spark.sparkContext.hadoopConfiguration)
@@ -392,7 +415,7 @@ object Layout {
         .flatMap(st => batchOf(st.getPath)).exists(_ >= batchId))
     if (applied) false
     else {
-      mergeIvfDelta(spark, listsPath, delta)
+      merge
       fs.mkdirs(marker)
       // compact: markers below the new high watermark are unreachable
       // under monotone replay — prune them so the ledger stays O(1)

@@ -334,6 +334,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mergeIvfDeltaUpsertOnce: a replayed CDC batch double-applies neither the landing nor the supersede") {
+    val df = spark.range(320).select(col("id").as("vec_id"), (col("id") % 8).as("cell"))
+    val path = tmp("upsertonce")
+    Layout.writeIvfClustered(df, path, numFiles = 2)
+    val delta = spark.createDataFrame(Seq((3L, 7L))).toDF("vec_id", "cell")
+    val tombs = spark.createDataFrame(Seq((3L, 3L))).toDF("vec_id", "cell")
+    assert(Layout.mergeIvfDeltaUpsertOnce(spark, path, delta, tombs, batchId = 0L))
+    val want = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.contains((3L, 7L)) && !want.contains((3L, 3L)))
+    // checkpoint replay re-delivers batch 0: the ledger refuses it — the
+    // new vector is not landed twice and no OTHER (vec_id=3) row (the one
+    // just written to cell 7) is collaterally tombstoned
+    assert(!Layout.mergeIvfDeltaUpsertOnce(spark, path, delta, tombs, batchId = 0L))
+    val after = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === want)
+    // the next batch still applies, and its marker compacts batch 0's
+    assert(Layout.mergeIvfDeltaUpsertOnce(spark, path,
+      delta.filter(lit(false)), spark.createDataFrame(Seq((4L, 4L))).toDF("vec_id", "cell"),
+      batchId = 1L))
+    assert(Layout.readIvfLists(spark, path).count() === want.size - 1)
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
