@@ -77,9 +77,12 @@ object IncrementalDemo {
       storeRows = newRows
     }
     val line =
-      s"""{"metric":"incremental_dedup","sf":"$sfDir","batches":${nBatches + 1},"per_batch":[${records.result().mkString(",")}]}"""
-    Artifacts.writeLine(
-      sys.env.getOrElse("SPARK_GRAFT_INCR_OUT", "incremental_dedup_last.json"), line)
+      s"""{"metric":"incremental_dedup","sf":${Artifacts.jsonStr(sfDir)},"batches":${nBatches + 1},"per_batch":[${records.result().mkString(",")}]}"""
+    // per-sf upsert (like leg 2): a capacity-corpus run must not overwrite
+    // the sf0.1 record — the artifact carries one line per corpus
+    Artifacts.upsertLine(
+      sys.env.getOrElse("SPARK_GRAFT_INCR_OUT", "incremental_dedup_last.json"),
+      s""""sf":${Artifacts.jsonStr(sfDir)}""", line)
 
     // ---- leg 2: the COMPOSED incremental story (snapshot diff → delta
     // slice → dedup guard → embed/assign → index merge), measured at 1%
