@@ -64,6 +64,13 @@ object ScaleBench {
     // rows) while the training side scales — the production contract
     // ("eval side is eval-set-sized at any corpus scale") made measurable
     "d17_fixed_eval", "v13_fixed_eval",
+    // incremental primitives (round 12): the daily-diff and merge-on-read
+    // shapes — each ONE key-partitioned shuffle (full-outer hash diff;
+    // partial-aggregated max_by supersede), so their curves must go linear
+    // with a flat per-row constant — and the index-health rollup, whose
+    // output is numCells rows at ANY corpus size (its curve measures the
+    // corpus-side partial aggregate alone)
+    "u6_snapshot_delta", "u7_mvcc_read", "v20_centroid_drift",
     // LSH geometry audit (round 11): the sample is pinned at
     // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
     // over the seeded hash), so this leg measures what the pin buys — the
