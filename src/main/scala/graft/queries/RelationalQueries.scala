@@ -37,6 +37,33 @@ object RelationalQueries extends QueryModule {
       .cast("long")
   }
 
+  /** The simulated append-only versioned log shared by the MVCC trio
+    * (u7 current-snapshot read, u8 SCD2 history): deterministic from the
+    * one-snapshot catalog corpus — every doc contributes v1, doc_id % 7
+    * == 0 an edited v2, doc_id % 131 == 0 a v3 tombstone. Mirrored
+    * exactly by [[versionedLogSql]]; versions are unique per doc_id, so
+    * every per-key order/argmax over the log is total.
+    */
+  private def versionedLog(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs
+      .select(col("doc_id"), lit(1L).as("version"), col("text"),
+        lit(false).as("tombstone"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          concat(col("text"), lit(" v2")).as("text"), lit(false).as("tombstone")))
+      .unionByName(docs.filter(col("doc_id") % 131 === 0)
+        .select(col("doc_id"), lit(3L).as("version"),
+          lit(null).cast("string").as("text"), lit(true).as("tombstone")))
+  }
+
+  private val versionedLogSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS version, text, false AS tombstone FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, text || ' v2', false FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, NULL, true FROM documents WHERE doc_id % 131 = 0""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- scans
     QueryDef(
@@ -764,16 +791,7 @@ object RelationalQueries extends QueryModule {
         // Determinism: versions are unique per doc_id, so max_by's argmax
         // is total-ordered; content surfaces as the null-safe md5 (the
         // u6/IncrementalPipeline hash contract).
-        val docs = Tables.documents(s, d)
-        val log = docs
-          .select(col("doc_id"), lit(1L).as("version"), col("text"),
-            lit(false).as("tombstone"))
-          .unionByName(docs.filter(col("doc_id") % 7 === 0)
-            .select(col("doc_id"), lit(2L).as("version"),
-              concat(col("text"), lit(" v2")).as("text"), lit(false).as("tombstone")))
-          .unionByName(docs.filter(col("doc_id") % 131 === 0)
-            .select(col("doc_id"), lit(3L).as("version"),
-              lit(null).cast("string").as("text"), lit(true).as("tombstone")))
+        val log = versionedLog(s, d)
         log.groupBy(col("doc_id"))
           .agg(max_by(struct(col("version"), col("tombstone"), col("text")),
             col("version")).as("m"))
@@ -781,17 +799,43 @@ object RelationalQueries extends QueryModule {
           .select(col("doc_id"), col("m.version").as("version"),
             IncrementalPipeline.contentHash(col("m.text")).as("ch"))
       },
-      Some("""WITH log AS (
-             |  SELECT doc_id, CAST(1 AS BIGINT) AS version, text, false AS tombstone FROM documents
-             |  UNION ALL
-             |  SELECT doc_id, 2, text || ' v2', false FROM documents WHERE doc_id % 7 = 0
-             |  UNION ALL
-             |  SELECT doc_id, 3, NULL, true FROM documents WHERE doc_id % 131 = 0)
+      Some(s"""WITH log AS ($versionedLogSql)
              |SELECT doc_id, version, coalesce(md5(text), '~null~') AS ch FROM (
              |  SELECT doc_id, version, text, tombstone,
              |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rk
              |  FROM log) WHERE rk = 1 AND NOT tombstone""".stripMargin),
       "Merge-on-read MVCC snapshot: latest-version-wins minus tombstones over an append-only versioned log, as ONE partial-aggregated max_by on the primary key — the read-time supersede that completes the append-only incremental ingest story."
+    ),
+    QueryDef(
+      "u8_scd2_history",
+      (s, d) => {
+        // SCD2 validity intervals over the same versioned log — the
+        // POINT-IN-TIME reconstruction primitive (training-data
+        // governance: "rebuild the corpus exactly as version V saw it"
+        // is `valid_from <= V < valid_to`, with -1 = still open).
+        // Shape: ONE lead window partitioned by the pk — one doc_id
+        // shuffle, segment sorts bounded by a doc's version count (≤ 3
+        // here, tens in production — never corpus-scale); bucketed by
+        // doc_id it is exchange-free like u6/u7. Together the trio is
+        // the table-format story relationally: u6 diffs two snapshots,
+        // u7 serves the current one, u8 serves ANY of them.
+        // Booleans surface as BIGINT 0/1 (the driver-hash type contract).
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("version").asc)
+        versionedLog(s, d)
+          .withColumn("valid_to",
+            coalesce(lead(col("version"), 1).over(byDoc), lit(-1L)))
+          .select(col("doc_id"), col("version").as("valid_from"),
+            col("valid_to"), col("tombstone").cast("long").as("deleted"),
+            IncrementalPipeline.contentHash(col("text")).as("ch"))
+      },
+      Some(s"""WITH log AS ($versionedLogSql)
+             |SELECT doc_id, version AS valid_from,
+             |  coalesce(lead(version) OVER (PARTITION BY doc_id ORDER BY version ASC),
+             |           CAST(-1 AS BIGINT)) AS valid_to,
+             |  CAST(tombstone AS BIGINT) AS deleted,
+             |  coalesce(md5(text), '~null~') AS ch
+             |FROM log""".stripMargin),
+      "SCD2 history: validity intervals [valid_from, valid_to) over the versioned log via one pk-partitioned lead window — point-in-time corpus reconstruction, the third MVCC primitive beside u6's diff and u7's current-snapshot read."
     ),
     // ------------------------------------------------------ scalar functions
     QueryDef(

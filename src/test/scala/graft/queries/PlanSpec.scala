@@ -343,6 +343,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("u7/u8 MVCC reads: partial-aggregated supersede; pk-partitioned (never global) history window") {
+    // u7's struct-buffer max_by cannot HashAggregate — Spark plans a
+    // partial+final SortAggregate pair, and the PARTIAL below the exchange
+    // is the property that keeps the shuffle one-candidate-per-(partition,
+    // key) instead of log-sized (bench-discipline memo, round 10)
+    val p7 = plan("u7_mvcc_read")
+    assert(p7.contains("SortAggregate"), p7)
+    assert("(?i)partial".r.findFirstIn(p7).isDefined, p7)
+    // u8's lead window must key on the pk — partition-less would serialize
+    // the whole log through one task (the catalog-wide RuleGlobalWindow
+    // audit also covers this; the explicit logical check pins WHICH key)
+    val df8 = SparkEntry.queries("u8_scd2_history")(spark, sf)
+    val wins = df8.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, df8.queryExecution.optimizedPlan.toString)
+    assert(wins.forall(_.partitionSpec.exists(_.references.exists(_.name == "doc_id"))),
+      wins.map(_.partitionSpec).mkString(","))
+  }
+
   test("no checked query emits a DECIMAL output column") {
     // Engine-side mirror of the tools/check.py assertion: r1 (12) and r2 (14)
     // driver hash failures were all and only decimal-typed outputs, even when
