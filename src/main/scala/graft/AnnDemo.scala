@@ -216,6 +216,33 @@ object AnnDemo {
     val rowsRead1qAfter = q1after.queryExecution.executedPlan.collectLeaves()
       .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
 
+    // 5. content UPDATE (the CDC shape): a third of the just-ingested
+    // batch re-embeds — perturbed vectors route through the same
+    // streaming assignment seam and UPSERT in, while the stale rows
+    // tombstone out by their (vec_id, cell) coordinates in the SAME
+    // staged commit (mergeIvfDeltaUpsert). The index must hold exactly
+    // one live vector per doc afterwards: row count is unchanged by
+    // construction, asserted below — an update is a replacement, not a
+    // growth event.
+    val updSlice = delta.filter(pmod(col("vec_id"), lit(3L)) === 0)
+      .select(col("vec_id"), col("q"), col("cell")).localCheckpoint(eager = true)
+    val tombstones = updSlice.select(col("vec_id"), col("cell"))
+    val updVecs = graft.streaming.StreamingOps.assignVectors(
+        updSlice.select(col("vec_id"),
+          transform(col("q"), x => pmod(x + lit(7L), lit(2048L))).as("q")),
+        codebookArr)
+      .withColumn("n2", graft.functions.longDot(col("q"), col("q")))
+    val nTombs = tombstones.count()
+    val ((upsertRewritten, _), upsertS) = timed {
+      graft.layout.Layout.mergeIvfDeltaUpsert(spark, s"$workDir/lists", updVecs, tombstones)
+    }
+    val afterUpsert = graft.layout.Layout.readIvfLists(spark, s"$workDir/lists")
+    val rowsAfterUpsert = afterUpsert.count()
+    assert(rowsAfterUpsert == rowsAfter,
+      s"upsert must replace, not grow: $rowsAfter -> $rowsAfterUpsert")
+    assert(afterUpsert.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0,
+      "index holds a duplicate live vector after upsert")
+
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     val line =
       s"""{"metric":"ann_serving","preset":${Artifacts.jsonStr(preset)},"scale":$scale,""" +
@@ -230,6 +257,8 @@ object AnnDemo {
         s""""merge_s":${fmt(mergeS)},"delta_rows":${rowsAfter - rowsTotal},""" +
         s""""files_rewritten":$filesRewritten,"files_after":$filesAfter,""" +
         s""""scan_skip_1q_after":${fmt(rowsAfter.toDouble / math.max(1L, rowsRead1qAfter))},""" +
+        s""""upsert_s":${fmt(upsertS)},"upsert_tombstones":$nTombs,""" +
+        s""""upsert_files_rewritten":$upsertRewritten,"rows_after_upsert":$rowsAfterUpsert,""" +
         s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)
