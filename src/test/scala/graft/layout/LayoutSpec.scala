@@ -299,6 +299,19 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.mergeIvfDeltaUpsert(spark, path, delta.filter(lit(false)), tombs.filter(lit(false)))
     }
+
+    // STALE tombstone (pk->cell catalog lagging the index: the vector was
+    // already superseded away, or never existed): a harmless no-op on the
+    // data — the anti-join matches nothing, rows are byte-for-byte
+    // preserved — at the cost of rewriting the one file owning its cell
+    val preStale = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val (rwStale, _) = Layout.mergeIvfDeltaUpsert(spark, path,
+      delta.filter(lit(false)), spark.createDataFrame(Seq((99999L, 9L))).toDF("vec_id", "cell"))
+    assert(rwStale === 1)
+    val postStale = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(postStale === preStale, "stale tombstone must not change the data")
   }
 
   test("mergeIvfDeltaUpsert crash windows: tombstone application is atomic with the delta landing") {
