@@ -347,6 +347,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mergeIvfDeltaUpsert on a pre-manifest layout: fallback listing works and the commit seeds the manifest") {
+    // layouts written before the manifest feature have no _graft_manifest-*
+    // file; the merge must read them via the raw-listing fallback and leave
+    // a manifest-committed layout behind (readers upgrade transparently)
+    val df = spark.range(160).select(col("id").as("vec_id"), (col("id") % 8).as("cell"))
+    val path = tmp("premanifest")
+    Layout.writeIvfClustered(df, path, numFiles = 2)
+    new java.io.File(path).listFiles.filter(_.getName.startsWith("_graft_manifest-"))
+      .foreach(f => assert(f.delete()))
+    assert(Layout.currentManifest(spark, path).isEmpty)
+    val delta = spark.createDataFrame(Seq((1000L, 3L))).toDF("vec_id", "cell")
+    val tombs = spark.createDataFrame(Seq((5L, 5L))).toDF("vec_id", "cell")
+    Layout.mergeIvfDeltaUpsert(spark, path, delta, tombs)
+    val m = Layout.currentManifest(spark, path)
+    assert(m.exists(_._1 == 1L), m)
+    val rows = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows.contains((1000L, 3L)) && !rows.contains((5L, 5L)))
+    assert(rows.size === 160)
+  }
+
   test("mergeIvfDeltaUpsertOnce: a replayed CDC batch double-applies neither the landing nor the supersede") {
     val df = spark.range(320).select(col("id").as("vec_id"), (col("id") % 8).as("cell"))
     val path = tmp("upsertonce")
