@@ -209,7 +209,10 @@ object AnnDemo {
     val ((filesRewritten, filesAfter), mergeS) = timed {
       graft.layout.Layout.mergeIvfDelta(spark, s"$workDir/lists", delta)
     }
-    val listsAfter = spark.read.parquet(s"$workDir/lists")
+    // post-merge reads go through the manifest: the directory also holds
+    // the GC-retention copy of the previous snapshot, which a raw dir
+    // scan would double-count
+    val listsAfter = graft.layout.Layout.readIvfLists(spark, s"$workDir/lists")
     val rowsAfter = listsAfter.count()
     val q1after = listsAfter.filter(col("cell").isin(q1Cells.map(Long.box): _*))
     q1after.collect()

@@ -103,23 +103,60 @@ object Layout {
     */
   def writeIvfClustered(assigned: DataFrame, path: String, numFiles: Int): Unit = {
     writeRangeClustered(assigned, path, Seq(col("cell")), numFiles)
-    // seed the manifest snapshot (v1): the file-name list readers consult
-    // for a consistent view across incremental merges — see readIvfLists
+    // seed the manifest snapshot (v1) with per-file min-cell stats read
+    // from the parquet FOOTERS just written (metadata-only, O(files) —
+    // never a data scan) plus the layout schema, so every later merge
+    // routes its delta from the manifest alone — see readIvfLists
     val spark = assigned.sparkSession
     val fs = fileSystem(spark, path)
-    commitManifest(fs, path, 1L, dataFileNames(fs, path))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = dataFileNames(fs, path).map { n =>
+      ManifestEntry(n, Some(footerMinCell(conf, new org.apache.hadoop.fs.Path(s"$path/$n"))))
+    }
+    commitManifest(fs, path, 1L, entries, Some(assigned.schema.json))
   }
 
   // ------------------------------------------------------------ manifest
-  // Minimal table-format-style manifest for the inverted-list layout: a
-  // versioned file-NAME list (`_graft_manifest-<v>`, underscore-prefixed
-  // so raw parquet scans ignore it) committed via tmp-write + atomic
-  // rename. Readers that resolve files through the manifest (readIvfLists)
-  // get SNAPSHOT isolation across a concurrent mergeIvfDelta: every crash
+  // Minimal table-format-style manifest for the inverted-list layout
+  // (`_graft_manifest-<v>`, underscore-prefixed so raw parquet scans
+  // ignore it), committed via tmp-write + atomic rename. Format v2:
+  //
+  //   #graft-manifest v2
+  //   #schema <StructType.json>
+  //   <file-name>\t<min-cell>
+  //
+  // The per-file min-cell line is the merge ROUTING TABLE: a delta fold
+  // resolves which files it touches from the manifest alone — zero bytes
+  // of data-file I/O for untouched files, including the routing step
+  // (LayoutSpec corrupts an untouched file and merges past it). The
+  // schema line lets readers reconstruct an EMPTY layout (a merge whose
+  // tombstones retract every row commits a zero-file manifest).
+  // Format v1 (bare names, round-12 layouts) still parses: entries carry
+  // no min-cell and routing falls back to footer stats (metadata-only).
+  //
+  // Readers that resolve files through the manifest (readIvfLists) get
+  // SNAPSHOT isolation across a concurrent mergeIvfDelta: every crash
   // window leaves either the old manifest (staged/renamed-in merged files
   // not yet listed) or the new one (replaced originals delisted before
   // they are deleted), never a state that lists a row twice or misses one.
   // LayoutSpec kills the writer at each stage boundary and pins this.
+  //
+  // RETENTION: GC keeps the PREVIOUS manifest version and every data file
+  // it references (deleting only versions < v-1 and files referenced by
+  // neither retained version), so a reader that resolved snapshot v-1
+  // keeps all its files readable until the NEXT merge commits v+1 — one
+  // full merge window of grace. A reader that holds a snapshot across
+  // more than one concurrent merge must re-resolve and retry.
+
+  /** One manifest line: a live data-file name plus its min-cell routing
+    * stat (absent only when parsed from a format-v1 manifest).
+    */
+  private[graft] final case class ManifestEntry(name: String, lo: Option[Long])
+
+  private[graft] final case class ManifestSnapshot(version: Long,
+      entries: Seq[ManifestEntry], schemaJson: Option[String]) {
+    def names: Seq[String] = entries.map(_.name)
+  }
 
   private def fileSystem(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -141,40 +178,97 @@ object Layout {
       .sortBy(_._1)
   }
 
-  /** Current manifest snapshot: (version, live data-file names), or None
-    * for a layout that predates the manifest (readers fall back to a raw
-    * dir listing — the pre-manifest behavior).
+  private def parseManifest(txt: String): (Seq[ManifestEntry], Option[String]) = {
+    val lines = txt.split('\n').toIndexedSeq.filter(_.nonEmpty)
+    val schema = lines.find(_.startsWith("#schema ")).map(_.stripPrefix("#schema "))
+    val entries = lines.filterNot(_.startsWith("#")).map { l =>
+      l.split('\t') match {
+        case Array(n, lo) => ManifestEntry(n, Some(lo.toLong))
+        case _            => ManifestEntry(l, None) // format v1: bare name
+      }
+    }
+    (entries, schema)
+  }
+
+  /** The newest manifest snapshot with routing stats and schema, or None
+    * for a layout that predates the manifest.
     */
-  def currentManifest(spark: SparkSession, path: String): Option[(Long, Seq[String])] = {
+  private[graft] def readManifest(spark: SparkSession, path: String): Option[ManifestSnapshot] = {
     val fs = fileSystem(spark, path)
     manifestVersions(fs, path).lastOption.map { case (v, p) =>
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      v -> txt.split('\n').toIndexedSeq.filter(_.nonEmpty)
+      val (entries, schema) = parseManifest(txt)
+      ManifestSnapshot(v, entries, schema)
     }
   }
 
-  /** Commit manifest version `v`: write the name list to a hidden tmp
-    * file, then one atomic rename into place. A reader never observes a
-    * half-written manifest — it sees version v-1 until the rename lands.
+  /** Current manifest snapshot: (version, live data-file names), or None
+    * for a layout that predates the manifest (readers fall back to a raw
+    * dir listing — the pre-manifest behavior).
+    */
+  def currentManifest(spark: SparkSession, path: String): Option[(Long, Seq[String])] =
+    readManifest(spark, path).map(m => m.version -> m.names)
+
+  /** Commit manifest version `v`: write header + entry lines to a hidden
+    * tmp file, then one atomic rename into place. A reader never observes
+    * a half-written manifest — it sees version v-1 until the rename lands.
     */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      v: Long, names: Seq[String]): Unit = {
+      v: Long, entries: Seq[ManifestEntry], schemaJson: Option[String]): Unit = {
     import org.apache.hadoop.fs.Path
+    val header = Seq("#graft-manifest v2") ++ schemaJson.map(s => s"#schema $s")
+    val body = entries.sortBy(e => (e.lo.getOrElse(Long.MinValue), e.name))
+      .map(e => e.lo.fold(e.name)(lo => s"${e.name}\t$lo"))
     val tmp = new Path(s"$path/.manifest_tmp-$v")
     val out = fs.create(tmp, true)
-    try out.write((names.sorted.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    try out.write(((header ++ body).mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(s"$path/_graft_manifest-$v")))
       sys.error(s"manifest commit failed: rename to _graft_manifest-$v")
   }
 
+  /** Min value of the `cell` column across a parquet file's row groups,
+    * read from the FOOTER statistics — a ~KB metadata read, no data pages
+    * touched. This is how routing stats are (re)derived for layouts whose
+    * manifest predates format v2.
+    */
+  private def footerMinCell(conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      var lo = Long.MaxValue
+      r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "cell") {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              if (mn < lo) lo = mn
+            }
+          }
+        }
+      }
+      require(lo != Long.MaxValue, s"no cell footer statistics in $p")
+      lo
+    } finally r.close()
+  }
+
   /** Read the inverted-list layout through its manifest snapshot — the
     * reader half of the merge commit protocol. Falls back to a raw dir
-    * scan when no manifest exists (pre-manifest layouts).
+    * scan when no manifest exists (pre-manifest layouts). An EMPTY
+    * manifest (every row retracted by tombstones) reads as an empty
+    * DataFrame with the layout schema recorded at the last commit.
     */
   def readIvfLists(spark: SparkSession, path: String): DataFrame =
-    currentManifest(spark, path) match {
-      case Some((_, names)) => spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    readManifest(spark, path) match {
+      case Some(m) if m.entries.isEmpty =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson.getOrElse(
+          sys.error(s"empty manifest without a schema line at $path")))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(m) => spark.read.parquet(m.names.map(n => s"$path/$n"): _*)
       case None => spark.read.parquet(path)
     }
 
@@ -190,9 +284,13 @@ object Layout {
     * index maintenance.
     *
     * Routing rule (driver-side, metadata-only): files sorted by their
-    * min cell partition the cell axis into half-open spans
-    * `[lo_i, lo_{i+1})` (the first span extended down, the last up); a
-    * delta row joins the file owning its cell's span. The rewrite is ONE
+    * min cell — read straight from the MANIFEST's per-file stats (v2
+    * format; v1/pre-manifest layouts re-derive them from parquet footer
+    * stats, still metadata-only) — partition the cell axis into half-open
+    * spans `[lo_i, lo_{i+1})` (the first span extended down, the last
+    * up); a delta row joins the file owning its cell's span. No data page
+    * of ANY file is read for routing, so the merge's data I/O is exactly
+    * the touched files plus the delta. The rewrite is ONE
     * distributed job regardless of how many files the delta touches: the
     * touched files' resident rows ∪ the whole delta, each row routed to
     * its owner span (binary search over the lo bounds — file rows map to
@@ -206,9 +304,9 @@ object Layout {
     * relies on survives by construction, and untouched files are not read
     * and not rewritten (the spec pins byte-identity).
     *
-    * Driver-side work: one listing + a per-file min-cell aggregate
-    * (file-count rows) + the delta's distinct cells (≤ numCells rows) +
-    * O(touched) renames. Data rows never collect.
+    * Driver-side work: one manifest read (file-count lines) + the
+    * delta's distinct cells (≤ numCells rows) + O(touched) renames.
+    * Data rows never collect.
     *
     * CONCURRENCY CONTRACT — single writer; readers resolve files through
     * the MANIFEST ([[readIvfLists]]) and get snapshot isolation: the
@@ -216,9 +314,14 @@ object Layout {
     * dir, (2) rename them into the lists dir (not yet listed — manifest
     * readers still see the old snapshot), (3) commit manifest v+1 via one
     * atomic rename (the COMMIT POINT: readers atomically switch to the
-    * new file set, which delists the replaced originals), (4) delete the
-    * replaced originals and prune old manifests (garbage collection —
-    * already invisible to manifest readers). A writer crash at any stage
+    * new file set, which delists the replaced originals), (4) garbage-
+    * collect with a ONE-VERSION retention window: the previous manifest
+    * and every data file it references survive this merge's GC, so a
+    * reader that resolved snapshot v-1 before the commit keeps all its
+    * files readable until the NEXT merge commits v+1; only manifests
+    * < v-1 and data files referenced by neither retained version are
+    * deleted. A reader holding one snapshot across MORE than one
+    * concurrent merge must re-resolve and retry. A writer crash at any stage
     * boundary leaves a manifest that lists each row exactly once
     * (LayoutSpec kills the writer at each boundary and pins this); the
     * only residue is unreferenced garbage files, swept by the next
@@ -267,21 +370,23 @@ object Layout {
       tombstones: Option[DataFrame] = None): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val fs = fileSystem(spark, listsPath)
+    val conf = spark.sparkContext.hadoopConfiguration
     // live file set from the manifest snapshot (fallback: dir listing for
     // pre-manifest layouts); all reads below go through these names, so a
     // previous crashed merge's unreferenced garbage is never re-read
-    val manifest = currentManifest(spark, listsPath)
-    val liveNames = manifest.map(_._2).getOrElse(dataFileNames(fs, listsPath))
-    val nextVersion = manifest.map(_._1 + 1).getOrElse(1L)
-    val livePaths = liveNames.map(n => s"$listsPath/$n")
-    // per-file min cell from the data (one file-count-row aggregate; at
-    // production scale this comes from footer stats / the manifest)
-    val lows = spark.read.parquet(livePaths: _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col("cell")).as("lo"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(t => (t._2, t._1))
-    val baseCols = spark.read.parquet(livePaths: _*).columns.toIndexedSeq
+    val manifest = readManifest(spark, listsPath)
+    val liveNames = manifest.map(_.names).getOrElse(dataFileNames(fs, listsPath))
+    val nextVersion = manifest.map(_.version + 1).getOrElse(1L)
+    // per-file min cell — the delta ROUTING TABLE. A v2 manifest carries
+    // it outright (zero I/O); v1/pre-manifest layouts re-derive it from
+    // parquet FOOTER stats (O(files) ~KB metadata reads). Either way no
+    // data page of any file — touched or not — is read for routing.
+    val lows: IndexedSeq[(String, Long)] = (manifest match {
+      case Some(m) if m.entries.nonEmpty && m.entries.forall(_.lo.isDefined) =>
+        m.entries.map(e => (e.name, e.lo.get))
+      case _ =>
+        liveNames.map(n => (n, footerMinCell(conf, new Path(s"$listsPath/$n"))))
+    }).sortBy(t => (t._2, t._1)).toIndexedSeq
     val deltaCells = delta.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     // tombstone cells join the touched set: a victim's file must be
@@ -291,66 +396,102 @@ object Layout {
     require(deltaCells.nonEmpty || tombCells.nonEmpty,
       "mergeIvfDelta: empty delta" + (if (tombstones.isDefined) " and tombstones" else ""))
     // span owner: last file whose lo <= c (clamped to the first file)
-    val loBounds = lows.map(_._2)
+    val loBounds = lows.map(_._2).toArray
     def owner(c: Long): Int = {
       val idx = java.util.Arrays.binarySearch(loBounds, c)
       val i = if (idx >= 0) idx else -idx - 2 // insertion point - 1
       math.max(i, 0)
     }
-    val touched = (deltaCells ++ tombCells).map(owner).distinct.sorted
+    // an EMPTY live set (fresh path, or every row previously retracted)
+    // has no spans: the whole delta lands as span 0, tombstones are no-ops
+    val touched =
+      if (lows.isEmpty) Array.empty[Int]
+      else (deltaCells ++ tombCells).map(owner).distinct.sorted
+    // layout schema: the manifest's recorded schema, else (v1 manifests)
+    // the touched files', else — fresh/empty layout — the delta's own
+    val schema: org.apache.spark.sql.types.StructType = manifest.flatMap(_.schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .orElse(if (touched.nonEmpty)
+        Some(spark.read.parquet(s"$listsPath/${lows(touched.head)._1}").schema) else None)
+      .getOrElse(delta.schema)
+    val baseCols = schema.fieldNames.toIndexedSeq
     // the one distributed job: resident rows of touched files (minus any
     // tombstoned victims — a broadcast anti-join on the victim's exact
     // (vec_id, cell) coordinates; delta-sized, never corpus-sized) ∪
     // delta, routed to owner spans executor-side by the same binary search
     val spanOf = udf { (c: Long) => owner(c) }
-    val residentRaw = spark.read.parquet(touched.map(lows(_)._1).toIndexedSeq: _*)
-      .select(baseCols.map(col): _*)
-    val resident = tombstones match {
-      case Some(t) => residentRaw.join(
-          broadcast(t.select(col("vec_id"), col("cell"))), Seq("vec_id", "cell"), "left_anti")
-        .select(baseCols.map(col): _*) // join fronts its keys; keep file column order stable
-      case None => residentRaw
-    }
-    val combined = resident.unionByName(delta.select(baseCols.map(col): _*))
+    val resident: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val raw = spark.read.parquet(touched.map(i => s"$listsPath/${lows(i)._1}").toIndexedSeq: _*)
+          .select(baseCols.map(col): _*)
+        Some(tombstones match {
+          case Some(t) => raw.join(
+              broadcast(t.select(col("vec_id"), col("cell"))), Seq("vec_id", "cell"), "left_anti")
+            .select(baseCols.map(col): _*) // join fronts its keys; keep file column order stable
+          case None => raw
+        })
+      }
+    val deltaBase = delta.select(baseCols.map(col): _*)
+    val combined = resident.fold(deltaBase)(_.unionByName(deltaBase))
       .withColumn("graft_span", spanOf(col("cell")))
     val swap = s"$listsPath/.merge_swap" // dot-dir: invisible to parquet scans
-    combined.repartition(touched.length, col("graft_span"))
+    combined.repartition(math.max(touched.length, 1), col("graft_span"))
       .sortWithinPartitions(col("graft_span"), col("cell"))
       .write.mode("overwrite").partitionBy("graft_span").parquet(swap)
     onStage("staged")
     // (2) rename merged files in — present on disk, absent from the
-    // manifest, so manifest readers still see the old snapshot
-    val mergedNames = Seq.newBuilder[String]
-    for (i <- touched) {
-      // a span can legitimately produce NO merged file: every resident row
-      // tombstoned and no delta landing there — the original is simply
-      // delisted at the manifest commit below
-      val spanDir = new Path(s"$swap/graft_span=$i")
-      (if (fs.exists(spanDir)) fs.listStatus(spanDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (st, j) =>
-          val name = s"merged-${System.nanoTime()}-$i-$j.parquet"
-          fs.rename(st.getPath, new Path(s"$listsPath/$name"))
-          mergedNames += name
-        }
-    }
+    // manifest, so manifest readers still see the old snapshot. A touched
+    // span can legitimately produce NO merged file (every resident row
+    // tombstoned, no delta landing there): the original is simply
+    // delisted at the manifest commit below. Each merged file's manifest
+    // min-cell = its span's lo, extended down by any delta cell the span
+    // clamped in (only span 0 can extend; spans stay disjoint).
+    val deltaMinOwned: Map[Int, Long] =
+      deltaCells.groupBy(c => if (lows.isEmpty) 0 else owner(c))
+        .map { case (i, cs) => i -> cs.min }
+    def spanLo(i: Int): Long =
+      if (lows.isEmpty) deltaMinOwned.getOrElse(0, 0L)
+      else deltaMinOwned.get(i).fold(lows(i)._2)(math.min(_, lows(i)._2))
+    val mergedEntries = Seq.newBuilder[ManifestEntry]
+    val swapDir = new Path(swap)
+    (if (fs.exists(swapDir)) fs.listStatus(swapDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("graft_span="))
+      .sortBy(_.getPath.getName).foreach { d =>
+        val i = d.getPath.getName.stripPrefix("graft_span=").toInt
+        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (st, j) =>
+            val name = s"merged-${System.nanoTime()}-$i-$j.parquet"
+            fs.rename(st.getPath, new Path(s"$listsPath/$name"))
+            mergedEntries += ManifestEntry(name, Some(spanLo(i)))
+          }
+      }
     onStage("renamed_in")
     // (3) COMMIT: manifest v+1 = live − replaced + merged, one atomic
     // rename — the instant readers switch snapshots
-    val replacedNames = touched.map(i => new Path(new java.net.URI(lows(i)._1).getPath).getName).toSet
-    val newNames = liveNames.filterNot(replacedNames) ++ mergedNames.result()
-    commitManifest(fs, listsPath, nextVersion, newNames)
+    val replacedNames = touched.map(i => lows(i)._1).toSet
+    val keptEntries = manifest.map(_.entries).getOrElse(liveNames.map(ManifestEntry(_, None)))
+      .filterNot(e => replacedNames(e.name))
+      // v1 entries kept across a v2 commit get their routing stat
+      // backfilled from footers, so the NEXT merge routes manifest-only
+      .map(e => if (e.lo.isDefined) e
+        else e.copy(lo = Some(footerMinCell(conf, new Path(s"$listsPath/${e.name}")))))
+    val newEntries = keptEntries ++ mergedEntries.result()
+    commitManifest(fs, listsPath, nextVersion, newEntries, Some(schema.json))
     onStage("manifest_committed")
-    // (4) GC: every data file absent from the committed snapshot is
-    // garbage — the replaced originals plus any residue a previously
-    // crashed merge renamed in but never listed; prune old manifests and
-    // the swap dir
-    val live = newNames.toSet
-    dataFileNames(fs, listsPath).filterNot(live)
+    // (4) GC with a ONE-VERSION retention window: keep the previous
+    // manifest and every data file it references (a reader that resolved
+    // snapshot v-1 keeps its files through this merge); delete manifests
+    // < v-1 and data files referenced by NEITHER retained version — which
+    // sweeps both the now-twice-superseded originals and any residue a
+    // previously crashed merge renamed in but never listed
+    val retained = newEntries.map(_.name).toSet ++ liveNames
+    dataFileNames(fs, listsPath).filterNot(retained)
       .foreach(n => fs.delete(new Path(s"$listsPath/$n"), false))
-    manifestVersions(fs, listsPath).filter(_._1 < nextVersion)
+    manifestVersions(fs, listsPath).filter(_._1 < nextVersion - 1)
       .foreach { case (_, p) => fs.delete(p, false) }
-    fs.delete(new Path(swap), true)
+    fs.delete(swapDir, true)
     onStage("gc_done")
     (touched.length, lows.length)
   }

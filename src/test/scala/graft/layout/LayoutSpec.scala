@@ -21,10 +21,19 @@ class LayoutSpec extends SparkSpec {
 
   /** Per-output-file (min, max) of a column, via input_file_name. */
   private def fileRanges(path: String, c: String): Seq[(Double, Double)] =
-    spark.read.parquet(path)
-      .groupBy(input_file_name())
+    dfFileRanges(spark.read.parquet(path), c)
+
+  private def dfFileRanges(df: DataFrame, c: String): Seq[(Double, Double)] =
+    df.groupBy(input_file_name())
       .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
       .select($"lo", $"hi").as[(Double, Double)].collect().toSeq
+
+  /** File ranges of the LIVE snapshot only — post-merge the directory
+    * also holds the retained previous version's files (GC retention),
+    * which a manifest reader never sees.
+    */
+  private def liveFileRanges(path: String, c: String): Seq[(Double, Double)] =
+    dfFileRanges(Layout.readIvfLists(spark, path), c)
 
   test("Morton interleave: known values and per-dimension bit recovery") {
     assert(Morton.interleave(0L, 0L) === 0L)
@@ -167,21 +176,25 @@ class LayoutSpec extends SparkSpec {
     assert(rewritten >= 1 && rewritten <= 3, s"rewrote $rewritten files for 3 delta cells")
 
     // content equivalence: merged layout == base ∪ delta, no loss, no dup
-    val got = spark.read.parquet(path).collect()
+    // (manifest view — the directory also retains the previous version)
+    val got = Layout.readIvfLists(spark, path).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     val want = (df.collect() ++ delta.collect())
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got.toSeq === want.toSeq)
 
-    // untouched files: same names, same bytes — they were never read or
-    // rewritten, so serving locality and caches survive the merge
-    val after = parquetFiles.map(f => f.getName -> digest(f)).toMap
+    // untouched files: same names, same bytes in the new snapshot — they
+    // were never read or rewritten, so serving locality and caches
+    // survive the merge
+    val liveAfter = Layout.currentManifest(spark, path).get._2.toSet
+    val after = parquetFiles.filter(f => liveAfter(f.getName))
+      .map(f => f.getName -> digest(f)).toMap
     val survivors = before.keySet.intersect(after.keySet)
     assert(survivors.size === total - rewritten)
     survivors.foreach(n => assert(after(n) === before(n), s"untouched file $n changed"))
 
     // the disjoint per-file range contract (footer pruning) still holds
-    val ranges = fileRanges(path, "cell").sortBy(_._1)
+    val ranges = liveFileRanges(path, "cell").sortBy(_._1)
     ranges.sliding(2).foreach {
       case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap after merge: $ranges")
       case _                      =>
@@ -192,10 +205,10 @@ class LayoutSpec extends SparkSpec {
     val below = spark.range(3).select((col("id") + 200000L).as("vec_id"), lit(-5L).as("cell"))
     val (rw2, _) = Layout.mergeIvfDelta(spark, path, below)
     assert(rw2 === 1)
-    val rows2 = spark.read.parquet(path)
+    val rows2 = Layout.readIvfLists(spark, path)
     assert(rows2.count() === 12800 + 51 + 3)
     assert(rows2.agg(min(col("cell"))).head().getLong(0) === -5L)
-    fileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
+    liveFileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
       case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlap after below-range merge")
       case _                      =>
     }
@@ -232,17 +245,26 @@ class LayoutSpec extends SparkSpec {
       assert(seen === expect, s"reader saw a torn snapshot after crash at $stage")
 
       if (stage != "manifest_committed") {
+        // the crashed attempt's residue: files on disk the (still-old)
+        // manifest does not list — staged leaves none at top level,
+        // renamed_in leaves the orphaned merged-* files
+        def onDisk = new java.io.File(path).listFiles
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        val oldNames = Layout.currentManifest(spark, path).get._2.toSet
+        val crashedGarbage = onDisk -- oldNames
         // recovery: re-running the merge converges to the new snapshot…
         Layout.mergeIvfDelta(spark, path, delta)
         val recovered = Layout.readIvfLists(spark, path).collect()
           .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
         assert(recovered === postRows, s"recovery after $stage crash")
-        // …and sweeps the crashed attempt's unreferenced garbage files,
-        // so a raw dir scan agrees with the manifest again
-        val onDisk = new java.io.File(path).listFiles
-          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
-        val manifest = Layout.currentManifest(spark, path).map(_._2.toSet)
-        assert(manifest.contains(onDisk), s"garbage not swept after $stage crash")
+        // …and its GC sweeps the crashed attempt's unreferenced garbage,
+        // while retaining exactly the previous version's files (the
+        // reader-grace window): disk == new snapshot ∪ old snapshot
+        val newNames = Layout.currentManifest(spark, path).get._2.toSet
+        assert(crashedGarbage.intersect(onDisk).isEmpty,
+          s"crashed garbage not swept after $stage crash")
+        assert(onDisk === newNames ++ oldNames,
+          s"disk != retained snapshots after $stage crash")
       }
     }
   }
@@ -283,7 +305,7 @@ class LayoutSpec extends SparkSpec {
     val after = files.map(f => f.getName -> digest(f)).toMap
     before.keySet.intersect(after.keySet)
       .foreach(n => assert(after(n) === before(n), s"untouched file $n changed"))
-    fileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
+    liveFileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
       case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlap after upsert")
       case _                      =>
     }
@@ -390,6 +412,126 @@ class LayoutSpec extends SparkSpec {
       delta.filter(lit(false)), spark.createDataFrame(Seq((4L, 4L))).toDF("vec_id", "cell"),
       batchId = 1L))
     assert(Layout.readIvfLists(spark, path).count() === want.size - 1)
+  }
+
+  test("manifest v2: commit seeds footer-accurate per-file min-cell routing stats") {
+    val df = spark.range(6400).select(col("id").as("vec_id"), (col("id") % 64).as("cell"))
+    val path = tmp("manifeststats")
+    Layout.writeIvfClustered(df, path, numFiles = 8)
+    val m = Layout.readManifest(spark, path).get
+    assert(m.schemaJson.isDefined, "manifest must record the layout schema")
+    assert(m.entries.nonEmpty && m.entries.forall(_.lo.isDefined))
+    // the recorded lo of every file == the file's ACTUAL min cell
+    val actual = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f")).agg(min(col("cell")).as("lo"))
+      .collect().map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
+        -> r.getLong(1)).toMap
+    m.entries.foreach(e => assert(e.lo.contains(actual(e.name)),
+      s"manifest lo ${e.lo} != actual min ${actual(e.name)} for ${e.name}"))
+  }
+
+  test("manifest v2 routing: a merge reads ZERO bytes from untouched files (corrupted file is never opened)") {
+    // the round-13 contract: delta routing comes from the manifest's
+    // min-cell stats, NOT a scan of the corpus's cell column — so a merge
+    // must succeed even when an untouched file's BYTES are unreadable.
+    // Corrupting a mid-range file and merging a delta that lands
+    // elsewhere proves no read (scan, schema, or routing) ever opens it.
+    val df = spark.range(12800).select(col("id").as("vec_id"), (col("id") % 128).as("cell"))
+    val path = tmp("zeroio")
+    Layout.writeIvfClustered(df, path, numFiles = 16)
+    val entries = Layout.readManifest(spark, path).get.entries.sortBy(_.lo.get)
+    // victim: the file owning the middle of the cell range; delta: cell 0
+    val victim = entries(entries.size / 2)
+    val victimFile = new java.io.File(s"$path/${victim.name}")
+    val originalBytes = java.nio.file.Files.readAllBytes(victimFile.toPath)
+    java.nio.file.Files.write(victimFile.toPath,
+      Array.fill[Byte](originalBytes.length)('x'.toByte))
+    val delta = spark.range(7).select((col("id") + 500000L).as("vec_id"), lit(0L).as("cell"))
+    val (rewritten, total) = Layout.mergeIvfDelta(spark, path, delta)
+    assert(rewritten === 1 && total === entries.size)
+    // restore the victim's bytes; the full snapshot must now read back as
+    // base ∪ delta — the merge never read OR rewrote the corrupted file
+    java.nio.file.Files.write(victimFile.toPath, originalBytes)
+    val got = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (df.collect() ++ delta.collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want)
+  }
+
+  test("GC retention: a reader's v-1 snapshot survives one concurrent merge, not two") {
+    val df = spark.range(3200).select(col("id").as("vec_id"), (col("id") % 32).as("cell"))
+    val path = tmp("retention")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    // a long-running reader resolves snapshot v1 (its file list) now
+    val v1 = Layout.currentManifest(spark, path).get
+    assert(v1._1 === 1L)
+    val v1Paths = v1._2.map(n => s"$path/$n")
+    val delta1 = spark.range(5).select((col("id") + 900000L).as("vec_id"), lit(3L).as("cell"))
+    Layout.mergeIvfDelta(spark, path, delta1)
+    // after ONE merge: every v1 file still on disk and readable — the
+    // reader's in-flight scan completes against its resolved snapshot
+    assert(spark.read.parquet(v1Paths: _*).count() === 3200)
+    val v2 = Layout.currentManifest(spark, path).get
+    assert(v2._1 === 2L)
+    val delta2 = spark.range(5).select((col("id") + 910000L).as("vec_id"), lit(9L).as("cell"))
+    Layout.mergeIvfDelta(spark, path, delta2)
+    // after TWO merges: v1's superseded file is gone (grace window is one
+    // merge), v2's files all survive, and manifests v1 are pruned to v2+v3
+    val onDisk = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val v3 = Layout.currentManifest(spark, path).get
+    assert(v3._1 === 3L)
+    assert(onDisk === v3._2.toSet ++ v2._2.toSet, "disk must hold exactly v3 ∪ v2")
+    assert((v1._2.toSet -- v2._2.toSet).forall(!onDisk(_)),
+      "v1's superseded files must be GC'd after the second merge")
+    val manifestsOnDisk = new java.io.File(path).listFiles
+      .filter(_.getName.startsWith("_graft_manifest-")).map(_.getName).toSet
+    assert(manifestsOnDisk === Set("_graft_manifest-2", "_graft_manifest-3"))
+  }
+
+  test("full retraction commits an EMPTY manifest that reads as an empty frame; a later delta repopulates") {
+    val df = spark.range(40).select(col("id").as("vec_id"), (col("id") % 4).as("cell"))
+    val path = tmp("fullretract")
+    Layout.writeIvfClustered(df, path, numFiles = 2)
+    // tombstone every live row: the merge commits a zero-file manifest
+    val allTombs = df.select(col("vec_id"), col("cell"))
+    Layout.mergeIvfDeltaUpsert(spark, path, df.filter(lit(false)), allTombs)
+    val emptied = Layout.readIvfLists(spark, path)
+    assert(emptied.count() === 0L)
+    assert(emptied.columns.toSeq === Seq("vec_id", "cell"), "schema survives the empty snapshot")
+    // and the next merge on the empty layout lands the delta as a fresh span
+    val delta = spark.range(6).select((col("id") + 700L).as("vec_id"), (col("id") % 2).as("cell"))
+    val (rw, tot) = Layout.mergeIvfDelta(spark, path, delta)
+    assert(rw === 0 && tot === 0, "an empty live set has no files to rewrite")
+    val back = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(back === delta.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("format-v1 manifest compat: bare-name manifests route via footer stats and upgrade to v2 on commit") {
+    val df = spark.range(800).select(col("id").as("vec_id"), (col("id") % 8).as("cell"))
+    val path = tmp("v1compat")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    // rewrite the manifest in the round-12 format: bare names, no header
+    // (drop the local-FS checksum sidecar so the edited file stays readable)
+    val names = Layout.currentManifest(spark, path).get._2
+    new java.io.File(s"$path/._graft_manifest-1.crc").delete()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_graft_manifest-1"),
+      (names.mkString("\n") + "\n").getBytes("UTF-8"))
+    val v1 = Layout.readManifest(spark, path).get
+    assert(v1.entries.forall(_.lo.isEmpty) && v1.schemaJson.isEmpty)
+    val delta = spark.range(3).select((col("id") + 5000L).as("vec_id"), lit(1L).as("cell"))
+    val (rw, _) = Layout.mergeIvfDelta(spark, path, delta)
+    assert(rw === 1)
+    val got = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === (df.collect() ++ delta.collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // the commit backfills routing stats + schema: next merge is manifest-only
+    val v2 = Layout.readManifest(spark, path).get
+    assert(v2.entries.nonEmpty && v2.entries.forall(_.lo.isDefined))
+    assert(v2.schemaJson.isDefined)
   }
 
   test("hive-partitioned layout prunes non-matching partitions at plan time") {

@@ -728,7 +728,7 @@ class StreamingOpsSpec extends SparkSpec {
     val lists = java.nio.file.Files.createTempDirectory("graft-ann-lists").toString
     Layout.writeIvfClustered(
       StreamingOps.assignVectors(base, codebook, routed = false), lists, numFiles = 4)
-    assert(s.read.parquet(lists).count() === 4)
+    assert(Layout.readIvfLists(s, lists).count() === 4)
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
     val mem = MemoryStream[(Long, Seq[Long])]
@@ -747,7 +747,7 @@ class StreamingOpsSpec extends SparkSpec {
     try {
       mem.addData((10L, Seq(98L, 1L)), (11L, Seq(97L, 3L)))
       q1.processAllAvailable()
-      assert(s.read.parquet(lists).count() === 6)
+      assert(Layout.readIvfLists(s, lists).count() === 6)
     } finally q1.stop()
 
     // forced replay: drop batch 0's commit record (offsets survive), so the
@@ -763,24 +763,24 @@ class StreamingOpsSpec extends SparkSpec {
     val q2 = start()
     try {
       q2.processAllAvailable() // replays batch 0 → ledger skips the merge
-      assert(s.read.parquet(lists).count() === 6,
+      assert(Layout.readIvfLists(s, lists).count() === 6,
         "re-delivered batch must not double-merge")
       // a FRESH batch still merges (the ledger gates per batch, not globally)
       mem.addData((12L, Seq(3L, 99L)))
       q2.processAllAvailable()
-      assert(s.read.parquet(lists).count() === 7)
+      assert(Layout.readIvfLists(s, lists).count() === 7)
     } finally q2.stop()
 
     // exactly-once outcome, row-level: every id present once
-    val ids = s.read.parquet(lists).select("vec_id").as[Long].collect().sorted.toSeq
+    val ids = Layout.readIvfLists(s, lists).select("vec_id").as[Long].collect().sorted.toSeq
     assert(ids === Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L))
     // and the direct at-most-once contract: a second call with a merged
     // batchId is a no-op that reports false
     val again = StreamingOps.assignVectors(
       Seq((13L, Seq(98L, 2L))).toDF("vec_id", "q"), codebook, routed = false)
     assert(!Layout.mergeIvfDeltaOnce(s, lists, again, batchId = 0L))
-    assert(s.read.parquet(lists).count() === 7)
+    assert(Layout.readIvfLists(s, lists).count() === 7)
     assert(Layout.mergeIvfDeltaOnce(s, lists, again, batchId = 99L))
-    assert(s.read.parquet(lists).count() === 8)
+    assert(Layout.readIvfLists(s, lists).count() === 8)
   }
 }
