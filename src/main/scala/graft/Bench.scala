@@ -41,29 +41,37 @@ object Bench {
   }
 
   /** (stdout line, durable full line). The stdout line carries the
-    * min-of-2 map + 3-point calib and must stay under the scrape window;
-    * the full line (bench_last.json only) adds the per-query max map.
+    * min-of-3 map (`"stat":"min"`) + 3-point calib and must stay under
+    * the scrape window; the full line (bench_last.json only) adds the
+    * per-query MEDIAN and MAX maps — the round-12 judge's ask: sub-second
+    * per-query deltas were indistinguishable from 2-sample noise, so the
+    * committed artifact now carries the spread (max − min bounds the
+    * run-to-run variance; median is the robust center) per query.
     * Contract spec'd in BenchFormatSpec: both parse as JSON, short keys
     * stay unique, the stdout line stays under 1900 chars at catalog size.
     */
-  private[graft] def renderLines(results: Seq[(String, (Double, Double))],
+  private[graft] def renderLines(results: Seq[(String, Seq[Double])],
       calibPts: Seq[Double], sfDir: String): (String, String) = {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val short = shortKeys(results.map(_._1))
-    def qmap(pick: ((Double, Double)) => Double) = results.map { case (k, v) =>
-      val x = pick(v)
+    def qmap(pick: Seq[Double] => Double) = results.map { case (k, v) =>
+      val x = if (v.exists(_ < 0)) -1.0 else pick(v)
       "\"" + short(k) + "\":" + (if (x < 0) "-1" else fmt(x))
     }.mkString("{", ",", "}")
+    def mid(v: Seq[Double]) = v.sorted.apply(v.size / 2)
     // headline total covers SURVIVING queries only; failed ones are counted
     // explicitly so a partial run can never masquerade as a comparable total
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val nFailed = results.count(_._2._1 < 0)
+    val mins = results.map { case (_, v) => if (v.exists(_ < 0)) -1.0 else v.min }
+    val total = mins.filter(_ >= 0).sum
+    val nFailed = mins.count(_ < 0)
+    val nSamples = results.map(_._2.size).maxOption.getOrElse(0)
     val pts = calibPts.map(fmt).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibPts.head)},"calib_pts":$pts,"samples":2,"n":${results.size},"failed":$nFailed,"queries":${qmap(_._1)},"sf":${Artifacts.jsonStr(sfDir)}}"""
-    // full record (with per-query max) goes only to the durable file: the
-    // stderr tail the driver scrapes is ~2000 chars, and a second full map
-    // on the stdout line would decapitate it again
-    (line, line.dropRight(1) + s""","queries_max":${qmap(_._2)}}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibPts.head)},"calib_pts":$pts,"samples":$nSamples,"stat":"min","n":${results.size},"failed":$nFailed,"queries":${qmap(_.min)},"sf":${Artifacts.jsonStr(sfDir)}}"""
+    // full record (median + max per query) goes only to the durable file:
+    // the stderr tail the driver scrapes is ~2000 chars, and extra full
+    // maps on the stdout line would decapitate it again
+    (line, line.dropRight(1) +
+      s""","queries_mid":${qmap(mid)},"queries_max":${qmap(_.max)}}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,15 +123,16 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val s1 = sample()
-      // don't burn a second sample on a failed query
-      val s2 = if (s1 < 0) s1 else sample()
-      // PROTOCOL BOUNDARY (round 10): headline = min-of-2, where sample 2
-      // runs with a warm OS page cache — totals are systematically LOWER
-      // than the single-cold-sample records of BENCH_r01..r09. The
-      // artifact's "samples":2 field marks the boundary; cross-round
-      // comparisons spanning it must discount the protocol delta
-      // (queries_max ≈ the old single-sample convention).
-      name -> (math.min(s1, s2), math.max(s1, s2))
+      // don't burn further samples on a failed query
+      val rest = if (s1 < 0) Seq.empty else Seq(sample(), sample())
+      // PROTOCOL BOUNDARY (round 10 → min-of-N; round 13 → N=3 with the
+      // median+max spread in the durable artifact): headline = min, where
+      // later samples run with a warm OS page cache — totals are
+      // systematically LOWER than the single-cold-sample records of
+      // BENCH_r01..r09. The artifact's "samples" field marks the
+      // boundary; cross-round comparisons spanning it must discount the
+      // protocol delta (queries_max ≈ the old single-sample convention).
+      name -> (s1 +: rest)
     }
     val calibEnd = Artifacts.calibrate(spark)
     val (line, full) = renderLines(results, Seq(calib0, calibMid, calibEnd), sfDir)

@@ -1202,13 +1202,19 @@ object EmbeddingQueries extends QueryModule {
         // current, but the codebook itself ages as deltas shift content).
         // Per cell: exact squared L2 between the cell's true mean and its
         // codebook centroid, computed ENTIRELY in integer space via the
-        // n-scaled identity ‖n·c − Σq‖² = n²(c·c) − 2n(c·Σq) + (Σq·Σq)
-        // (per-dim sums from the LongVecSum aggregator — one map-side
-        // partial-combined shuffle, ≤ numCells result rows = metadata
-        // scale; the three dot terms are codegen'd LongDot loops, no
-        // per-dim explode). True drift = that integer / n², one double
+        // n-scaled identity ‖n·c − Σq‖² = n²(c·c) − 2n(c·Σq) + (Σq·Σq).
+        // The per-dim sums come from the LongVecSum aggregator — one
+        // map-side partial-combined shuffle, ≤ numCells result rows =
+        // metadata scale; each per-dim sum is Long-exact to n ≈ 9e15
+        // vectors/cell. The three dot terms and the n-scaled combination
+        // run in DECIMAL(38,0) on that post-shuffle frame (Long dots
+        // would overflow silently once a cell holds ≳1.8e5 vectors — the
+        // skewed-cell case at 100 TB geometry; decimal keeps the identity
+        // exact to n ≈ 1e15 per cell at |q| ≤ 2048, dim 64, and costs
+        // nothing at numCells rows). True drift = dsc / n², one double
         // divide at the end (exact integers → identical IEEE doubles on
-        // both engines — the house contract). The global top-10 is
+        // both engines — the house contract; the oracle mirrors with
+        // HUGEINT). The global top-10 is
         // sort+limit, which the planner turns into TakeOrderedAndProject
         // (per-partition top-k + a 10-row driver merge — no partition-less
         // window, the catalog plan-audit rule); the (drift, cell) order
@@ -1219,16 +1225,22 @@ object EmbeddingQueries extends QueryModule {
         // shrink the codebook instead.
         val assigned = seedAssigned(s, d)
         val cent = cellSeed(s, d)
-        val dot = graft.functions.longDot _
+        // decimal-exact dot of two long arrays — runs on ≤ numCells rows,
+        // AFTER the LongVecSum shuffle, so the wide arithmetic is free
+        def decDot(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) => x.cast("decimal(19,0)") * y.cast("decimal(19,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"), (acc, v) => acc + v)
         val per = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("n_vecs"),
             graft.functions.LongVecSum.column(col("q")).as("sv"))
-        val quot = col("dsc").cast("double") / (col("n_vecs") * col("n_vecs"))
+        val nDec = col("n_vecs").cast("decimal(19,0)")
+        val quot = col("dsc").cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double"))
         per.join(broadcast(cent), col("cell") === col("cid"))
           .withColumn("dsc",
-            col("n_vecs") * col("n_vecs") * dot(col("cq"), col("cq"))
-              - lit(2L) * col("n_vecs") * dot(col("cq"), col("sv"))
-              + dot(col("sv"), col("sv")))
+            nDec * nDec * decDot(col("cq"), col("cq"))
+              - lit(2).cast("decimal(19,0)") * nDec * decDot(col("cq"), col("sv"))
+              + decDot(col("sv"), col("sv")))
           .orderBy(quot.desc, col("cell").asc)
           .limit(10)
           .select(col("cell"), col("n_vecs"), round(quot, 6).as("drift"))
@@ -1241,22 +1253,100 @@ object EmbeddingQueries extends QueryModule {
              |  GROUP BY cell, pos),
              |cnt AS (SELECT cell, count(*) AS n_vecs FROM cbassigned GROUP BY cell),
              |dots AS (SELECT s.cell,
-             |    CAST(sum(s.sv * s.sv) AS BIGINT) AS ss,
-             |    CAST(sum(c.cv * s.sv) AS BIGINT) AS cs,
-             |    CAST(sum(c.cv * c.cv) AS BIGINT) AS cc
+             |    CAST(sum(CAST(s.sv AS HUGEINT) * s.sv) AS HUGEINT) AS ss,
+             |    CAST(sum(CAST(c.cv AS HUGEINT) * s.sv) AS HUGEINT) AS cs,
+             |    CAST(sum(CAST(c.cv AS HUGEINT) * c.cv) AS HUGEINT) AS cc
              |  FROM sums s JOIN (SELECT cid, unnest(cq) AS cv,
              |      unnest(range(1, $Dim + 1)) AS pos FROM cent) c
              |    ON c.cid = s.cell AND c.pos = s.pos
              |  GROUP BY s.cell),
              |drift AS (SELECT t.cell, t.n_vecs,
-             |    (t.n_vecs * t.n_vecs * d.cc - 2 * t.n_vecs * d.cs + d.ss) AS dsc
+             |    (CAST(t.n_vecs AS HUGEINT) * t.n_vecs * d.cc
+             |      - 2 * CAST(t.n_vecs AS HUGEINT) * d.cs + d.ss) AS dsc
              |  FROM cnt t JOIN dots d ON d.cell = t.cell)
              |SELECT cell, n_vecs,
-             |  round(CAST(dsc AS DOUBLE) / (n_vecs * n_vecs), 6) AS drift
+             |  round(CAST(dsc AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * n_vecs), 6) AS drift
              |FROM drift
-             |ORDER BY CAST(dsc AS DOUBLE) / (n_vecs * n_vecs) DESC, cell ASC
+             |ORDER BY CAST(dsc AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * n_vecs) DESC, cell ASC
              |LIMIT 10""".stripMargin),
       "IVF centroid-drift audit: exact integer n-scaled mean-to-centroid squared L2 per cell over the shared routed assignment, top-10 drifted cells — the retrain trigger for an incrementally maintained index."
+    ),
+    QueryDef(
+      "v21_drift_reseed",
+      (s, d) => {
+        // Drift RE-SEED — v20's deployment rule executed: the top-10
+        // drifted cells take a LOCAL Lloyd step (centroid := the cell's
+        // per-dim truncated mean, membership kept) instead of a global
+        // retrain; every other cell's centroid and every inverted list is
+        // untouched, so the maintenance cost is O(drifted cells) codebook
+        // rows — no 100 TB re-assignment. The certification the query
+        // emits: drift_before vs drift_after per reseeded cell, both from
+        // the SAME per-cell (count, Σq) sums the v20 audit already
+        // shuffles (≤ numCells rows — the reseed adds zero data-file
+        // I/O). With c' = trunc(Σq/n) per dim (mod-subtract division —
+        // identical trunc semantics on both engines), the after-residual
+        // is n·c'_d − Σq_d = −(Σq_d mod n), so drift_after =
+        // Σ_d (Σq_d mod n)² / n² < dim/1 — the drop is to quantization
+        // noise of the integer grid, certified exactly. Arithmetic in
+        // DECIMAL(38,0) like v20 (Long residual squares alone overflow
+        // once n ≳ 3e9); the oracle mirrors with HUGEINT.
+        val assigned = seedAssigned(s, d)
+        val cent = cellSeed(s, d)
+        def decDot(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) => x.cast("decimal(19,0)") * y.cast("decimal(19,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"), (acc, v) => acc + v)
+        val per = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            graft.functions.LongVecSum.column(col("q")).as("sv"))
+        val nDec = col("n_vecs").cast("decimal(19,0)")
+        val n2d = col("n_vecs").cast("double") * col("n_vecs").cast("double")
+        val before = col("dsc").cast("double") / n2d
+        val after = col("asc").cast("double") / n2d
+        per.join(broadcast(cent), col("cell") === col("cid"))
+          .withColumn("dsc",
+            nDec * nDec * decDot(col("cq"), col("cq"))
+              - lit(2).cast("decimal(19,0)") * nDec * decDot(col("cq"), col("sv"))
+              + decDot(col("sv"), col("sv")))
+          .withColumn("asc", aggregate(
+            transform(col("sv"), x => {
+              val r = (x % col("n_vecs")).cast("decimal(19,0)"); r * r
+            }),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"), (acc, v) => acc + v))
+          .orderBy(before.desc, col("cell").asc)
+          .limit(10)
+          .select(col("cell"), col("n_vecs"),
+            round(before, 6).as("drift_before"), round(after, 6).as("drift_after"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "cb", "cbassigned")},
+             |sums AS (SELECT cell, pos, CAST(sum(v) AS BIGINT) AS sv
+             |  FROM (SELECT cell, unnest(q) AS v, unnest(range(1, $Dim + 1)) AS pos FROM cbassigned)
+             |  GROUP BY cell, pos),
+             |cnt AS (SELECT cell, count(*) AS n_vecs FROM cbassigned GROUP BY cell),
+             |dots AS (SELECT s.cell,
+             |    CAST(sum(CAST(s.sv AS HUGEINT) * s.sv) AS HUGEINT) AS ss,
+             |    CAST(sum(CAST(c.cv AS HUGEINT) * s.sv) AS HUGEINT) AS cs,
+             |    CAST(sum(CAST(c.cv AS HUGEINT) * c.cv) AS HUGEINT) AS cc
+             |  FROM sums s JOIN (SELECT cid, unnest(cq) AS cv,
+             |      unnest(range(1, $Dim + 1)) AS pos FROM cent) c
+             |    ON c.cid = s.cell AND c.pos = s.pos
+             |  GROUP BY s.cell),
+             |aftr AS (SELECT s.cell,
+             |    CAST(sum(CAST(s.sv % t.n_vecs AS HUGEINT) * (s.sv % t.n_vecs)) AS HUGEINT) AS asc2
+             |  FROM sums s JOIN cnt t ON t.cell = s.cell GROUP BY s.cell),
+             |drift AS (SELECT t.cell, t.n_vecs,
+             |    (CAST(t.n_vecs AS HUGEINT) * t.n_vecs * d.cc
+             |      - 2 * CAST(t.n_vecs AS HUGEINT) * d.cs + d.ss) AS dsc,
+             |    a.asc2
+             |  FROM cnt t JOIN dots d ON d.cell = t.cell JOIN aftr a ON a.cell = t.cell)
+             |SELECT cell, n_vecs,
+             |  round(CAST(dsc AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * n_vecs), 6) AS drift_before,
+             |  round(CAST(asc2 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * n_vecs), 6) AS drift_after
+             |FROM drift
+             |ORDER BY CAST(dsc AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * n_vecs) DESC, cell ASC
+             |LIMIT 10""".stripMargin),
+      "Drift re-seed: the top-10 drifted cells take a local Lloyd step (centroid := per-dim truncated mean, membership kept) — drift_before vs drift_after certified exactly from the same per-cell sums the v20 audit shuffles, O(drifted-cells) codebook rows touched, zero list I/O."
     )
   )
 }

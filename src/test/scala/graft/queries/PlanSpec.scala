@@ -343,6 +343,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("v21_drift_reseed keeps v20's shape: one partial-agg shuffle, broadcast centroids, top-k merge") {
+    // the reseed must ADD no distributed work over the audit: same
+    // LongVecSum partial aggregate (the only corpus-scale stage), same
+    // broadcast codebook join, same per-partition top-k — the residual
+    // arithmetic rides the ≤ numCells post-shuffle rows
+    val p = plan("v21_drift_reseed")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"reseed grew the shuffle count: $shuffles\n$p")
+  }
+
   test("u7/u8 MVCC reads: partial-aggregated supersede; pk-partitioned (never global) history window") {
     // u7's struct-buffer max_by cannot HashAggregate — Spark plans a
     // partial+final SortAggregate pair, and the PARTIAL below the exchange
