@@ -188,6 +188,81 @@ object AnnDemo {
       s"""{"nprobe":$np,"recall_at_5":${fmt4(rec)},"rows_read_1q":$rows}"""
     }.mkString("[", ",", "]")
 
+    // 3b. SQ8 STORAGE TIER — the physical half of v17/v19: the same
+    // cell-clustered inverted-list layout holding 8-bit codes packed to
+    // ONE BYTE PER DIM (PackU8 → binary) instead of 64 longs, written
+    // beside the raw lists. Serving dequantizes candidates on read (the
+    // v17 affine round trip, integer-exact) and ranks by asymmetric L2.
+    // The claim measured here: bytes moved per query drop ~linearly with
+    // the storage width at near-equal recall (v18 bounds the distortion).
+    // Byte accounting is the manifest's own listing math
+    // (Layout.touchedFiles — per-file min-cell spans), the same numbers a
+    // 100 TB query router computes per batch.
+    val dim = codebook.head().getSeq[Long](1).size
+    val statAggs = (0 until dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
+      (0 until dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
+    val sq8Stats = assigned.agg(statAggs.head, statAggs.tail: _*).select(
+      array((0 until dim).map(i => col(s"mn$i")): _*).as("mns"),
+      array((0 until dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
+    val sq8Path = s"$workDir/lists_sq8"
+    val (_, layoutSq8S) = timed {
+      val codes = assigned.crossJoin(broadcast(sq8Stats))
+        .withColumn("dq", zip_with(col("q"), col("mns"), (x, m) => x - m))
+        .withColumn("code", graft.functions.packU8(
+          zip_with(col("dq"), col("rng"), (dd, r) =>
+            when(r === 0L, 0L).otherwise(
+              (((dd * 255L) - ((dd * 255L) % r)) / r).cast("long")))))
+        .select(col("vec_id"), col("cell"), col("code"))
+      Layout.writeIvfClustered(codes, sq8Path, nFiles)
+    }
+    val listsSq8 = Layout.readIvfLists(spark, sq8Path)
+    def sq8Candidates(probeTbl: org.apache.spark.sql.DataFrame, cells: Array[Long]) =
+      listsSq8.filter(col("cell").isin(cells.map(Long.box): _*))
+        .join(broadcast(probeTbl), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .crossJoin(broadcast(sq8Stats))
+        .withColumn("xh", zip_with(col("mns"),
+          zip_with(graft.functions.unpackU8(col("code")), col("rng"), (ci, r) =>
+            (((ci * r) - ((ci * r) % 255L)) / 255L).cast("long")),
+          (m, v) => m + v))
+        .withColumn("dd", zip_with(col("qq"), col("xh"), (a, b) => a - b))
+        .withColumn("adist", graft.functions.longDot(col("dd"), col("dd")))
+    val (topkSq8, probeSq8S) = timed {
+      sq8Candidates(probes, batchCells)
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+        .filter(col("rk") <= 3).count()
+    }
+    // recall@5 of the SQ8 tier against the exact top-5 (untimed)
+    val sq8Top5 = sq8Candidates(probes, batchCells)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rk") <= 5).select(col("query_id"), col("vec_id"))
+    val recallSq8 = exactTop.join(sq8Top5, Seq("query_id", "vec_id"), "left_semi")
+      .count().toDouble / nExact
+    // byte accounting across THREE storage tiers at the same corpus state:
+    //  - fp32: the raw-VECTOR serving state a float deployment stores
+    //    (4 B/dim floats — the baseline the SQ8 compression claim is
+    //    against; a float64 corpus doubles this width),
+    //  - grid: the integer-grid q lists the relational rungs serve from
+    //    (parquet bit-packs the 11-bit coords, so this tier is already
+    //    ~compressed — the honest caveat on "8 B/dim longs"),
+    //  - sq8: 1 B/dim packed codes.
+    // Totals are live-manifest sums; per-query bytes are the manifest's
+    // own span math (Layout.touchedFiles) for query 0's probed cells —
+    // the same numbers a 100 TB query router computes per batch.
+    val fpPath = s"$workDir/lists_fp32"
+    Layout.writeIvfClustered(
+      spark.read.parquet(s"$corpusDir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      fpPath, nFiles)
+    val bytesTotalFp = Layout.liveBytes(spark, fpPath)
+    val bytesRead1qFp = Layout.touchedFiles(spark, fpPath, q1Cells.toSeq).map(_._2).sum
+    val bytesTotalRaw = Layout.liveBytes(spark, s"$workDir/lists")
+    val bytesTotalSq8 = Layout.liveBytes(spark, sq8Path)
+    val bytesRead1qRaw = Layout.touchedFiles(spark, s"$workDir/lists", q1Cells.toSeq).map(_._2).sum
+    val bytesRead1qSq8 = Layout.touchedFiles(spark, sq8Path, q1Cells.toSeq).map(_._2).sum
+
     // 4. incremental maintenance: an ingest delta (the streaming
     // assignVectors path, batch-executed here) folds into the layout via
     // mergeIvfDelta — only the files whose cell span the delta lands in
@@ -246,6 +321,44 @@ object AnnDemo {
     assert(afterUpsert.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0,
       "index holds a duplicate live vector after upsert")
 
+    // 6. DRIFT RE-SEED (v21 executed against the live serving state): the
+    // deltas just merged/upserted have aged the codebook — audit per-cell
+    // drift from ONE (count, Σq) partial-agg pass over the current lists,
+    // take a local Lloyd step on the top-10 drifted cells (centroid :=
+    // per-dim truncated mean, membership kept — zero list I/O, zero
+    // reassignment), and PUBLISH the revised codebook through the
+    // versioned marker commit (IvfCentroids.publish), so concurrent
+    // readers keep resolving the old revision until the commit point.
+    // O(drifted-cells) rows change; every other centroid is byte-carried.
+    val (reseedJson, reseedS) = timed {
+      val per = afterUpsert.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), graft.functions.LongVecSum.column(col("q")).as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      val centMap = codebookArr.toMap
+      def driftOf(n: Long, sv: Array[Long], c: Array[Long]): Double =
+        c.zip(sv).map { case (ci, si) =>
+          val r = ci.toDouble - si.toDouble / n; r * r
+        }.sum
+      val ranked = per.filter(t => centMap.contains(t._1))
+        .map { case (cell, n, sv) => (cell, n, sv, driftOf(n, sv, centMap(cell))) }
+        .sortBy(t => (-t._4, t._1)).take(10)
+      val reseeded = ranked.map { case (cell, n, sv, _) =>
+        cell -> sv.map(s => (s - s % n) / n) // trunc mean, the v21 step
+      }.toMap
+      val driftBefore = ranked.map(_._4).sum
+      val driftAfter = ranked.map { case (cell, n, sv, _) =>
+        driftOf(n, sv, reseeded(cell)) }.sum
+      import spark.implicits._
+      val cb2 = codebookArr.map { case (cid, cq) =>
+        (cid, reseeded.getOrElse(cid, cq).toSeq) }.toDF("cid", "cq")
+      val cbPath = s"$workDir/codebook_versions"
+      IvfCentroids.publish(codebook.toDF("cid", "cq"), cbPath) // rev 1: pre-reseed
+      val rev = IvfCentroids.publish(cb2, cbPath)              // rev 2: the commit
+      assert(IvfCentroids.loadCurrent(spark, cbPath).count() == nCells)
+      s""""reseed":{"cells":${ranked.length},"drift_before":${fmt(driftBefore)},""" +
+        s""""drift_after":${fmt(driftAfter)},"codebook_rev":$rev,"rows_touched":${ranked.length}}"""
+    }
+
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     val line =
       s"""{"metric":"ann_serving","preset":${Artifacts.jsonStr(preset)},"scale":$scale,""" +
@@ -262,6 +375,13 @@ object AnnDemo {
         s""""scan_skip_1q_after":${fmt(rowsAfter.toDouble / math.max(1L, rowsRead1qAfter))},""" +
         s""""upsert_s":${fmt(upsertS)},"upsert_tombstones":$nTombs,""" +
         s""""upsert_files_rewritten":$upsertRewritten,"rows_after_upsert":$rowsAfterUpsert,""" +
+        s""""sq8":{"layout_s":${fmt(layoutSq8S)},"probe_s":${fmt(probeSq8S)},""" +
+        s""""topk_rows":$topkSq8,"recall_at_5":${fmt4(recallSq8)},""" +
+        s""""bytes_total":$bytesTotalSq8,"bytes_total_fp32":$bytesTotalFp,"bytes_total_grid":$bytesTotalRaw,""" +
+        s""""bytes_read_1q":$bytesRead1qSq8,"bytes_read_1q_fp32":$bytesRead1qFp,"bytes_read_1q_grid":$bytesRead1qRaw,""" +
+        s""""bytes_reduction_1q_vs_fp32":${fmt(bytesRead1qFp.toDouble / math.max(1L, bytesRead1qSq8))},""" +
+        s""""bytes_reduction_1q_vs_grid":${fmt(bytesRead1qRaw.toDouble / math.max(1L, bytesRead1qSq8))}},""" +
+        s"""$reseedJson,"reseed_s":${fmt(reseedS)},""" +
         s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)

@@ -56,6 +56,16 @@ package object functions {
   def zInterleave(a: Column, b: Column): Column =
     shims.column(ZInterleave(shims.expression(a), shims.expression(b)))
 
+  /** Pack an array<bigint> of 8-bit codes (each in [0,255]) into binary —
+    * the SQ8 inverted-list storage form, 1 byte per dim.
+    */
+  def packU8(codes: Column): Column =
+    shims.column(PackU8(shims.expression(codes)))
+
+  /** Unpack a [[packU8]] binary back to array<bigint> (unsigned bytes). */
+  def unpackU8(bytes: Column): Column =
+    shims.column(UnpackU8(shims.expression(bytes)))
+
   /** Marker predicate (constant true) requesting the bucketed range-join
     * rewrite for the enclosing inner join; AND it with your own range
     * conjuncts, or use [[pointInInterval]]. `bound` must be an

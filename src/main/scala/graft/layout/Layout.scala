@@ -272,6 +272,38 @@ object Layout {
       case None => spark.read.parquet(path)
     }
 
+  /** The data files a probed cell set maps to, with their on-disk byte
+    * sizes — the listing math a query router runs per batch at 100 TB:
+    * each cell's owner file resolved from the manifest's min-cell spans
+    * (the same binary search the merge routes with), deduplicated, sized
+    * from file status. Metadata-only: no data page is read. Requires a
+    * format-v2 manifest (any layout written or merged this round).
+    */
+  def touchedFiles(spark: SparkSession, path: String, cells: Seq[Long]): Seq[(String, Long)] = {
+    val m = readManifest(spark, path).getOrElse(
+      sys.error(s"touchedFiles requires a manifest at $path"))
+    require(m.entries.forall(_.lo.isDefined), s"manifest at $path lacks min-cell stats (format v1)")
+    val lows = m.entries.map(e => (e.name, e.lo.get)).sortBy(t => (t._2, t._1)).toIndexedSeq
+    if (lows.isEmpty) return Seq.empty
+    val loBounds = lows.map(_._2).toArray
+    def owner(c: Long): Int = {
+      val idx = java.util.Arrays.binarySearch(loBounds, c)
+      math.max(if (idx >= 0) idx else -idx - 2, 0)
+    }
+    val fs = fileSystem(spark, path)
+    cells.map(owner).distinct.sorted.map { i =>
+      val name = lows(i)._1
+      name -> fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$name")).getLen
+    }
+  }
+
+  /** Total on-disk bytes of the live snapshot (manifest-listed files). */
+  def liveBytes(spark: SparkSession, path: String): Long = {
+    val fs = fileSystem(spark, path)
+    readManifest(spark, path).map(_.names).getOrElse(dataFileNames(fs, path))
+      .map(n => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$n")).getLen).sum
+  }
+
   /** Incrementally fold a DELTA of newly assigned vectors (e.g. the
     * streaming ingest path: `StreamingOps.assignVectors` → per-trigger
     * parquet) into an existing inverted-list layout, rewriting ONLY the

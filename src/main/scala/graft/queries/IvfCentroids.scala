@@ -246,4 +246,61 @@ object IvfCentroids {
   /** Serving path: load a trained codebook (broadcast it at the join site). */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("cid"), col("cq"))
+
+  // --------------------------------------------- versioned publication
+  // The codebook is the one piece of serving state EVERY query reads, so
+  // maintenance rewrites (the v21 drift re-seed, periodic retrains) need
+  // reader isolation like the inverted lists get from the layout manifest.
+  // Same recipe, smaller: revision dirs `v<N>/` + empty marker files
+  // `_graft_codebook-<N>` whose existence IS the commit (markers are
+  // created after the parquet lands, so a reader resolving the max marker
+  // never opens a half-written revision). GC keeps one previous revision
+  // (the same one-merge grace window as the layout), and sweeps
+  // marker-less dirs a crashed publish left behind.
+
+  private def cbVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .toIndexedSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_graft_codebook-"))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("_graft_codebook-").toLong).toOption)
+      .sorted
+
+  /** Publish a codebook revision `(cid, cq)`: parquet to `v<N>/`, then the
+    * marker commit; prunes revisions < N-1. Returns N.
+    */
+  def publish(cb: DataFrame, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = cb.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val next = cbVersions(fs, dir).lastOption.getOrElse(0L) + 1
+    cb.select(col("cid"), col("cq"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/v$next")
+    fs.create(new Path(dir, s"_graft_codebook-$next"), true).close() // COMMIT
+    // GC: retain N and N-1; sweep older revisions and orphaned dirs
+    // (a crashed publish's marker-less parquet)
+    val keep = Set(next, next - 1)
+    cbVersions(fs, dir).filterNot(keep).foreach { v =>
+      fs.delete(new Path(dir, s"_graft_codebook-$v"), false)
+      fs.delete(new Path(dir, s"v$v"), true)
+    }
+    fs.listStatus(dir).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("v") &&
+        scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
+          .exists(v => !keep(v) && !fs.exists(new Path(dir, s"_graft_codebook-$v"))))
+      .foreach(st => fs.delete(st.getPath, true))
+    next
+  }
+
+  /** Resolve the current committed revision (the max marker) and load it. */
+  def loadCurrent(spark: SparkSession, path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val v = cbVersions(fs, new org.apache.hadoop.fs.Path(path)).lastOption.getOrElse(
+      sys.error(s"no committed codebook revision at $path"))
+    load(spark, s"$path/v$v")
+  }
 }

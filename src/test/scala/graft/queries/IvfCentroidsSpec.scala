@@ -165,4 +165,34 @@ class IvfCentroidsSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall@3 $mean; per-query ${recalls.toSeq}")
   }
+
+  test("codebook publish: marker-committed revisions, reader isolation, one-revision retention") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-cb-pub").toString + "/cb"
+    def cb(tag: Long) = Seq((0L, Seq(tag, 2L)), (1L, Seq(tag, 4L))).toDF("cid", "cq")
+    def current = IvfCentroids.loadCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).head).toMap
+
+    assert(IvfCentroids.publish(cb(1L), path) === 1L)
+    assert(current === Map(0L -> 1L, 1L -> 1L))
+
+    // a CRASHED publish: revision parquet on disk, no marker — readers
+    // must keep resolving v1 (the marker IS the commit point)
+    cb(99L).write.mode("overwrite").parquet(s"$path/v2")
+    assert(current === Map(0L -> 1L, 1L -> 1L))
+
+    // the next successful publish takes version 2 (markers, not dirs,
+    // number revisions), overwrites the crashed residue, and commits
+    assert(IvfCentroids.publish(cb(2L), path) === 2L)
+    assert(current === Map(0L -> 2L, 1L -> 2L))
+    // retention: v1 still loadable for an in-flight reader
+    assert(new java.io.File(s"$path/v1").exists())
+    assert(spark.read.parquet(s"$path/v1").count() === 2)
+
+    // a third publish sweeps v1 (grace window is one revision), keeps v2
+    assert(IvfCentroids.publish(cb(3L), path) === 3L)
+    assert(current === Map(0L -> 3L, 1L -> 3L))
+    assert(!new java.io.File(s"$path/v1").exists())
+    assert(new java.io.File(s"$path/v2").exists())
+  }
 }
