@@ -85,10 +85,15 @@ object IncrementalDemo {
       s""""sf":${Artifacts.jsonStr(sfDir)}""", line)
 
     // ---- leg 2: the COMPOSED incremental story (snapshot diff → delta
-    // slice → dedup guard → embed/assign → index merge), measured at 1%
-    // and 10% delta fractions — the artifact's claim is that every stage
-    // after the diff processes O(|delta|) rows, not O(|corpus|)
-    val legs = Seq(200, 20).map(m => deltaLeg(spark, sfDir, workDir, m))
+    // slice → dedup guard → embed/assign → index merge). Two regimes:
+    //  - the TOPICAL leg (3 consecutive days, ~1–2%/day): a re-crawl of a
+    //    few sources — cell-local by embedding locality — with the
+    //    pk→cell catalog folded forward each day, so day-2 tombstones
+    //    carry day-1 coordinates; merge file-pruning shows touched ≪ total
+    //  - the SCATTERED leg (10% uniform-random delta, single day): the
+    //    adversarial regime where deltas hit every cell span — honest
+    //    contrast, file-pruning cannot help here and the artifact says so
+    val legs = Seq(topicalLeg(spark, sfDir, workDir, nDays = 3), deltaLeg(spark, sfDir, workDir, 20))
     val pipeLine =
       s"""{"metric":"incremental_pipeline","sf":${Artifacts.jsonStr(sfDir)},"legs":[${legs.mkString(",")}]}"""
     Artifacts.upsertLine(
@@ -98,6 +103,177 @@ object IncrementalDemo {
     println(line)
     println(pipeLine)
     Console.out.flush()
+  }
+
+  /** The TOPICAL multi-day leg — the flagship composed story run as a
+    * production loop, `nDays` consecutive daily increments against one
+    * persistent serving state (claim store + 64-file IVF layout + pk→cell
+    * catalog over 256 cells):
+    *
+    *  - each day a few SOURCES are re-crawled: the docs of 2 fresh cells
+    *    plus the cells yesterday's topic-movers landed in (so moved docs
+    *    get re-edited — the case that catches a stale catalog);
+    *  - most edits keep the document's opening (body suffix appended) —
+    *    by embedding locality (stubEmbed's topic-prefix base) the
+    *    re-embedded doc re-routes to its own cell, so the merge's
+    *    touched-file set is the re-crawl's cell set, not the corpus:
+    *    merge_files_rewritten ≪ merge_files_total is the measured claim;
+    *  - ~1/11 of changed docs get their OPENING rewritten (topic change)
+    *    and relocate to a fresh random cell — the cross-cell move whose
+    *    NEXT edit requires the catalog fold-back
+    *    ([[graft.queries.IncrementalPipeline.updateCatalog]] runs after
+    *    every merge; with a day-0-frozen catalog, day 2's tombstones for
+    *    re-moved docs would name day-0 cells, match no resident row, and
+    *    the row-accounting assert below would trip);
+    *  - per day: row accounting `rowsAfter == rowsPrior − tombs + assigned`
+    *    MUST hold exactly (asserted), and the catalog advances with the
+    *    index.
+    */
+  private def topicalLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      workDir: String, nDays: Int): String = {
+    import graft.queries.{DedupQueries, IncrementalPipeline, IvfCentroids}
+    import org.apache.spark.sql.DataFrame
+    val dim = GraftConfig.active.dim
+    val numCells = 256
+    val leg = s"$workDir/pipe_topical"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val nCorpus = docs.count()
+    // file COUNT scales with the corpus at ~constant file size (64 files
+    // at the 5k-doc sf0.1 corpus), the way a production layout holds
+    // ~512 MB files however big the table — pruning ratios then carry
+    // across scales instead of degrading as fixed files grow ×N fatter
+    val numFiles = math.max(64, (nCorpus / 78L).toInt)
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def timed[A](f: => A): (A, Double) = {
+      val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+    }
+
+    // ---- day-0 state (setup, amortized over every later day)
+    val t0setup = System.nanoTime()
+    var prior = docs.localCheckpoint(eager = true)
+    val emptyStore = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType))))
+    // the index holds the GUARD-KEPT corpus from day 0 on, so the daily
+    // path and the base state share one dedup semantics: a kept doc owns
+    // every band bucket it touches (rep == itself), which is exactly what
+    // lets its future re-crawls pass the guard as self-updates instead of
+    // being dropped as duplicates of their own prior version
+    val (kept0, store0) = DedupQueries.incrementalNearDup(prior, emptyStore)
+    var storePath = s"$leg/store_d0"
+    store0.write.mode("overwrite").partitionBy("band_idx").parquet(storePath)
+    val vecs0 = IncrementalPipeline.stubEmbed(kept0, dim)
+    val cent = IvfCentroids.cappedSeed(vecs0, numCells).localCheckpoint(eager = true)
+    val assigned0 = IvfCentroids.assign(vecs0, cent, Seq("q")).select("vec_id", "q", "cell")
+    val listsPath = s"$leg/lists"
+    graft.layout.Layout.writeIvfClustered(assigned0, listsPath, numFiles)
+    var catalogPath = s"$leg/catalog_d0"
+    assigned0.select("vec_id", "cell").write.mode("overwrite").parquet(catalogPath)
+    val codebookArr = cent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    val setupS = (System.nanoTime() - t0setup) / 1e9
+
+    var movers: Seq[Long] = Seq.empty // yesterday's topic-movers (driver-side, ≤ dozens)
+    var rowsPrior = graft.layout.Layout.readIvfLists(spark, listsPath).count()
+    val dayRecords = Seq.newBuilder[String]
+
+    for (d <- 1 to nDays) {
+      val tDay = System.nanoTime()
+      val catalog = spark.read.parquet(catalogPath)
+      // the day's re-crawled sources: 2 fresh cells (deterministic walk)
+      // ∪ the cells yesterday's movers landed in (≤ 2, from the CURRENT
+      // catalog — the coordinates only the fold-back keeps fresh)
+      val allCells = catalog.select("cell").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val fresh = Seq(allCells(((d * 37) % allCells.length).toInt),
+        allCells(((d * 37 + 11) % allCells.length).toInt)).distinct
+      val moverCells =
+        if (movers.isEmpty) Seq.empty[Long]
+        else catalog.filter(col("vec_id").isin(movers.map(Long.box): _*))
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq.sorted.take(2)
+      val pickCells = (fresh ++ moverCells).distinct
+      val changedIds = catalog.filter(col("cell").isin(pickCells.map(Long.box): _*))
+        .select(col("vec_id").as("doc_id")).distinct().localCheckpoint(eager = true)
+      val nChanged = changedIds.count()
+      // today's corpus: re-crawled docs get a body suffix (opening kept →
+      // same topic → same cell); every ~23rd becomes a topic-MOVER (its
+      // opening rewritten → relocates to a fresh random cell — each mover
+      // is one extra touched span, so the rate sets the pruning ceiling)
+      val isMover = pmod(col("doc_id"), lit(23L)) === 3
+      val cur = prior.join(changedIds.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("hit").isNotNull && isMover, concat(lit(s"rewrite $d "), col("text")))
+            .when(col("hit").isNotNull, concat(col("text"), lit(s" v$d")))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint(eager = true)
+      movers = changedIds.filter(isMover).collect().map(_.getLong(0)).toSeq
+
+      // the daily pipeline: diff → slice → guard → embed/assign → upsert
+      val (diff, diffS) = timed {
+        IncrementalPipeline.snapshotDiff(cur, prior).localCheckpoint(eager = true)
+      }
+      val (delta, sliceS) = timed {
+        IncrementalPipeline.deltaSlice(cur, diff).localCheckpoint(eager = true)
+      }
+      val nDelta = delta.count()
+      val storeR = spark.read.parquet(storePath)
+        .select(col("band_idx").cast("int"), col("band"), col("rep"))
+      val ((kept, nKept), guardS) = timed {
+        val (keptF, updated) = DedupQueries.incrementalNearDup(delta, storeR)
+        val next = s"$leg/store_d$d"
+        updated.write.mode("overwrite").partitionBy("band_idx").parquet(next)
+        storePath = next
+        (keptF.localCheckpoint(eager = true), keptF.count())
+      }
+      val (deltaAssigned, assignS) = timed {
+        graft.streaming.StreamingOps.assignVectors(
+            IncrementalPipeline.stubEmbed(kept, dim), codebookArr)
+          .select("vec_id", "q", "cell")
+          .localCheckpoint(eager = true)
+      }
+      val nAssigned = deltaAssigned.count()
+      val victims = diff.filter(col("change_class").isin("changed", "removed"))
+        .select(col("doc_id").as("vec_id"))
+      val tombstones = catalog.join(victims, Seq("vec_id"), "left_semi")
+        .localCheckpoint(eager = true)
+      val nTombs = tombstones.count()
+      val ((filesRewritten, filesTotal), mergeS) = timed {
+        graft.layout.Layout.mergeIvfDeltaUpsert(spark, listsPath, deltaAssigned, tombstones)
+      }
+      val rowsAfter = graft.layout.Layout.readIvfLists(spark, listsPath).count()
+      assert(rowsAfter == rowsPrior - nTombs + nAssigned,
+        s"day $d row accounting: $rowsPrior - $nTombs + $nAssigned != $rowsAfter " +
+          "(a stale pk→cell catalog shows up here as a missed supersede)")
+      // fold the day back into the catalog — the step that keeps day d+1's
+      // tombstones pointing at TODAY's cells
+      val nextCatalog = s"$leg/catalog_d$d"
+      IncrementalPipeline.updateCatalog(catalog, tombstones, deltaAssigned)
+        .write.mode("overwrite").parquet(nextCatalog)
+      catalogPath = nextCatalog
+      val catalogRows = spark.read.parquet(catalogPath).count()
+      assert(catalogRows == rowsAfter,
+        s"day $d catalog drifted from the index: $catalogRows != $rowsAfter")
+      prior = cur
+      rowsPrior = rowsAfter
+      val daySec = (System.nanoTime() - tDay) / 1e9
+      println(s"[incremental] topical day $d: cells=${pickCells.mkString("/")} " +
+        s"changed=$nChanged movers=${movers.size} assigned=$nAssigned tombs=$nTombs " +
+        s"merge $filesRewritten/$filesTotal (${fmt(daySec)} s)")
+      dayRecords +=
+        s"""{"day":$d,"picked_cells":${pickCells.length},"changed":$nChanged,""" +
+          s""""movers":${movers.size},"delta_rows":$nDelta,"kept":$nKept,""" +
+          s""""assigned":$nAssigned,"tombstones":$nTombs,""" +
+          s""""merge_files_rewritten":$filesRewritten,"merge_files_total":$filesTotal,""" +
+          s""""index_rows_after":$rowsAfter,"catalog_rows":$catalogRows,""" +
+          s""""diff_s":${fmt(diffS)},"slice_s":${fmt(sliceS)},"guard_s":${fmt(guardS)},""" +
+          s""""assign_s":${fmt(assignS)},"merge_s":${fmt(mergeS)},"day_s":${fmt(daySec)}}"""
+    }
+    s"""{"kind":"topical_3day","corpus_rows":$nCorpus,"num_cells":$numCells,""" +
+      s""""num_files":$numFiles,"day0_setup_s":${fmt(setupS)},""" +
+      s""""days":[${dayRecords.result().mkString(",")}]}"""
   }
 
   /** One composed-pipeline leg at delta fraction 2/mod (doc_id % mod == 0

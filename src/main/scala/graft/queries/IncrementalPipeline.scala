@@ -76,9 +76,41 @@ object IncrementalPipeline {
     * pure function of content — a changed doc gets a changed vector,
     * an unchanged doc would get its old one, which is exactly the
     * property the incremental story needs from the real model.
+    *
+    * LOCALITY, the second property real embeddings have and a pure
+    * whole-text hash lacks: each coordinate is a coarse TOPIC base from
+    * the document's leading prefix (multiples of 8 over the [0, 2048)
+    * grid) plus a fine jitter (< 8) from the full text. A body edit that
+    * keeps the opening (the typical re-crawl delta) moves the vector by
+    * < 8 per dim — far inside the inter-topic spacing — so a re-embedded
+    * doc re-routes to ITS OWN IVF cell, and an incremental merge's
+    * touched-file set tracks the edit's topical locality instead of
+    * scattering across the corpus. A rewritten opening is a topic change
+    * and relocates the vector, as it should.
     */
   def stubEmbed(docs: DataFrame, dim: Int): DataFrame =
     docs.select(col("doc_id").as("vec_id"),
-      array((0 until dim).map(i =>
-        pmod(xxhash64(col("text"), lit(i)), lit(2048L))): _*).as("q"))
+      array((0 until dim).map { i =>
+        pmod(xxhash64(substring(col("text"), 1, 24), lit(i)), lit(256L)) * lit(8L) +
+          pmod(xxhash64(col("text"), lit(i)), lit(8L))
+      }: _*).as("q"))
+
+  /** Fold one day's index maintenance back into the pk→cell CATALOG (the
+    * slim `(vec_id, cell)` snapshot the supersede step reads victim
+    * coordinates from): drop the docs that were tombstoned out
+    * (changed ∪ removed victims) and append the day's new assignments.
+    * Same anti-join + union shape as the index merge itself, over a
+    * two-column frame — O(|catalog|) only in the co-partitioned hash
+    * merge sense (bucketed by vec_id at scale, like u6's snapshots).
+    * Without this fold-back a SECOND day's tombstones would carry
+    * day-0 cells: a cross-cell mover's stale coordinates then match no
+    * resident row and the supersede silently degrades to a missed
+    * delete (the stale-tombstone no-op LayoutSpec pins) — the multi-day
+    * loop is only closed when the catalog advances with the index
+    * (IncrementalPipelineSpec pins day-2 tombstones carrying day-1
+    * cells; IncrementalDemo runs the 3-day loop with row accounting).
+    */
+  def updateCatalog(catalog: DataFrame, victims: DataFrame, assigned: DataFrame): DataFrame =
+    catalog.join(victims.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(assigned.select(col("vec_id"), col("cell")))
 }

@@ -140,4 +140,49 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(graft.layout.Layout.readIvfLists(spark, lists).count() === 6)
     after.foreach { case (id, q) => assert(q === want(id), s"stale vector for doc $id") }
   }
+
+  test("updateCatalog keeps victim coordinates fresh: a moved doc's SECOND edit tombstones its day-1 cell") {
+    import spark.implicits._
+    def freshLayout(): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft-catalog-fresh").toString + "/lists"
+      val base = (0L to 7L).map(v => (v, v % 4)).toDF("vec_id", "cell")
+      graft.layout.Layout.writeIvfClustered(base, p, numFiles = 2)
+      p
+    }
+    def rowsOf(p: String) = graft.layout.Layout.readIvfLists(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val catalog0 = (0L to 7L).map(v => (v, v % 4)).toDF("vec_id", "cell")
+
+    // day 1: doc 5 MOVES cross-cell (1 → 0); catalog folds the move back
+    val delta1 = Seq((5L, 0L)).toDF("vec_id", "cell")
+    val tombs1 = catalog0.join(Seq(5L).toDF("vec_id"), Seq("vec_id"), "left_semi")
+    val listsA = freshLayout()
+    graft.layout.Layout.mergeIvfDeltaUpsert(spark, listsA, delta1, tombs1)
+    val catalog1 = IncrementalPipeline.updateCatalog(catalog0, tombs1, delta1)
+      .localCheckpoint(eager = true)
+    assert(catalog1.filter(col("vec_id") === 5L).select("cell").as[Long].head() === 0L,
+      "fold-back must record the day-1 landing cell")
+    assert(catalog1.count() === 8)
+
+    // day 2: doc 5 changes again. FRESH coordinates (catalog1: cell 0)
+    // supersede exactly-once...
+    val delta2 = Seq((5L, 2L)).toDF("vec_id", "cell")
+    val tombsFresh = catalog1.join(Seq(5L).toDF("vec_id"), Seq("vec_id"), "left_semi")
+    assert(tombsFresh.select("cell").as[Long].head() === 0L)
+    graft.layout.Layout.mergeIvfDeltaUpsert(spark, listsA, delta2, tombsFresh)
+    val fresh = rowsOf(listsA)
+    assert(fresh.count(_._1 == 5L) === 1, s"fresh tombstone must supersede: $fresh")
+    assert(fresh.contains((5L, 2L)) && fresh.size === 8)
+
+    // ...while a day-0-FROZEN catalog names cell 1, where doc 5 no longer
+    // lives: the stale tombstone no-ops (LayoutSpec pins that) and the
+    // second edit lands as a DUPLICATE live vector — the failure mode the
+    // per-day fold-back exists to prevent
+    val listsB = freshLayout()
+    graft.layout.Layout.mergeIvfDeltaUpsert(spark, listsB, delta1, tombs1) // day 1 same
+    val tombsStale = catalog0.join(Seq(5L).toDF("vec_id"), Seq("vec_id"), "left_semi")
+    graft.layout.Layout.mergeIvfDeltaUpsert(spark, listsB, delta2, tombsStale)
+    val stale = rowsOf(listsB)
+    assert(stale.count(_._1 == 5L) === 2, s"expected the stale-catalog dup: $stale")
+  }
 }
