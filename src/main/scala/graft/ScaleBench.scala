@@ -71,6 +71,10 @@ object ScaleBench {
     // output is numCells rows at ANY corpus size (its curve measures the
     // corpus-side partial aggregate alone)
     "u6_snapshot_delta", "u7_mvcc_read", "v20_centroid_drift",
+    // drift re-seed (round 13): v20's shape plus the reseed arithmetic on
+    // the ≤ numCells post-shuffle rows — its curve must coincide with
+    // v20's (the reseed adds ZERO corpus-scale work by construction)
+    "v21_drift_reseed",
     // LSH geometry audit (round 11): the sample is pinned at
     // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
     // over the seeded hash), so this leg measures what the pin buys — the
