@@ -110,10 +110,10 @@ object Layout {
     val spark = assigned.sparkSession
     val fs = fileSystem(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = dataFileNames(fs, path).map { n =>
-      ManifestEntry(n, Some(footerMinCell(conf, new org.apache.hadoop.fs.Path(s"$path/$n"))))
-    }
-    commitManifest(fs, path, 1L, entries, Some(assigned.schema.json))
+    val names = dataFileNames(fs, path)
+    val mins = footerMins(conf, path, names)
+    commitManifest(fs, path, 1L, names.map(n => ManifestEntry(n, Some(mins(n)))),
+      Some(assigned.schema.json))
   }
 
   // ------------------------------------------------------------ manifest
@@ -225,6 +225,22 @@ object Layout {
     try out.write(((header ++ body).mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(s"$path/_graft_manifest-$v")))
       sys.error(s"manifest commit failed: rename to _graft_manifest-$v")
+  }
+
+  /** Footer min-cell stats for many files, read CONCURRENTLY: each is a
+    * ~KB metadata read, but the v1→v2 upgrade path touches every live
+    * file once (~6k at capacity geometry) — serial against an object
+    * store that's minutes of round-trips, fanned out it's seconds.
+    */
+  private def footerMins(conf: org.apache.hadoop.conf.Configuration,
+      path: String, names: Seq[String]): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(names)(n =>
+        Future(n -> footerMinCell(conf, new org.apache.hadoop.fs.Path(s"$path/$n")))),
+      Duration.Inf).toMap
   }
 
   /** Min value of the `cell` column across a parquet file's row groups,
@@ -417,7 +433,8 @@ object Layout {
       case Some(m) if m.entries.nonEmpty && m.entries.forall(_.lo.isDefined) =>
         m.entries.map(e => (e.name, e.lo.get))
       case _ =>
-        liveNames.map(n => (n, footerMinCell(conf, new Path(s"$listsPath/$n"))))
+        val mins = footerMins(conf, listsPath, liveNames)
+        liveNames.map(n => (n, mins(n)))
     }).sortBy(t => (t._2, t._1)).toIndexedSeq
     val deltaCells = delta.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -503,12 +520,14 @@ object Layout {
     // (3) COMMIT: manifest v+1 = live − replaced + merged, one atomic
     // rename — the instant readers switch snapshots
     val replacedNames = touched.map(i => lows(i)._1).toSet
-    val keptEntries = manifest.map(_.entries).getOrElse(liveNames.map(ManifestEntry(_, None)))
+    val keptRaw = manifest.map(_.entries).getOrElse(liveNames.map(ManifestEntry(_, None)))
       .filterNot(e => replacedNames(e.name))
-      // v1 entries kept across a v2 commit get their routing stat
-      // backfilled from footers, so the NEXT merge routes manifest-only
-      .map(e => if (e.lo.isDefined) e
-        else e.copy(lo = Some(footerMinCell(conf, new Path(s"$listsPath/${e.name}")))))
+    // v1 entries kept across a v2 commit get their routing stat
+    // backfilled from footers (concurrent), so the NEXT merge routes
+    // manifest-only
+    val backfill = footerMins(conf, listsPath, keptRaw.filter(_.lo.isEmpty).map(_.name))
+    val keptEntries = keptRaw.map(e =>
+      if (e.lo.isDefined) e else e.copy(lo = Some(backfill(e.name))))
     val newEntries = keptEntries ++ mergedEntries.result()
     commitManifest(fs, listsPath, nextVersion, newEntries, Some(schema.json))
     onStage("manifest_committed")
