@@ -1347,6 +1347,71 @@ object EmbeddingQueries extends QueryModule {
              |ORDER BY CAST(dsc AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * n_vecs) DESC, cell ASC
              |LIMIT 10""".stripMargin),
       "Drift re-seed: the top-10 drifted cells take a local Lloyd step (centroid := per-dim truncated mean, membership kept) — drift_before vs drift_after certified exactly from the same per-cell sums the v20 audit shuffles, O(drifted-cells) codebook rows touched, zero list I/O."
+    ),
+    QueryDef(
+      "v22_filtered_ann",
+      (s, d) => {
+        // FILTERED vector search — ANN with a metadata predicate, the
+        // production RAG/retrieval shape ("nearest neighbors WHERE
+        // label = X") that plain top-k serving can't answer: each query
+        // wants its top-3 among vectors sharing ITS OWN label. Shape:
+        // the shared IVF routing confines candidates to nprobe cells
+        // (broadcast probe table → pushed cell locality), then the label
+        // predicate PRE-FILTERS the candidate set before any distance
+        // arithmetic — at serving scale the label column lives IN the
+        // inverted-list payload (writeIvfClustered carries arbitrary
+        // payload columns), so the filter is a scan-level pushdown and
+        // the pk join below disappears; in-session the catalog joins the
+        // label back by pk so the whole v-family keeps sharing ONE
+        // materialized assignment. Distance is the exact integer
+        // identity ‖a−q‖² = n2a − 2·a·q + n2q (codegen'd LongDot — no
+        // per-dim explode); top-3 per query is a query-partitioned
+        // WindowGroupLimit. The classic filtered-ANN caveat applies and
+        // is visible in the output: a query whose probed cells hold
+        // fewer than 3 same-label vectors returns fewer rows — raising
+        // nprobe for selective predicates is the serving knob (v14's
+        // sweep machinery measures that trade).
+        val queries = quantized(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("q").as("qq"), inorm2(col("q")).as("qn2"))
+        val probes = queries.join(broadcast(cellSeed(s, d)))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(IvfCentroids.l2(col("qq"), col("cq")).asc, col("cid").asc)))
+          .filter(col("prk") <= NumProbe)
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"),
+            col("cid").as("cell"))
+        seedAssigned(s, d).select(col("vec_id"), col("q"), col("n2"), col("cell"))
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+          .filter(col("label") === col("qlabel"))
+          .withColumn("adist",
+            col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk").cast("long").as("rk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "fa", "assigned")},
+             |probes AS (SELECT query_id, qlabel, qq, qn2, cell FROM (
+             |    SELECT b.vec_id AS query_id, b.label AS qlabel, b.q AS qq, b.n2 AS qn2,
+             |      c.cid AS cell,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY ${l2ListSql("b.q", "c.cq")} ASC, c.cid ASC) AS prk
+             |    FROM base b CROSS JOIN cent c WHERE b.vec_id < 8) WHERE prk <= $NumProbe),
+             |cand AS (SELECT p.query_id, a.vec_id,
+             |    CAST(a.n2 - 2 * ${idotSql("a.q", "p.qq")} + p.qn2 AS BIGINT) AS adist
+             |  FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN base l ON l.vec_id = a.vec_id AND l.label = p.qlabel)
+             |SELECT query_id, rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM cand) WHERE rk <= 3""".stripMargin),
+      "Filtered vector search: top-3 same-label neighbors per query through the shared IVF routing — broadcast probes confine candidates to nprobe cells, the label predicate pre-filters before distance arithmetic (payload-column pushdown at serving scale), exact integer L2 rank."
     )
   )
 }

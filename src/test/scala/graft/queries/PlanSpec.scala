@@ -355,6 +355,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"reseed grew the shuffle count: $shuffles\n$p")
   }
 
+  test("v22_filtered_ann: broadcast probe routing; label predicate applied before the rank window") {
+    val p = plan("v22_filtered_ann")
+    // the probe table (nQueries × nprobe rows) must broadcast — a
+    // shuffled probe join would serialize serving on the corpus side
+    assert(p.contains("BroadcastExchange"), p)
+    // top-3 per query is the partial top-k, not a global sort
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"), p)
+    // the label equality must sit UNDER the window (pre-filter): no
+    // Filter above the Window node may mention the label columns
+    val df = SparkEntry.queries("v22_filtered_ann")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val windowNode = opt.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windowNode.isDefined, opt.toString)
+    def filtersAbove(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        stop: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      if (plan eq stop) Seq.empty
+      else plan match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.sql +: plan.children.flatMap(filtersAbove(_, stop))
+        case _ => plan.children.flatMap(filtersAbove(_, stop))
+      }
+    val above = filtersAbove(opt, windowNode.get)
+    assert(!above.exists(_.contains("label")),
+      s"label predicate leaked above the rank window: $above")
+  }
+
   test("u7/u8 MVCC reads: partial-aggregated supersede; pk-partitioned (never global) history window") {
     // u7's struct-buffer max_by cannot HashAggregate — Spark plans a
     // partial+final SortAggregate pair, and the PARTIAL below the exchange
