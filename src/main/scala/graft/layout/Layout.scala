@@ -190,18 +190,28 @@ object Layout {
     (entries, schema)
   }
 
+  private def loadManifest(fs: org.apache.hadoop.fs.FileSystem,
+      v: Long, p: org.apache.hadoop.fs.Path): ManifestSnapshot = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val (entries, schema) = parseManifest(txt)
+    ManifestSnapshot(v, entries, schema)
+  }
+
   /** The newest manifest snapshot with routing stats and schema, or None
     * for a layout that predates the manifest.
     */
   private[graft] def readManifest(spark: SparkSession, path: String): Option[ManifestSnapshot] = {
     val fs = fileSystem(spark, path)
-    manifestVersions(fs, path).lastOption.map { case (v, p) =>
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val (entries, schema) = parseManifest(txt)
-      ManifestSnapshot(v, entries, schema)
-    }
+    manifestVersions(fs, path).lastOption.map { case (v, p) => loadManifest(fs, v, p) }
   }
+
+  /** The snapshot versions currently readable — the newest plus whatever
+    * the GC retention window kept (one previous version under the default
+    * policy). Ordered ascending.
+    */
+  def retainedVersions(spark: SparkSession, path: String): Seq[Long] =
+    manifestVersions(fileSystem(spark, path), path).map(_._1)
 
   /** Current manifest snapshot: (version, live data-file names), or None
     * for a layout that predates the manifest (readers fall back to a raw
@@ -278,15 +288,35 @@ object Layout {
     */
   def readIvfLists(spark: SparkSession, path: String): DataFrame =
     readManifest(spark, path) match {
-      case Some(m) if m.entries.isEmpty =>
-        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson.getOrElse(
-          sys.error(s"empty manifest without a schema line at $path")))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(m) => spark.read.parquet(m.names.map(n => s"$path/$n"): _*)
+      case Some(m) => readSnapshot(spark, path, m)
       case None => spark.read.parquet(path)
     }
+
+  /** TIME TRAVEL within the GC retention window: read a SPECIFIC snapshot
+    * version — the current one or the retained previous one (older
+    * versions are swept; [[retainedVersions]] lists what's readable).
+    * The retention copies ARE yesterday's snapshot, so an incremental
+    * pipeline audits "today vs before the last merge" — row deltas,
+    * supersede verification, a reader pinned across a merge — with zero
+    * extra storage beyond what reader-grace already keeps.
+    */
+  def readIvfListsAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fileSystem(spark, path)
+    manifestVersions(fs, path).find(_._1 == version) match {
+      case Some((v, p)) => readSnapshot(spark, path, loadManifest(fs, v, p))
+      case None => sys.error(s"snapshot version $version not retained at $path " +
+        s"(retained: ${manifestVersions(fs, path).map(_._1).mkString(", ")})")
+    }
+  }
+
+  private def readSnapshot(spark: SparkSession, path: String, m: ManifestSnapshot): DataFrame =
+    if (m.entries.isEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson.getOrElse(
+        sys.error(s"empty manifest without a schema line at $path")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(m.names.map(n => s"$path/$n"): _*)
 
   /** The data files a probed cell set maps to, with their on-disk byte
     * sizes — the listing math a query router runs per batch at 100 TB:

@@ -1412,6 +1412,98 @@ object EmbeddingQueries extends QueryModule {
              |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
              |  FROM cand) WHERE rk <= 3""".stripMargin),
       "Filtered vector search: top-3 same-label neighbors per query through the shared IVF routing — broadcast probes confine candidates to nprobe cells, the label predicate pre-filters before distance arithmetic (payload-column pushdown at serving scale), exact integer L2 rank."
+    ),
+    QueryDef(
+      "v23_filtered_recall",
+      (s, d) => {
+        // Filtered-ANN index-quality audit — the recall gate for v22, the
+        // same measurement discipline every serving rung in the family
+        // carries (v3→v11 LSH, v6→v14 nprobe, v17→v18 SQ8): recall@3 of
+        // the nprobe-confined SAME-LABEL search against exact
+        // label-filtered brute force over the same broadcast query set.
+        // This is the number that exposes the filtered-search failure
+        // mode the v22 scaladoc names: a selective predicate thins each
+        // probed cell's matching candidates, so recall degrades FASTER
+        // with selectivity than unfiltered recall does with nprobe — the
+        // audit tells the operator when to raise nprobe (or partition
+        // the index by the predicate column) for a given label. Both
+        // rank windows are query-partitioned WindowGroupLimits; the
+        // recall join runs on 2×(k × n_queries) rank rows, metadata-
+        // scale at any corpus size.
+        val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
+        val queries = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("q").as("qq"), col("n2").as("qn2"))
+        def topk(cand: DataFrame): DataFrame =
+          cand.withColumn("adist",
+              col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+            .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("adist").asc, col("vec_id").asc)))
+            .filter(col("rk") <= 3)
+            .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val exact = topk(base.join(broadcast(queries),
+          col("label") === col("qlabel") && col("vec_id") =!= col("query_id")))
+        val probes = queries.join(broadcast(cellSeed(s, d)))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(IvfCentroids.l2(col("qq"), col("cq")).asc, col("cid").asc)))
+          .filter(col("prk") <= NumProbe)
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"),
+            col("cid").as("cell"))
+        val approx = topk(
+          seedAssigned(s, d).select(col("vec_id"), col("q"), col("n2"), col("cell"))
+            .join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .join(quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+            .filter(col("label") === col("qlabel")))
+        val nApprox = approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+        exact
+          .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+          .join(nApprox, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_3"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "fr", "assigned")},
+             |qs AS (SELECT vec_id AS query_id, label AS qlabel, q AS qq, n2 AS qn2
+             |  FROM base WHERE vec_id < 8),
+             |exact AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.query_id, b.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY CAST(b.n2 - 2 * ${idotSql("b.q", "q.qq")} + q.qn2 AS BIGINT) ASC,
+             |        b.vec_id ASC) AS rk
+             |  FROM qs q JOIN base b ON b.label = q.qlabel AND b.vec_id <> q.query_id)
+             |  WHERE rk <= 3),
+             |probes AS (SELECT query_id, qlabel, qq, qn2, cell FROM (
+             |    SELECT q.query_id, q.qlabel, q.qq, q.qn2, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${l2ListSql("q.qq", "c.cq")} ASC, c.cid ASC) AS prk
+             |    FROM qs q CROSS JOIN cent c) WHERE prk <= $NumProbe),
+             |approx AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY CAST(a.n2 - 2 * ${idotSql("a.q", "p.qq")} + p.qn2 AS BIGINT) ASC,
+             |        a.vec_id ASC) AS rk
+             |  FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN base l ON l.vec_id = a.vec_id AND l.label = p.qlabel)
+             |  WHERE rk <= 3),
+             |na AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id)
+             |SELECT e.query_id, e.n_exact, coalesce(na.n_approx, 0) AS n_approx, e.n_hit,
+             |  round(CAST(e.n_hit AS DOUBLE) / e.n_exact, 6) AS recall_at_3
+             |FROM (
+             |  SELECT ex.query_id, count(*) AS n_exact,
+             |    CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             |  FROM exact ex LEFT JOIN approx ap
+             |    ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+             |  GROUP BY ex.query_id) e
+             |LEFT JOIN na ON na.query_id = e.query_id""".stripMargin),
+      "Filtered-ANN recall audit: recall@3 of the nprobe-confined same-label search vs exact label-filtered brute force — the gate that tells the operator when predicate selectivity demands a higher nprobe (or a predicate-partitioned index)."
     )
   )
 }

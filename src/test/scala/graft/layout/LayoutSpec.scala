@@ -534,6 +534,34 @@ class LayoutSpec extends SparkSpec {
     assert(v2.schemaJson.isDefined)
   }
 
+  test("time travel: readIvfListsAsOf serves any retained snapshot; swept versions fail loudly") {
+    val df = spark.range(800).select(col("id").as("vec_id"), (col("id") % 8).as("cell"))
+    val path = tmp("timetravel")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    val baseRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def rowsAsOf(v: Long) = Layout.readIvfListsAsOf(spark, path, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val delta1 = spark.range(5).select((col("id") + 9000L).as("vec_id"), lit(2L).as("cell"))
+    Layout.mergeIvfDelta(spark, path, delta1)
+    assert(Layout.retainedVersions(spark, path) === Seq(1L, 2L))
+    // both retained snapshots readable, each exactly its own row set —
+    // an audit job diffs "before vs after the merge" from one directory
+    assert(rowsAsOf(1L) === baseRows)
+    assert(rowsAsOf(2L) ===
+      (baseRows ++ delta1.collect().map(r => (r.getLong(0), r.getLong(1)))).sorted)
+    assert(rowsAsOf(2L) === Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    // a second merge sweeps v1: time travel to it must fail loudly, not
+    // silently read a torn file set
+    val delta2 = spark.range(3).select((col("id") + 9100L).as("vec_id"), lit(6L).as("cell"))
+    Layout.mergeIvfDelta(spark, path, delta2)
+    assert(Layout.retainedVersions(spark, path) === Seq(2L, 3L))
+    val e = intercept[RuntimeException] { rowsAsOf(1L) }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
