@@ -263,6 +263,66 @@ object AnnDemo {
     val bytesRead1qRaw = Layout.touchedFiles(spark, s"$workDir/lists", q1Cells.toSeq).map(_._2).sum
     val bytesRead1qSq8 = Layout.touchedFiles(spark, sq8Path, q1Cells.toSeq).map(_._2).sum
 
+    // 3c. FILTERED serving (the v22/v23 operator pair) against the
+    // PREDICATE-PARTITIONED layout: one manifested cell-clustered layout
+    // per label (Layout.writePartitionedIvf). The measured claim: the
+    // partitioned path answers the same filtered query with ~1/|labels|
+    // of the candidate I/O, because directory pruning removes the other
+    // labels before any footer is read — versus the post-filter path,
+    // which scans every probed cell's rows and discards the non-matching
+    // labels after the read. Both paths must return IDENTICAL top-3 rows
+    // (asserted): same candidates, same exact distances — only the bytes
+    // differ.
+    val labelsTbl = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    // FILE GRAIN RULE: a predicate-partitioned index keeps the same
+    // CELLS-PER-FILE as the unpartitioned layout (not the same bytes per
+    // file) — probe locality lives in cell space, so halving the file
+    // count per partition would double every probe's row-group span and
+    // quietly give the I/O win back. At capacity geometry both grains are
+    // satisfiable at once (each label partition is still huge); at demo
+    // scale the partition files are simply small.
+    val byLabelPath = s"$workDir/lists_by_label"
+    val (labelValues, layoutPartS) = timed {
+      Layout.writePartitionedIvf(
+        assigned.join(labelsTbl, Seq("vec_id")), byLabelPath, "label", nFiles)
+    }
+    val q0label = labelsTbl.filter(col("vec_id") === 0L).head().getInt(1)
+    val probe0 = probes.filter(col("query_id") === 0L)
+    def top3(cands: org.apache.spark.sql.DataFrame) = cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rk") <= 3).select(col("vec_id"), col("adist"))
+    // post-filter path: probed cells of the UNPARTITIONED lists, label
+    // applied after the read (qn2 recomputed — lists carry q and n2)
+    val postScan = lists.filter(col("cell").isin(q1Cells.map(Long.box): _*))
+    val postTop = top3(postScan
+      .join(broadcast(probe0.withColumn("qn2", graft.functions.longDot(col("qq"), col("qq")))),
+        Seq("cell"))
+      .join(labelsTbl, Seq("vec_id")).filter(col("label") === q0label))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    postScan.collect()
+    val rowsPost = postScan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    // partitioned path: ONE label directory, probed cells inside it
+    val partScan = Layout.readPartitionedIvf(spark, byLabelPath, "label", q0label)
+      .filter(col("cell").isin(q1Cells.map(Long.box): _*))
+    val partTop = top3(partScan
+      .join(broadcast(probe0.withColumn("qn2", graft.functions.longDot(col("qq"), col("qq")))),
+        Seq("cell")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    partScan.collect()
+    val rowsPart = partScan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(postTop == partTop,
+      s"partitioned filtered serving diverged: $postTop vs $partTop")
+    val bytesPost = Layout.touchedFiles(spark, s"$workDir/lists", q1Cells.toSeq).map(_._2).sum
+    val bytesPart = Layout.touchedFiles(spark, s"$byLabelPath/label=$q0label", q1Cells.toSeq)
+      .map(_._2).sum
+
     // 4. incremental maintenance: an ingest delta (the streaming
     // assignVectors path, batch-executed here) folds into the layout via
     // mergeIvfDelta — only the files whose cell span the delta lands in
@@ -382,6 +442,11 @@ object AnnDemo {
         s""""bytes_reduction_1q_vs_fp32":${fmt(bytesRead1qFp.toDouble / math.max(1L, bytesRead1qSq8))},""" +
         s""""bytes_reduction_1q_vs_grid":${fmt(bytesRead1qRaw.toDouble / math.max(1L, bytesRead1qSq8))}},""" +
         s"""$reseedJson,"reseed_s":${fmt(reseedS)},""" +
+        s""""filtered":{"labels":${labelValues.length},"layout_s":${fmt(layoutPartS)},""" +
+        s""""rows_read_1q_postfilter":$rowsPost,"rows_read_1q_partitioned":$rowsPart,""" +
+        s""""bytes_read_1q_postfilter":$bytesPost,"bytes_read_1q_partitioned":$bytesPart,""" +
+        s""""io_reduction":${fmt(rowsPost.toDouble / math.max(1L, rowsPart))},""" +
+        s""""results_equal":true},""" +
         s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)

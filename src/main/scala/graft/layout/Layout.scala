@@ -318,6 +318,46 @@ object Layout {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else spark.read.parquet(m.names.map(n => s"$path/$n"): _*)
 
+  /** Predicate-PARTITIONED inverted lists — the LAYOUT answer to filtered
+    * vector search (the v22/v23 operator pair): one independent,
+    * manifest-committed, cell-clustered layout per value of `partCol`
+    * (`<path>/<partCol>=<value>/`). A query with the predicate
+    * `partCol = v` resolves to ONE subdirectory before any footer is
+    * opened — directory-level pruning composing with per-file min-cell
+    * pruning — and recall stops degrading with selectivity because every
+    * probed cell now contains ONLY matching vectors (nprobe cells of the
+    * v-partition ≡ nprobe cells of matches). Each partition maintains
+    * independently: [[mergeIvfDelta]]/[[mergeIvfDeltaUpsert]] against its
+    * own manifest, so a delta touching three labels is three O(delta)
+    * merges, and a crash in one partition's commit is invisible to the
+    * others. Partition cardinality must be BOUNDED (label vocabularies,
+    * language codes, shards — the same constraint hive partitioning has);
+    * the one driver-side distinct here is that cardinality. Returns the
+    * partition values written.
+    */
+  def writePartitionedIvf(assigned: DataFrame, path: String, partCol: String,
+      numFiles: Int): Seq[String] = {
+    val values = assigned.select(col(partCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).sorted.toIndexedSeq
+    require(values.length <= 10000,
+      s"writePartitionedIvf: $partCol has ${values.length} values — partition on a bounded-cardinality column")
+    values.foreach { v =>
+      writeIvfClustered(
+        assigned.filter(col(partCol).cast("string") === v).drop(partCol),
+        s"$path/$partCol=$v", numFiles)
+    }
+    values
+  }
+
+  /** Read ONE partition of a [[writePartitionedIvf]] layout through its
+    * own manifest — the filtered-search read path: the predicate value
+    * picks the subdirectory, the probe's `cell IN` filter prunes files
+    * inside it, and no other partition contributes a single byte.
+    */
+  def readPartitionedIvf(spark: SparkSession, path: String, partCol: String,
+      value: Any): DataFrame =
+    readIvfLists(spark, s"$path/$partCol=${String.valueOf(value)}")
+
   /** The data files a probed cell set maps to, with their on-disk byte
     * sizes — the listing math a query router runs per batch at 100 TB:
     * each cell's owner file resolved from the manifest's min-cell spans

@@ -562,6 +562,38 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("not retained"), e.getMessage)
   }
 
+  test("predicate-partitioned inverted lists: per-partition manifests, zero cross-partition I/O, independent merges") {
+    // 300 vectors over 3 labels × 10 cells; one manifested layout per label
+    val df = spark.range(300).select(col("id").as("vec_id"),
+      (col("id") % 3).as("label"), (col("id") % 10).as("cell"))
+    val path = tmp("partivf")
+    val values = Layout.writePartitionedIvf(df, path, "label", numFiles = 4)
+    assert(values === Seq("0", "1", "2"))
+
+    // the filtered read returns exactly the partition's rows, label-free
+    val p1 = Layout.readPartitionedIvf(spark, path, "label", 1L)
+    assert(p1.columns.toSeq === Seq("vec_id", "cell"))
+    val got = p1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 300L).filter(_ % 3 == 1).toSeq)
+
+    // ZERO cross-partition I/O: corrupt every byte of label=2's data
+    // files — label=1 reads and merges must never notice
+    val dir2 = new java.io.File(s"$path/label=2")
+    dir2.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](f.length.toInt)('x'.toByte))
+    }
+    assert(Layout.readPartitionedIvf(spark, path, "label", 1L).count() === 100)
+
+    // independent maintenance: a delta merges into label=1's own manifest
+    val delta = spark.range(4).select((col("id") + 5000L).as("vec_id"), lit(7L).as("cell"))
+    val (rw, tot) = Layout.mergeIvfDelta(spark, s"$path/label=1", delta)
+    assert(rw >= 1 && rw < tot)
+    assert(Layout.readPartitionedIvf(spark, path, "label", 1L).count() === 104)
+    // the other partitions' manifests are untouched (label=0 still v1)
+    assert(Layout.currentManifest(spark, s"$path/label=0").exists(_._1 == 1L))
+    assert(Layout.currentManifest(spark, s"$path/label=1").exists(_._1 == 2L))
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
