@@ -75,6 +75,10 @@ object ScaleBench {
     // the ≤ numCells post-shuffle rows — its curve must coincide with
     // v20's (the reseed adds ZERO corpus-scale work by construction)
     "v21_drift_reseed",
+    // filtered serving (round 13): broadcast probes + the in-session
+    // label join-back on the pk — the curve watches that join (at serving
+    // scale the label is an inverted-list payload column and it vanishes)
+    "v22_filtered_ann",
     // LSH geometry audit (round 11): the sample is pinned at
     // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
     // over the seeded hash), so this leg measures what the pin buys — the
