@@ -319,7 +319,9 @@ object AnnDemo {
       .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
     assert(postTop == partTop,
       s"partitioned filtered serving diverged: $postTop vs $partTop")
-    val bytesPost = Layout.touchedFiles(spark, s"$workDir/lists", q1Cells.toSeq).map(_._2).sum
+    // post-filter bytes = the unpartitioned probe read already measured
+    // at the SQ8 rung (same manifest state — both precede the merge)
+    val bytesPost = bytesRead1qRaw
     val bytesPart = Layout.touchedFiles(spark, s"$byLabelPath/label=$q0label", q1Cells.toSeq)
       .map(_._2).sum
 

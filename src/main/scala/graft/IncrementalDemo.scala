@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDemo {
 
+  /** The band-claim store's empty frame — ONE definition of the schema
+    * the dedup guard checkpoints between batches/days (a store-schema
+    * change edits exactly this).
+    */
+  private def emptyClaimStore(spark: org.apache.spark.sql.SparkSession) =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType))))
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(3)
@@ -35,12 +54,7 @@ object IncrementalDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
 
-    val emptyStore = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType))))
+    val emptyStore = emptyClaimStore(spark)
 
     // batch b = fresh slice b; final batch = slice 0 replayed under new ids
     def batch(b: Int) =
@@ -118,7 +132,7 @@ object IncrementalDemo {
     *    re-embedded doc re-routes to its own cell, so the merge's
     *    touched-file set is the re-crawl's cell set, not the corpus:
     *    merge_files_rewritten ≪ merge_files_total is the measured claim;
-    *  - ~1/11 of changed docs get their OPENING rewritten (topic change)
+    *  - ~1/23 of changed docs get their OPENING rewritten (topic change)
     *    and relocate to a fresh random cell — the cross-cell move whose
     *    NEXT edit requires the catalog fold-back
     *    ([[graft.queries.IncrementalPipeline.updateCatalog]] runs after
@@ -143,20 +157,11 @@ object IncrementalDemo {
     // ~512 MB files however big the table — pruning ratios then carry
     // across scales instead of degrading as fixed files grow ×N fatter
     val numFiles = math.max(64, (nCorpus / 78L).toInt)
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def timed[A](f: => A): (A, Double) = {
-      val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
-    }
 
     // ---- day-0 state (setup, amortized over every later day)
     val t0setup = System.nanoTime()
     var prior = docs.localCheckpoint(eager = true)
-    val emptyStore = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType))))
+    val emptyStore = emptyClaimStore(spark)
     // the index holds the GUARD-KEPT corpus from day 0 on, so the daily
     // path and the base state share one dedup semantics: a kept doc owns
     // every band bucket it touches (rep == itself), which is exactly what
@@ -307,12 +312,7 @@ object IncrementalDemo {
 
     // ---- day-0 state (setup, untimed in the daily story)
     val t0setup = System.nanoTime()
-    val emptyStore = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType))))
+    val emptyStore = emptyClaimStore(spark)
     val (_, store0) = DedupQueries.incrementalNearDup(prior, emptyStore)
     val storePath = s"$leg/store0"
     store0.write.mode("overwrite").partitionBy("band_idx").parquet(storePath)
@@ -330,9 +330,6 @@ object IncrementalDemo {
     assigned0.select("vec_id", "cell").write.mode("overwrite").parquet(pkCellPath)
     val setupS = (System.nanoTime() - t0setup) / 1e9
 
-    def timed[A](f: => A): (A, Double) = {
-      val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
-    }
 
     // ---- the daily increment
     // stage 1 (corpus-scale by necessity): content-hash snapshot diff
@@ -382,7 +379,6 @@ object IncrementalDemo {
     assert(rowsAfter == rowsPrior - nTombs + nAssigned,
       s"upsert row accounting: $rowsPrior - $nTombs + $nAssigned != $rowsAfter")
 
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def cls(k: String) = diffCounts.getOrElse(k, 0L)
     println(s"[incremental] pipe mod=$mod: corpus=$nCorpus delta=$nDelta kept=$nKept " +
       s"assigned=$nAssigned tombs=$nTombs merge files $filesRewritten/$filesTotal")

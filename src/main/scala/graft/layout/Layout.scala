@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * 4-row stat aggregates) plus one distributed shuffle/write — no
   * collect of data rows.
   */
-object Layout {
+// Serializable: the merge's span-routing UDF references [[spanOwner]],
+// which drags the module into the task closure (readResolve restores the
+// singleton on deserialization; the object holds no state)
+object Layout extends Serializable {
 
   /** Write `df` range-clustered on `sortCols` into `numFiles` files:
     * repartitionByRange gives disjoint per-file key ranges (sampled range
@@ -76,11 +79,19 @@ object Layout {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long, shuffle: Boolean = false): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    // a manifest-committed layout must be sized and read through its LIVE
+    // snapshot: the GC retention window keeps the previous version's
+    // files on disk between merges, so a raw dir scan would double-count
+    // every replaced file's rows into the compacted output
+    val manifested = currentManifest(spark, inPath).isDefined
+    val totalBytes =
+      if (manifested) liveBytes(spark, inPath)
+      else {
+        val fs = fileSystem(spark, inPath)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+      }
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(inPath)
+    val df = if (manifested) readIvfLists(spark, inPath) else spark.read.parquet(inPath)
     val out = if (shuffle) df.repartition(n) else df.coalesce(n)
     out.write.mode("overwrite").parquet(outPath)
     n
@@ -162,10 +173,25 @@ object Layout {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] =
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    // a missing dir is an EMPTY layout, not an error: the fresh-path merge
+    // (no manifest, no files) must reach the empty-live-set branch
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).toIndexedSeq.sorted
+  }
+
+  /** Span owner for a cell against ascending per-file min-cell bounds:
+    * the last file whose lo <= c, clamped to the first. ONE definition
+    * shared by merge routing and [[touchedFiles]] byte accounting — the
+    * two must never disagree on which file owns a cell.
+    */
+  private def spanOwner(loBounds: Array[Long], c: Long): Int = {
+    val idx = java.util.Arrays.binarySearch(loBounds, c)
+    math.max(if (idx >= 0) idx else -idx - 2, 0) // insertion point - 1
+  }
 
   private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
@@ -337,14 +363,35 @@ object Layout {
     */
   def writePartitionedIvf(assigned: DataFrame, path: String, partCol: String,
       numFiles: Int): Seq[String] = {
-    val values = assigned.select(col(partCol)).distinct()
-      .collect().map(r => String.valueOf(r.get(0))).sorted.toIndexedSeq
+    val rawValues = assigned.select(col(partCol)).distinct().collect()
+    // a NULL partition value would silently vanish (the filter predicate
+    // below a hive partition write is null-rejecting) — refuse loudly:
+    // filtered search partitions on total predicate columns only
+    require(!rawValues.exists(_.isNullAt(0)),
+      s"writePartitionedIvf: $partCol contains NULL — partition on a non-null column")
+    val values = rawValues.map(r => String.valueOf(r.get(0))).sorted.toIndexedSeq
     require(values.length <= 10000,
       s"writePartitionedIvf: $partCol has ${values.length} values — partition on a bounded-cardinality column")
+    // ONE distributed job for every partition: range-shuffle on
+    // (partCol, cell) into ~numFiles tasks per value, hive-split by
+    // partCol at the sink — each task covers a contiguous (value, cell)
+    // range, so per-partition files keep disjoint cell spans and the
+    // corpus is read once, not once per value
+    assigned
+      .repartitionByRange(values.length * numFiles, col(partCol), col("cell"))
+      .sortWithinPartitions(col(partCol), col("cell"))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // seed each partition's own manifest from its freshly written footers
+    val spark = assigned.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schemaJson = assigned.drop(partCol).schema.json
     values.foreach { v =>
-      writeIvfClustered(
-        assigned.filter(col(partCol).cast("string") === v).drop(partCol),
-        s"$path/$partCol=$v", numFiles)
+      val sub = s"$path/$partCol=$v"
+      val fs = fileSystem(spark, sub)
+      val names = dataFileNames(fs, sub)
+      val mins = footerMins(conf, sub, names)
+      commitManifest(fs, sub, 1L, names.map(n => ManifestEntry(n, Some(mins(n)))),
+        Some(schemaJson))
     }
     values
   }
@@ -372,12 +419,8 @@ object Layout {
     val lows = m.entries.map(e => (e.name, e.lo.get)).sortBy(t => (t._2, t._1)).toIndexedSeq
     if (lows.isEmpty) return Seq.empty
     val loBounds = lows.map(_._2).toArray
-    def owner(c: Long): Int = {
-      val idx = java.util.Arrays.binarySearch(loBounds, c)
-      math.max(if (idx >= 0) idx else -idx - 2, 0)
-    }
     val fs = fileSystem(spark, path)
-    cells.map(owner).distinct.sorted.map { i =>
+    cells.map(spanOwner(loBounds, _)).distinct.sorted.map { i =>
       val name = lows(i)._1
       name -> fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$name")).getLen
     }
@@ -444,9 +487,12 @@ object Layout {
     * (LayoutSpec kills the writer at each boundary and pins this); the
     * only residue is unreferenced garbage files, swept by the next
     * successful merge's GC or a manual prune. A RAW `spark.read.parquet
-    * (dir)` scan keeps the pre-manifest caveat — between (2) and (4) it
-    * can observe merged and original rows together — so concurrent
-    * readers must use [[readIvfLists]]. Returns
+    * (dir)` scan is WRONG on a merged layout at all times, not just in a
+    * crash window: the retention policy deliberately keeps the previous
+    * snapshot's replaced files on disk until the NEXT merge, so a raw
+    * scan double-counts them for the whole inter-merge interval. Every
+    * consumer must resolve through [[readIvfLists]] /
+    * [[readIvfListsAsOf]] ([[compact]] does). Returns
     * (filesRewritten, filesTotal).
     */
   def mergeIvfDelta(spark: SparkSession, listsPath: String, delta: DataFrame): (Int, Int) =
@@ -516,11 +562,7 @@ object Layout {
       "mergeIvfDelta: empty delta" + (if (tombstones.isDefined) " and tombstones" else ""))
     // span owner: last file whose lo <= c (clamped to the first file)
     val loBounds = lows.map(_._2).toArray
-    def owner(c: Long): Int = {
-      val idx = java.util.Arrays.binarySearch(loBounds, c)
-      val i = if (idx >= 0) idx else -idx - 2 // insertion point - 1
-      math.max(i, 0)
-    }
+    def owner(c: Long): Int = spanOwner(loBounds, c)
     // an EMPTY live set (fresh path, or every row previously retracted)
     // has no spans: the whole delta lands as span 0, tombstones are no-ops
     val touched =

@@ -1210,8 +1210,12 @@ object EmbeddingQueries extends QueryModule {
         // run in DECIMAL(38,0) on that post-shuffle frame (Long dots
         // would overflow silently once a cell holds ≳1.8e5 vectors — the
         // skewed-cell case at 100 TB geometry; decimal keeps the identity
-        // exact to n ≈ 1e15 per cell at |q| ≤ 2048, dim 64, and costs
-        // nothing at numCells rows). True drift = dsc / n², one double
+        // exact to n ≈ 4e14 per cell at |q| ≤ 2048, dim 64 — the n²·cc
+        // and ss terms hit decimal(38)'s ~1e38 ceiling there, four-plus
+        // orders beyond any real cell; past it Spark's non-ANSI decimal
+        // NULLs while DuckDB's HUGEINT errors, so the bound is the
+        // contract's edge, not a silent-divergence risk below it — and
+        // costs nothing at numCells rows). True drift = dsc / n², one double
         // divide at the end (exact integers → identical IEEE doubles on
         // both engines — the house contract; the oracle mirrors with
         // HUGEINT). The global top-10 is
@@ -1288,8 +1292,9 @@ object EmbeddingQueries extends QueryModule {
         // is n·c'_d − Σq_d = −(Σq_d mod n), so drift_after =
         // Σ_d (Σq_d mod n)² / n² < dim/1 — the drop is to quantization
         // noise of the integer grid, certified exactly. Arithmetic in
-        // DECIMAL(38,0) like v20 (Long residual squares alone overflow
-        // once n ≳ 3e9); the oracle mirrors with HUGEINT.
+        // DECIMAL(38,0) like v20, same n ≈ 4e14 exactness edge (Long
+        // residual squares alone overflow once n ≳ 3e9); the oracle
+        // mirrors with HUGEINT.
         val assigned = seedAssigned(s, d)
         val cent = cellSeed(s, d)
         def decDot(a: Column, b: Column): Column = aggregate(
