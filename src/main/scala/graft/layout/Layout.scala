@@ -405,6 +405,37 @@ object Layout extends Serializable {
       value: Any): DataFrame =
     readIvfLists(spark, s"$path/$partCol=${String.valueOf(value)}")
 
+  /** Incrementally fold a MIXED-value delta (rows carrying `partCol`)
+    * into a [[writePartitionedIvf]] layout, with optional supersede
+    * tombstones `(vec_id, cell, partCol)` — victims route by the same
+    * partition value their rows live in (the pk→cell catalog carries the
+    * predicate column at scale, exactly like it carries `cell`). Each
+    * touched partition runs its OWN staged merge against its own
+    * manifest: crash isolation per partition (a failure mid-loop leaves
+    * every other partition's snapshot committed and the failed one
+    * recoverable by re-run, per [[mergeIvfDelta]]'s crash contract), and
+    * a value never seen before creates a fresh partition via the
+    * empty-live-set path. Driver-side work: one bounded distinct over
+    * the delta's partition values plus the per-partition merges'
+    * metadata. Returns value → (filesRewritten, filesTotal).
+    */
+  def mergePartitionedIvfUpsert(spark: SparkSession, path: String, partCol: String,
+      delta: DataFrame, tombstones: Option[DataFrame] = None): Map[String, (Int, Int)] = {
+    val touchedVals = delta.select(col(partCol)).distinct().collect() ++
+      tombstones.map(_.select(col(partCol)).distinct().collect()).getOrElse(Array.empty)
+    require(!touchedVals.exists(_.isNullAt(0)),
+      s"mergePartitionedIvfUpsert: $partCol contains NULL")
+    touchedVals.map(r => String.valueOf(r.get(0))).distinct.sorted.map { v =>
+      val sub = s"$path/$partCol=$v"
+      val d = delta.filter(col(partCol).cast("string") === v).drop(partCol)
+      val t = tombstones.map(_.filter(col(partCol).cast("string") === v).drop(partCol))
+      v -> (t match {
+        case Some(tt) => mergeIvfDeltaUpsert(spark, sub, d, tt)
+        case None => mergeIvfDelta(spark, sub, d)
+      })
+    }.toMap
+  }
+
   /** The data files a probed cell set maps to, with their on-disk byte
     * sizes — the listing math a query router runs per batch at 100 TB:
     * each cell's owner file resolved from the manifest's min-cell spans

@@ -594,6 +594,40 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.currentManifest(spark, s"$path/label=1").exists(_._1 == 2L))
   }
 
+  test("mergePartitionedIvfUpsert routes a mixed-label delta to per-partition merges; new labels create fresh partitions") {
+    val df = spark.range(300).select(col("id").as("vec_id"),
+      (col("id") % 3).as("label"), (col("id") % 10).as("cell"))
+    val path = tmp("partmerge")
+    Layout.writePartitionedIvf(df, path, "label", numFiles = 4)
+    def digest(f: java.io.File) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    def partFiles(v: Long) = new java.io.File(s"$path/label=$v").listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val label0Before = partFiles(0L).map(f => f.getName -> digest(f)).toMap
+
+    // mixed delta: new vectors in labels 1 and 9 (9 never seen — a fresh
+    // partition), plus a supersede in label 1 (vec 4 re-embeds 4→7)
+    val delta = Seq((1000L, 1L, 4L), (1001L, 9L, 2L), (1002L, 9L, 5L), (4L, 1L, 7L))
+      .toDF("vec_id", "label", "cell")
+    val tombs = Seq((4L, 1L, 4L)).toDF("vec_id", "label", "cell")
+    val res = Layout.mergePartitionedIvfUpsert(spark, path, "label", delta, Some(tombs))
+    assert(res.keySet === Set("1", "9"))
+    assert(res("9") === ((0, 0)), "a new label merges via the fresh-path branch")
+
+    // label 1: base rows − superseded + its delta, exactly once
+    val p1 = Layout.readPartitionedIvf(spark, path, "label", 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base1 = (0L until 300L).filter(_ % 3 == 1).map(v => (v, v % 10))
+    assert(p1 === (base1.filterNot(_ == (4L, 4L)) ++ Seq((1000L, 4L), (4L, 7L))).sorted)
+    // label 9 exists now and holds exactly its delta
+    assert(Layout.readPartitionedIvf(spark, path, "label", 9L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === Seq((1001L, 2L), (1002L, 5L)))
+    // label 0 was never touched: same names, same bytes, same manifest v1
+    val label0After = partFiles(0L).map(f => f.getName -> digest(f)).toMap
+    assert(label0After === label0Before)
+    assert(Layout.currentManifest(spark, s"$path/label=0").exists(_._1 == 1L))
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
