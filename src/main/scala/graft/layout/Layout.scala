@@ -76,6 +76,16 @@ object Layout extends Serializable {
   /** Compact a parquet directory to ~`targetFileBytes` files (driver-side
     * listing for sizes — metadata only). `coalesce` avoids a shuffle when
     * only merging; pass `shuffle=true` to also re-balance skewed files.
+    *
+    * A MANIFESTED input (an inverted-list layout) is compacted through its
+    * live snapshot AND re-clustered on `cell` into a fresh manifested
+    * layout at `outPath`: a plain coalesce would drop snapshot isolation
+    * and — worse — interleave cell ranges across output files, silently
+    * breaking the disjoint-span contract that merge routing and tombstone
+    * anti-joins depend on (a victim row living outside its cell's owner
+    * file would survive its own tombstone). The re-cluster costs one range
+    * shuffle, which compaction of a merged layout needs anyway to fold
+    * span-fragmented files back together.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long, shuffle: Boolean = false): Int = {
@@ -91,9 +101,12 @@ object Layout extends Serializable {
         fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
       }
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = if (manifested) readIvfLists(spark, inPath) else spark.read.parquet(inPath)
-    val out = if (shuffle) df.repartition(n) else df.coalesce(n)
-    out.write.mode("overwrite").parquet(outPath)
+    if (manifested) writeIvfClustered(readIvfLists(spark, inPath), outPath, n)
+    else {
+      val df = spark.read.parquet(inPath)
+      val out = if (shuffle) df.repartition(n) else df.coalesce(n)
+      out.write.mode("overwrite").parquet(outPath)
+    }
     n
   }
 
@@ -163,6 +176,14 @@ object Layout extends Serializable {
     * stat (absent only when parsed from a format-v1 manifest).
     */
   private[graft] final case class ManifestEntry(name: String, lo: Option[Long])
+
+  /** A manifest commit lost the optimistic-concurrency race: another
+    * writer advanced the manifest head between this merge's snapshot read
+    * and its commit point. The losing merge has ALREADY cleaned up its
+    * staged files when this is thrown — the committed snapshot is intact
+    * and the merge is safely retryable (a re-run re-reads the new head).
+    */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   private[graft] final case class ManifestSnapshot(version: Long,
       entries: Seq[ManifestEntry], schemaJson: Option[String]) {
@@ -249,17 +270,29 @@ object Layout extends Serializable {
   /** Commit manifest version `v`: write header + entry lines to a hidden
     * tmp file, then one atomic rename into place. A reader never observes
     * a half-written manifest — it sees version v-1 until the rename lands.
+    *
+    * OPTIMISTIC CONCURRENCY: version `v` doubles as the compare-and-swap
+    * token — if `_graft_manifest-<v>` already exists, another writer
+    * committed from the same snapshot first and this commit throws
+    * [[ConcurrentCommitException]] instead of clobbering the winner
+    * (on stores whose rename refuses an existing destination the rename
+    * itself is the CAS; the exists-check fronts it for local FS, whose
+    * POSIX rename would silently overwrite).
     */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
       v: Long, entries: Seq[ManifestEntry], schemaJson: Option[String]): Unit = {
     import org.apache.hadoop.fs.Path
+    val target = new Path(s"$path/_graft_manifest-$v")
+    if (fs.exists(target))
+      throw new ConcurrentCommitException(
+        s"manifest v$v already committed by a concurrent writer at $path")
     val header = Seq("#graft-manifest v2") ++ schemaJson.map(s => s"#schema $s")
     val body = entries.sortBy(e => (e.lo.getOrElse(Long.MinValue), e.name))
       .map(e => e.lo.fold(e.name)(lo => s"${e.name}\t$lo"))
     val tmp = new Path(s"$path/.manifest_tmp-$v")
     val out = fs.create(tmp, true)
     try out.write(((header ++ body).mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(s"$path/_graft_manifest-$v")))
+    if (!fs.rename(tmp, target))
       sys.error(s"manifest commit failed: rename to _graft_manifest-$v")
   }
 
@@ -267,16 +300,31 @@ object Layout extends Serializable {
     * ~KB metadata read, but the v1→v2 upgrade path touches every live
     * file once (~6k at capacity geometry) — serial against an object
     * store that's minutes of round-trips, fanned out it's seconds.
+    * Each read is wrapped in `blocking{}` so the global pool spawns
+    * threads past core count for the I/O waits (blocking I/O on bare
+    * `Future` would cap fan-out at ~#cores), and the Await is BOUNDED:
+    * a hung object-store read fails the merge loudly instead of
+    * stalling the commit path forever.
     */
   private def footerMins(conf: org.apache.hadoop.conf.Configuration,
       path: String, names: Seq[String]): Map[String, Long] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
+    // budget: a flat 2-minute floor plus ~100ms per file at full fan-out —
+    // generous for metadata reads, finite for a wedged store
+    val budget = (120 + names.size / 10).seconds
+    try Await.result(
       Future.traverse(names)(n =>
-        Future(n -> footerMinCell(conf, new org.apache.hadoop.fs.Path(s"$path/$n")))),
-      Duration.Inf).toMap
+        Future(blocking {
+          n -> footerMinCell(conf, new org.apache.hadoop.fs.Path(s"$path/$n"))
+        })),
+      budget).toMap
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sys.error(s"footer stat reads at $path exceeded $budget for ${names.size} files " +
+          "— storage is wedged or severely degraded; merge aborted (retryable)")
+    }
   }
 
   /** Min value of the `cell` column across a parquet file's row groups,
@@ -386,15 +434,29 @@ object Layout extends Serializable {
     val conf = spark.sparkContext.hadoopConfiguration
     val schemaJson = assigned.drop(partCol).schema.json
     values.foreach { v =>
-      val sub = s"$path/$partCol=$v"
+      val sub = partitionPath(path, partCol, v)
       val fs = fileSystem(spark, sub)
       val names = dataFileNames(fs, sub)
+      require(names.nonEmpty, s"writePartitionedIvf: no data files under $sub — " +
+        s"partition-dir escaping diverged from Spark's for value '$v'")
       val mins = footerMins(conf, sub, names)
       commitManifest(fs, sub, 1L, names.map(n => ManifestEntry(n, Some(mins(n)))),
         Some(schemaJson))
     }
     values
   }
+
+  /** The on-disk subdirectory of one partition value, with the value
+    * ESCAPED the way Spark's `partitionBy` sink escapes it
+    * (ExternalCatalogUtils — '/', '=', '%', ':' etc. become %XX). Raw
+    * interpolation would commit the manifest to (and read from) the
+    * unescaped path while the data sits in the escaped one: the partition
+    * would silently read empty and a later merge would fork a divergent
+    * fresh partition.
+    */
+  private def partitionPath(path: String, partCol: String, value: String): String =
+    s"$path/$partCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
 
   /** Read ONE partition of a [[writePartitionedIvf]] layout through its
     * own manifest — the filtered-search read path: the predicate value
@@ -403,7 +465,7 @@ object Layout extends Serializable {
     */
   def readPartitionedIvf(spark: SparkSession, path: String, partCol: String,
       value: Any): DataFrame =
-    readIvfLists(spark, s"$path/$partCol=${String.valueOf(value)}")
+    readIvfLists(spark, partitionPath(path, partCol, String.valueOf(value)))
 
   /** Incrementally fold a MIXED-value delta (rows carrying `partCol`)
     * into a [[writePartitionedIvf]] layout, with optional supersede
@@ -426,7 +488,7 @@ object Layout extends Serializable {
     require(!touchedVals.exists(_.isNullAt(0)),
       s"mergePartitionedIvfUpsert: $partCol contains NULL")
     touchedVals.map(r => String.valueOf(r.get(0))).distinct.sorted.map { v =>
-      val sub = s"$path/$partCol=$v"
+      val sub = partitionPath(path, partCol, v)
       val d = delta.filter(col(partCol).cast("string") === v).drop(partCol)
       val t = tombstones.map(_.filter(col(partCol).cast("string") === v).drop(partCol))
       v -> (t match {
@@ -628,7 +690,10 @@ object Layout extends Serializable {
     val deltaBase = delta.select(baseCols.map(col): _*)
     val combined = resident.fold(deltaBase)(_.unionByName(deltaBase))
       .withColumn("graft_span", spanOf(col("cell")))
-    val swap = s"$listsPath/.merge_swap" // dot-dir: invisible to parquet scans
+    // dot-dir: invisible to parquet scans; nanoTime-unique so two racing
+    // writers never clobber each other's staging (the loser aborts at the
+    // commit CAS below, but its staged files must survive until then)
+    val swap = s"$listsPath/.merge_swap-${System.nanoTime()}"
     combined.repartition(math.max(touched.length, 1), col("graft_span"))
       .sortWithinPartitions(col("graft_span"), col("cell"))
       .write.mode("overwrite").partitionBy("graft_span").parquet(swap)
@@ -660,6 +725,22 @@ object Layout extends Serializable {
           }
       }
     onStage("renamed_in")
+    // OPTIMISTIC-CONCURRENCY CHECK: if another writer advanced the
+    // manifest head since this merge's snapshot read, committing would
+    // delist the winner's merged files and resurrect its replaced ones —
+    // abort instead: delete this merge's own staged/renamed-in files
+    // (unlisted, so no reader ever saw them) and throw retryable. The
+    // exists-CAS inside commitManifest backstops the narrow window
+    // between this check and the rename.
+    val headNow = manifestVersions(fs, listsPath).lastOption.map(_._1)
+    if (headNow != manifest.map(_.version)) {
+      mergedEntries.result().foreach(e =>
+        fs.delete(new Path(s"$listsPath/${e.name}"), false))
+      fs.delete(swapDir, true)
+      throw new ConcurrentCommitException(
+        s"manifest head at $listsPath moved to $headNow (expected " +
+          s"${manifest.map(_.version)}) during the merge — staged files cleaned, retry")
+    }
     // (3) COMMIT: manifest v+1 = live − replaced + merged, one atomic
     // rename — the instant readers switch snapshots
     val replacedNames = touched.map(i => lows(i)._1).toSet
@@ -685,7 +766,12 @@ object Layout extends Serializable {
       .foreach(n => fs.delete(new Path(s"$listsPath/$n"), false))
     manifestVersions(fs, listsPath).filter(_._1 < nextVersion - 1)
       .foreach { case (_, p) => fs.delete(p, false) }
-    fs.delete(swapDir, true)
+    // sweep ALL swap dirs, not just this merge's: a crashed writer's
+    // stale staging would otherwise accumulate forever (a live concurrent
+    // loser whose staging this sweeps was going to abort at the CAS anyway)
+    fs.listStatus(new Path(listsPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".merge_swap"))
+      .foreach(st => fs.delete(st.getPath, true))
     onStage("gc_done")
     (touched.length, lows.length)
   }

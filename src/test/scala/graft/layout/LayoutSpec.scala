@@ -628,6 +628,112 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.currentManifest(spark, s"$path/label=0").exists(_._1 == 1L))
   }
 
+  test("concurrent writers: the loser aborts cleanly at the commit CAS and a retry converges") {
+    // two schedulers race a merge on the same layout: writer A stages and
+    // renames its files in, then — before A commits — writer B runs a full
+    // merge to completion. A's commit must detect the moved manifest head,
+    // clean up its own staged files, and throw retryable; the committed
+    // snapshot must be exactly base ∪ deltaB, and A's retry must converge
+    // to base ∪ deltaB ∪ deltaA.
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    val path = tmp("occ")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    val baseRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val deltaA = spark.range(5).select((col("id") + 800000L).as("vec_id"), lit(3L).as("cell"))
+    val deltaB = spark.range(7).select((col("id") + 900000L).as("vec_id"), lit(9L).as("cell"))
+    val rowsA = deltaA.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rowsB = deltaB.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    var interleaved = false
+    val e = intercept[Layout.ConcurrentCommitException] {
+      Layout.mergeIvfDeltaStaged(spark, path, deltaA, st =>
+        if (st == "renamed_in" && !interleaved) {
+          interleaved = true
+          Layout.mergeIvfDelta(spark, path, deltaB) // writer B wins the race
+        })
+    }
+    assert(e.getMessage.contains("retry"), e.getMessage)
+    // the committed snapshot is B's, complete and exactly-once
+    val seen = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(seen === (baseRows ++ rowsB).sorted, "loser corrupted the winner's snapshot")
+    // no residue beyond the retained snapshots: A's staged/renamed-in
+    // files were cleaned by its abort (or swept by B's GC)
+    val v2 = Layout.currentManifest(spark, path).get
+    assert(v2._1 === 2L)
+    val v1Names = Layout.readIvfListsAsOf(spark, path, 1L).inputFiles
+      .map(p => new java.io.File(new java.net.URI(p).getPath).getName).toSet
+    val onDisk = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk === v2._2.toSet ++ v1Names, s"loser left garbage: ${onDisk -- v2._2.toSet -- v1Names}")
+    assert(new java.io.File(path).listFiles.count(_.getName.startsWith(".merge_swap")) === 0)
+    // A retries against the new head and converges
+    Layout.mergeIvfDelta(spark, path, deltaA)
+    val after = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === (baseRows ++ rowsB ++ rowsA).sorted)
+  }
+
+  test("partitioned IVF escapes path-special partition values the way Spark's sink does") {
+    // values containing '/', ':', '=', '%' land in %XX-escaped dirs under
+    // partitionBy; the manifest commit, reads, and merges must resolve the
+    // SAME escaped path or the partition silently reads empty
+    val df = spark.createDataFrame(Seq(
+      (1L, "en/US", 0L), (2L, "en/US", 1L), (3L, "zh:CN", 0L),
+      (4L, "a=b", 2L), (5L, "p%q", 1L), (6L, "plain", 0L)))
+      .toDF("vec_id", "label", "cell")
+    val path = tmp("escparts")
+    val values = Layout.writePartitionedIvf(df, path, "label", numFiles = 1)
+    assert(values === Seq("a=b", "en/US", "p%q", "plain", "zh:CN"))
+    // every partition reads back its own rows through its manifest
+    assert(Layout.readPartitionedIvf(spark, path, "label", "en/US")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(Layout.readPartitionedIvf(spark, path, "label", "zh:CN").count() === 1)
+    assert(Layout.readPartitionedIvf(spark, path, "label", "a=b").count() === 1)
+    assert(Layout.readPartitionedIvf(spark, path, "label", "p%q").count() === 1)
+    // and a merge routes into the ESCAPED dir, not a divergent raw-name one
+    val delta = Seq((10L, "en/US", 3L)).toDF("vec_id", "label", "cell")
+    val res = Layout.mergePartitionedIvfUpsert(spark, path, "label", delta)
+    assert(res.keySet === Set("en/US"))
+    assert(Layout.readPartitionedIvf(spark, path, "label", "en/US").count() === 3)
+    // no unescaped sibling dir was forked by the merge
+    val dirs = new java.io.File(path).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.exists(d => d.contains("en/US") || d == "label=en"), dirs.toSeq.sorted)
+  }
+
+  test("compact on a manifested layout re-clusters on cell and seeds a fresh manifest") {
+    val df = spark.range(6400).select(col("id").as("vec_id"), (col("id") % 64).as("cell"))
+    val inPath = tmp("compactin")
+    Layout.writeIvfClustered(df, inPath, numFiles = 16)
+    // a merge first, so the directory holds BOTH retained versions — the
+    // compact must size and read the live snapshot only
+    val delta = spark.range(5).select((col("id") + 70000L).as("vec_id"), lit(3L).as("cell"))
+    Layout.mergeIvfDelta(spark, inPath, delta)
+    val outPath = tmp("compactout")
+    val bytes = Layout.liveBytes(spark, inPath)
+    val n = Layout.compact(spark, inPath, outPath, targetFileBytes = bytes / 4)
+    assert(n >= 4 && n <= 6, s"n=$n")
+    // the output is a first-class manifested layout: snapshot read works,
+    // rows are exactly the live input's, and per-file cell ranges are
+    // disjoint again (merge routing and tombstones stay correct on it)
+    assert(Layout.currentManifest(spark, outPath).exists(_._1 == 1L))
+    val got = Layout.readIvfLists(spark, outPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (df.collect() ++ delta.collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want)
+    liveFileRanges(outPath, "cell").sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlap after manifested compact")
+      case _                      =>
+    }
+    // and an upsert on the compacted output behaves (the contract compact
+    // must not break: victims are found in their cell's owner file)
+    Layout.mergeIvfDeltaUpsert(spark, outPath,
+      spark.createDataFrame(Seq((70000L, 10L))).toDF("vec_id", "cell"),
+      spark.createDataFrame(Seq((70000L, 3L))).toDF("vec_id", "cell"))
+    val rows2 = Layout.readIvfLists(spark, outPath)
+    assert(rows2.filter(col("vec_id") === 70000L).collect().map(_.getLong(1)).toSeq === Seq(10L))
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
