@@ -141,7 +141,15 @@ object IncrementalDemo {
     *    the row-accounting assert below would trip);
     *  - per day: row accounting `rowsAfter == rowsPrior − tombs + assigned`
     *    MUST hold exactly (asserted), and the catalog advances with the
-    *    index.
+    *    index;
+    *  - before the FINAL day, the loop runs live codebook maintenance:
+    *    the v20-rule drift audit picks the top-10 drifted cells, the v21
+    *    local Lloyd step re-centers them ([[graft.queries.IvfCentroids
+    *    .reseedDrifted]], membership kept), and the result publishes as a
+    *    new codebook REVISION — a reader pinned to the old revision is
+    *    asserted byte-identical across the publish, and the final day
+    *    ingests against the new revision with row accounting still exact:
+    *    reader/writer isolation across a codebook rev inside the loop.
     */
   private def topicalLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       workDir: String, nDays: Int): String = {
@@ -177,15 +185,65 @@ object IncrementalDemo {
     graft.layout.Layout.writeIvfClustered(assigned0, listsPath, numFiles)
     var catalogPath = s"$leg/catalog_d0"
     assigned0.select("vec_id", "cell").write.mode("overwrite").parquet(catalogPath)
-    val codebookArr = cent.collect()
+    // the codebook serves through its VERSIONED publication (rev 1 = the
+    // day-0 seed): the mid-loop drift re-seed below bumps the revision and
+    // every later day assigns against the new one, while a reader pinned
+    // to the old revision keeps its files through the publish
+    val cbPath = s"$leg/codebook"
+    IvfCentroids.publish(cent, cbPath)
+    def loadCbArr() = IvfCentroids.loadCurrent(spark, cbPath).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    var codebookArr = loadCbArr()
     val setupS = (System.nanoTime() - t0setup) / 1e9
 
     var movers: Seq[Long] = Seq.empty // yesterday's topic-movers (driver-side, ≤ dozens)
     var rowsPrior = graft.layout.Layout.readIvfLists(spark, listsPath).count()
     val dayRecords = Seq.newBuilder[String]
+    var reseedRecord = ""
 
     for (d <- 1 to nDays) {
+      // MID-LOOP DRIFT RE-SEED (before the final day's ingest): the v20
+      // audit's rule finds the most drifted cells, the v21 local Lloyd
+      // step re-centers them (membership kept — zero list I/O), and the
+      // new codebook publishes as rev 2 — a reader pinned to rev 1 before
+      // the publish keeps reading byte-identical centroids after it
+      // (asserted here; the retention spec pins the grace window), while
+      // the REST OF THIS LOOP ingests against rev 2: writer and readers
+      // cross a codebook revision inside one live maintenance loop.
+      if (d == nDays) {
+        val tRs = System.nanoTime()
+        val lists = graft.layout.Layout.readIvfLists(spark, listsPath)
+          .select("vec_id", "q", "cell")
+        val cbCur = IvfCentroids.loadCurrent(spark, cbPath)
+        val revBefore = IvfCentroids.currentRevision(spark, cbPath)
+        def pinnedRows() = spark.read.parquet(s"$cbPath/v$revBefore").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+        val pinBefore = pinnedRows() // a reader resolves rev N pre-publish
+        val (newCb, drifted) = IvfCentroids.reseedDrifted(lists, cbCur, topK = 10)
+        val nReseeded = drifted.count()
+        val driftBefore = drifted.agg(coalesce(sum(col("drift")), lit(0L)))
+          .head().getLong(0)
+        val revAfter = IvfCentroids.publish(newCb, cbPath)
+        // reader/writer isolation across the revision bump: the pinned
+        // reader's centroids are untouched by the rev N+1 publish
+        assert(pinnedRows() == pinBefore,
+          s"reader pinned to codebook rev $revBefore saw the rev $revAfter publish")
+        // residual excess of the reseeded cells under the NEW codebook
+        // (exactly 0: the step sets cq := floor-mean, recomputed honestly)
+        val (_, after) = IvfCentroids.reseedDrifted(
+          lists, IvfCentroids.loadCurrent(spark, cbPath), topK = 10)
+        val driftAfter = after.join(drifted.select("cid"), Seq("cid"), "left_semi")
+          .agg(coalesce(sum(col("drift")), lit(0L))).head().getLong(0)
+        codebookArr = loadCbArr() // today's ingest assigns against rev 2
+        val rsS = (System.nanoTime() - tRs) / 1e9
+        println(s"[incremental] reseed before day $d: rev $revBefore -> $revAfter " +
+          s"cells=$nReseeded drift $driftBefore -> $driftAfter (${fmt(rsS)} s)")
+        reseedRecord =
+          s""""reseed":{"before_day":$d,"rev_before":$revBefore,"rev_after":$revAfter,""" +
+            s""""cells_reseeded":$nReseeded,"drift_excess_before":$driftBefore,""" +
+            s""""drift_excess_after":$driftAfter,"pinned_reader_isolated":true,""" +
+            s""""reseed_s":${fmt(rsS)}},"""
+      }
       val tDay = System.nanoTime()
       val catalog = spark.read.parquet(catalogPath)
       // the day's re-crawled sources: 2 fresh cells (deterministic walk)
@@ -277,7 +335,7 @@ object IncrementalDemo {
           s""""assign_s":${fmt(assignS)},"merge_s":${fmt(mergeS)},"day_s":${fmt(daySec)}}"""
     }
     s"""{"kind":"topical_3day","corpus_rows":$nCorpus,"num_cells":$numCells,""" +
-      s""""num_files":$numFiles,"day0_setup_s":${fmt(setupS)},""" +
+      s""""num_files":$numFiles,"day0_setup_s":${fmt(setupS)},$reseedRecord""" +
       s""""days":[${dayRecords.result().mkString(",")}]}"""
   }
 

@@ -9,10 +9,16 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 /** SQ8 serving-state codecs: pack an `array<bigint>` of 8-bit codes
   * (each in [0, 255]) into a `binary` of 1 byte per dim, and back. The
   * STORAGE half of the SQ8 tier (v17–v19 certify the arithmetic): a
-  * 64-dim vector's inverted-list row shrinks from 64 longs to 64 bytes,
-  * so an nprobe candidate read moves ~8× fewer bytes at equal recall
-  * (v18's measured distortion). Both directions are single-pass codegen'd
-  * loops — no per-element boxing in the serving path.
+  * 64-dim vector's inverted-list row shrinks to 64 bytes on disk, so an
+  * nprobe candidate read moves ~3.3× fewer bytes than the fp32 tier and
+  * ~1.3× fewer than the integer-grid tier at equal recall (v18 bounds
+  * the distortion; ann_demo measures the bytes). Those ratios sit AT the
+  * information-theoretic ceilings — fp32 is 4 B/dim (ceiling 4×, minus
+  * shared per-row key/page overhead) and parquet bit-packs the grid
+  * tier's 11-bit coords to ~11 bits/dim (ceiling 11/8 = 1.375×) — the
+  * naive "8 B/dim longs → 8×" figure never reaches disk; SqCodesSpec
+  * pins both bounds executable. Both directions are single-pass
+  * codegen'd loops — no per-element boxing in the serving path.
   *
   * An out-of-range or null code is a LOUD error: silent truncation would
   * corrupt distances downstream where no gate can see it.

@@ -1375,7 +1375,9 @@ object EmbeddingQueries extends QueryModule {
         // is visible in the output: a query whose probed cells hold
         // fewer than 3 same-label vectors returns fewer rows — raising
         // nprobe for selective predicates is the serving knob (v14's
-        // sweep machinery measures that trade).
+        // sweep machinery measures that trade; v24_adaptive_nprobe is the
+        // serving rule that closes the caveat, picking np per query from
+        // the per-(cell,label) router histogram).
         val queries = quantized(s, d).filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
             col("q").as("qq"), inorm2(col("q")).as("qn2"))
@@ -1509,6 +1511,101 @@ object EmbeddingQueries extends QueryModule {
              |  GROUP BY ex.query_id) e
              |LEFT JOIN na ON na.query_id = e.query_id""".stripMargin),
       "Filtered-ANN recall audit: recall@3 of the nprobe-confined same-label search vs exact label-filtered brute force — the gate that tells the operator when predicate selectivity demands a higher nprobe (or a predicate-partitioned index)."
+    ),
+    QueryDef(
+      "v24_adaptive_nprobe",
+      (s, d) => {
+        // ADAPTIVE nprobe — the serving rule that CLOSES v22's documented
+        // caveat (a selective predicate thins each probed cell's matching
+        // candidates, so a fixed nprobe returns < k rows for rare labels).
+        // The router holds a per-(cell, label) candidate HISTOGRAM — C ×
+        // |labels| rows, metadata-scale at any corpus size (1e5 cells ×
+        // 1e3 labels = 1e8 histogram rows worst-case, still index-side
+        // metadata maintained by the same merge that maintains the lists)
+        // — and picks each query's probe count np(q) as the SMALLEST
+        // distance-ranked cell prefix whose cumulative same-label count
+        // reaches k, capped at C when the whole corpus holds fewer than k
+        // matches. Candidates are then fetched from exactly those np(q)
+        // cells: no query reads more cells than its predicate needs, and
+        // every query gets its full min(k, available) results — the
+        // result-count guarantee a fixed-nprobe plan cannot make. A
+        // deployment without the histogram runs the same rule as bounded
+        // DOUBLING escalation (probe 2, 4, 8… cells until k matches
+        // accumulate); the histogram form is that escalation's fixpoint
+        // computed in one shot, which is what makes it oracle-expressible.
+        // Output carries np_used per query so the artifact shows the
+        // escalation curve across label selectivities.
+        val assigned = seedAssigned(s, d).select(col("vec_id"), col("q"), col("n2"), col("cell"))
+        val labeled = assigned.join(
+          quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+        val hist = labeled.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+          .withColumnRenamed("label", "qlabel")
+        val queries = labeled.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("q").as("qq"), col("n2").as("qn2"), col("cell").as("qcell"))
+        // every cell ranked per query (queries × C — C is bounded, the
+        // probe table stays broadcast-sized), self excluded from its own
+        // cell's count
+        val ranked = queries.join(broadcast(cellSeed(s, d)))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(IvfCentroids.l2(col("qq"), col("cq")).asc, col("cid").asc)))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"), col("qcell"),
+            col("cid").as("cell"), col("prk"))
+        val cum = ranked.join(broadcast(hist), Seq("cell", "qlabel"), "left")
+          .withColumn("m", coalesce(col("n_cl"), lit(0L)) -
+            when(col("cell") === col("qcell"), lit(1L)).otherwise(lit(0L)))
+          .withColumn("cum", sum(col("m")).over(
+            Window.partitionBy(col("query_id")).orderBy(col("prk"))))
+        val np = cum.groupBy(col("query_id")).agg(
+          coalesce(min(when(col("cum") >= 3, col("prk"))), max(col("prk")))
+            .cast("long").as("np_used"))
+        val probes = cum.join(broadcast(np), Seq("query_id"))
+          .filter(col("prk") <= col("np_used"))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"),
+            col("cell"), col("np_used"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+          .filter(col("label") === col("qlabel"))
+          .withColumn("adist",
+            col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("np_used"), col("rk").cast("long").as("rk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "an", "assigned")},
+             |lab AS (SELECT a.vec_id, a.q, a.n2, a.cell, b.label
+             |  FROM assigned a JOIN base b ON b.vec_id = a.vec_id),
+             |hist AS (SELECT cell, label AS qlabel, count(*) AS n_cl FROM lab GROUP BY cell, label),
+             |qs AS (SELECT vec_id AS query_id, label AS qlabel, q AS qq, n2 AS qn2, cell AS qcell
+             |  FROM lab WHERE vec_id < 8),
+             |ranked AS (SELECT q.query_id, q.qlabel, q.qq, q.qn2, q.qcell, c.cid AS cell,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${l2ListSql("q.qq", "c.cq")} ASC, c.cid ASC) AS prk
+             |  FROM qs q CROSS JOIN cent c),
+             |cm AS (SELECT r.query_id, r.qlabel, r.qq, r.qn2, r.cell, r.prk,
+             |    sum(COALESCE(h.n_cl, 0) - CASE WHEN r.cell = r.qcell THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY r.query_id ORDER BY r.prk) AS cum
+             |  FROM ranked r LEFT JOIN hist h ON h.cell = r.cell AND h.qlabel = r.qlabel),
+             |np AS (SELECT query_id,
+             |    COALESCE(min(CASE WHEN cum >= 3 THEN prk END), max(prk)) AS np_used
+             |  FROM cm GROUP BY query_id),
+             |probes AS (SELECT c.query_id, c.qlabel, c.qq, c.qn2, c.cell, n.np_used
+             |  FROM cm c JOIN np n ON n.query_id = c.query_id WHERE c.prk <= n.np_used),
+             |cand AS (SELECT p.query_id, p.np_used, a.vec_id,
+             |    CAST(a.n2 - 2 * ${idotSql("a.q", "p.qq")} + p.qn2 AS BIGINT) AS adist
+             |  FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN base l ON l.vec_id = a.vec_id AND l.label = p.qlabel)
+             |SELECT query_id, np_used, rk, neighbor_id, adist FROM (
+             |  SELECT query_id, np_used, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM cand) WHERE rk <= 3""".stripMargin),
+      "Adaptive-nprobe filtered search: per-query probe count picked from the per-(cell,label) router histogram as the smallest ranked-cell prefix holding k same-label candidates (capped at C) — every query gets min(k, available) results at minimal cell I/O, closing the fixed-nprobe selectivity caveat."
     )
   )
 }

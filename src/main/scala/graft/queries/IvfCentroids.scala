@@ -299,8 +299,49 @@ object IvfCentroids {
   def loadCurrent(spark: SparkSession, path: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val v = cbVersions(fs, new org.apache.hadoop.fs.Path(path)).lastOption.getOrElse(
+    load(spark, s"$path/v${currentRevision(spark, path)}")
+  }
+
+  /** The current committed revision number (the max marker) — what a
+    * reader pins before a long scan so a concurrent [[publish]] cannot
+    * swap centroids under it mid-read (the revision's files survive one
+    * publish — the same grace window the layout manifest gives).
+    */
+  def currentRevision(spark: SparkSession, path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    cbVersions(fs, new org.apache.hadoop.fs.Path(path)).lastOption.getOrElse(
       sys.error(s"no committed codebook revision at $path"))
-    load(spark, s"$path/v$v")
+  }
+
+  /** The v21 drift re-seed as a LIBRARY step, for composition into the
+    * incremental maintenance loop (the catalog's v21_drift_reseed query is
+    * the oracle-checked form of the same rule): per cell, the truncated
+    * member mean `mq = floor(sum/n)` is derived from one pass of exact
+    * integer sums over `assigned` (`vec_id, q, cell` — the inverted lists
+    * or the materialized assignment); the `topK` cells with the largest
+    * excess ‖mq − cq‖² (the parallel-axis gap between serving centroid and
+    * member mean — exactly the avg-distance reduction a local Lloyd step
+    * recovers) take the step `cq := mq`, MEMBERSHIP KEPT (no list rewrite,
+    * no reassignment — O(drifted-cells) codebook rows touched, zero list
+    * I/O). Returns (newCodebook, driftReport) where the report carries
+    * `(cid, drift)` for the reseeded cells; the caller commits the new
+    * codebook through [[publish]] so in-flight readers keep their pinned
+    * revision.
+    */
+  def reseedDrifted(assigned: DataFrame, codebook: DataFrame,
+      topK: Int): (DataFrame, DataFrame) = {
+    val means = assigned.groupBy(col("cell"))
+      .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cell").as("cid"),
+        transform(col("sv"), x => floor(x.cast("double") / col("n")).cast("long")).as("mq"))
+    val drifted = codebook.join(means, Seq("cid"))
+      .withColumn("drift", l2(col("mq"), col("cq")))
+      .filter(col("drift") > 0L)
+      .orderBy(col("drift").desc, col("cid").asc)
+      .limit(topK)
+    val newCb = codebook.join(drifted.select(col("cid"), col("mq")), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mq"), col("cq")).as("cq"))
+    (newCb, drifted.select(col("cid"), col("drift")))
   }
 }

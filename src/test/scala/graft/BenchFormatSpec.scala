@@ -37,11 +37,14 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(j.get("stat").asText === "min")
     assert(j.get("reran").asInt === 0)
     assert(j.get("queries").size === names.size)
-    assert(j.get("calib_pts").size === calibPts.size)
+    // stdout carries the compact calib envelope; the full grid is durable-only
+    assert(j.get("calib_rng").size === 2)
+    assert(j.get("calib_pts") === null, "the dense probe grid must stay off the stdout line")
     assert(!line.contains("queries_max") && !line.contains("queries_mid"),
       "spread maps must stay off the stdout line")
     // the durable record carries the judge-auditable spread: median + max
     val jf = mapper.readTree(full)
+    assert(jf.get("calib_pts").size === calibPts.size)
     assert(jf.get("queries_max").size === names.size)
     assert(jf.get("queries_mid").size === names.size)
     assert(jf.get("queries").size === names.size)

@@ -23,7 +23,7 @@ class SqCodesSpec extends SparkSpec {
     val got = df.select(unpackU8(packU8($"codes")).as("back"))
       .as[Seq[Long]].collect().toSeq
     assert(got === vecs)
-    // binary length is exactly 1 byte per dim — the 8x claim's storage half
+    // binary length is exactly 1 byte per dim — the storage-width contract
     val lens = df.select(length(packU8($"codes"))).as[Int].collect().toSeq
     assert(lens === vecs.map(_.size))
   }
@@ -35,6 +35,56 @@ class SqCodesSpec extends SparkSpec {
       }
       assert(e.getMessage != null)
     }
+  }
+
+  test("SQ8 parquet bytes sit at the information-theoretic bound vs the fp32 and bit-packed grid tiers") {
+    // The round-13 measurement (ann_demo_last.json sq8: 3.26x vs fp32,
+    // 1.28x vs grid) is NOT a storage defect — it is the bound. This test
+    // pins both the LAYOUT (code is BinaryType, 1 B/dim + bounded per-row
+    // overhead on disk) and the CEILINGS the naive "~8x" figure ignored:
+    //  - fp32 stores 4 B/dim (not 8), and entropy-saturated floats do not
+    //    compress -> the SQ8 ceiling vs fp32 is 4x, minus shared per-row
+    //    overhead (vec_id, cell, page structure);
+    //  - the integer-grid tier's 11-bit coords are dictionary/bit-packed
+    //    by parquet to ~11 bits/dim -> the ceiling vs grid is 11/8 =
+    //    1.375x, NOT 8x (the 8 B/dim logical width never reaches disk).
+    // Near-uniform codes model the entropy-saturated case scalar
+    // quantization produces on real embeddings; compressible fixtures
+    // would flatter every ratio.
+    val rnd = new scala.util.Random(7)
+    val n = 4000
+    val dim = 64
+    val rows = (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(256).toLong), (i % 50).toLong))
+    val df = rows.toDF("vec_id", "codes", "cell")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8-bytes").toString
+    def bytesOf(sub: String): Long = new java.io.File(s"$dir/$sub").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    df.select($"vec_id", $"cell", packU8($"codes").as("code"))
+      .coalesce(1).write.parquet(s"$dir/sq8")
+    // the serving layout contract: codes land as BINARY, not array<*>
+    assert(spark.read.parquet(s"$dir/sq8").schema("code").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // fp32 tier: entropy-saturated floats at the same shape
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat()), (i % 50).toLong))
+      .toDF("vec_id", "embedding", "cell")
+      .coalesce(1).write.parquet(s"$dir/fp32")
+    // grid tier: 11-bit integer coords as array<bigint> (QuantizeVec's
+    // [0, 2047] range at the demo scale factor)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextInt(2048).toLong), (i % 50).toLong))
+      .toDF("vec_id", "q", "cell")
+      .coalesce(1).write.parquet(s"$dir/grid")
+    val (sq8B, fpB, gridB) = (bytesOf("sq8"), bytesOf("fp32"), bytesOf("grid"))
+    // layout bound: 1 B/dim plus <= 24 B/row of key+page overhead
+    val perRow = sq8B.toDouble / n
+    assert(perRow >= dim, s"sq8 below 1 B/dim ($perRow)? random bytes cannot compress")
+    assert(perRow <= dim + 24, s"sq8 per-row overhead blown: $perRow B/vector for $dim dims")
+    // ratio floors: measured ratios must sit near their ceilings (4x and
+    // 1.375x), i.e. the storage tier leaves at most ~20% on the table
+    val vsFp = fpB.toDouble / sq8B
+    val vsGrid = gridB.toDouble / sq8B
+    assert(vsFp >= 3.2 && vsFp <= 4.5, s"fp32/sq8 = $vsFp (ceiling 4x)")
+    assert(vsGrid >= 1.15 && vsGrid <= 1.6, s"grid/sq8 = $vsGrid (ceiling 1.375x)")
   }
 
   test("codegen and interpreted evaluation agree") {

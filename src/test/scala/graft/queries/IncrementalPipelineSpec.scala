@@ -185,4 +185,46 @@ class IncrementalPipelineSpec extends SparkSpec {
     val stale = rowsOf(listsB)
     assert(stale.count(_._1 == 5L) === 2, s"expected the stale-catalog dup: $stale")
   }
+
+  test("drift re-seed mid-loop: a reader pinned to codebook rev N is unaffected by the rev N+1 publish") {
+    import spark.implicits._
+    // corpus with one DRIFTED cell: cell 0's serving centroid sits at the
+    // origin while its members cluster near (100, 100) — the exact state
+    // continuous ingest leaves a codebook in between retrains
+    val assigned = Seq(
+      (0L, Seq(98L, 102L), 0L), (1L, Seq(102L, 98L), 0L), (2L, Seq(100L, 100L), 0L),
+      (3L, Seq(10L, 10L), 1L), (4L, Seq(10L, 10L), 1L))
+      .toDF("vec_id", "q", "cell")
+    val cb = Seq((0L, Seq(0L, 0L)), (1L, Seq(10L, 10L))).toDF("cid", "cq")
+    val path = java.nio.file.Files.createTempDirectory("graft-reseed").toString + "/cb"
+    assert(IvfCentroids.publish(cb, path) === 1L)
+
+    // a reader PINS rev 1 (resolve version, then read that revision's
+    // path) before the maintenance writer runs — the production shape of
+    // a long scan overlapping a codebook publish
+    val revPinned = IvfCentroids.currentRevision(spark, path)
+    def pinnedRows() = spark.read.parquet(s"$path/v$revPinned").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    val before = pinnedRows()
+
+    // the writer: v20-rule audit + v21 local Lloyd step + versioned publish
+    val (newCb, drifted) = IvfCentroids.reseedDrifted(assigned, IvfCentroids.loadCurrent(spark, path), topK = 10)
+    // only the drifted cell is touched: cell 0 re-centers to the floor-mean
+    // (100, 100); cell 1's centroid IS its member mean — zero drift, kept
+    assert(drifted.select("cid").as[Long].collect().toSeq === Seq(0L))
+    assert(IvfCentroids.publish(newCb, path) === 2L)
+
+    // reader/writer isolation: the pinned reader's centroids are
+    // byte-identical across the publish…
+    assert(pinnedRows() === before, "rev-1 reader saw the rev-2 publish")
+    // …while a NEW reader resolves rev 2 with the re-centered cell and the
+    // untouched one intact (membership kept: assigned never changed)
+    val cur = IvfCentroids.loadCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    assert(cur === Seq(0L -> Seq(100L, 100L), 1L -> Seq(10L, 10L)))
+    // the step converges: a second audit over the same members finds zero
+    // remaining excess (centroid == floor-mean everywhere)
+    val (_, after) = IvfCentroids.reseedDrifted(assigned, IvfCentroids.loadCurrent(spark, path), topK = 10)
+    assert(after.count() === 0L)
+  }
 }
