@@ -79,6 +79,12 @@ object ScaleBench {
     // label join-back on the pk — the curve watches that join (at serving
     // scale the label is an inverted-list payload column and it vanishes)
     "v22_filtered_ann",
+    // adaptive-nprobe filtered serving (round 14): v22's candidate shape
+    // plus the router-histogram escalation — the histogram is a
+    // (cell, label) aggregate (output bounded by C × |labels| at ANY
+    // corpus size) and the ranked-prefix window runs on queries × C rows,
+    // so the curve must track v22's with a ~flat metadata increment
+    "v24_adaptive_nprobe",
     // LSH geometry audit (round 11): the sample is pinned at
     // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
     // over the seeded hash), so this leg measures what the pin buys — the
