@@ -421,6 +421,90 @@ object AnnDemo {
         s""""drift_after":${fmt(driftAfter)},"codebook_rev":$rev,"rows_touched":${ranked.length}}"""
     }
 
+    // 7. ADAPTIVE NPROBE (the v24 serving rule measured across label
+    // selectivities): a synthetic skewed label (rare 0.2% / mid ~5% /
+    // common ~95%) makes the filtered-ANN failure mode measurable — at
+    // fixed nprobe a rare-label query's probed cells hold fewer than k
+    // matches, so it returns short results; the adaptive router picks
+    // np(q) from the per-(cell,label) histogram as the smallest ranked
+    // prefix holding k matches, FLOORED at the recall-tuned nprobe
+    // (escalate-only). Measured per class: np chosen, results returned,
+    // recall@3 vs exact same-label brute force, and rows read (the
+    // post-filter convention: every row of every probed cell). The claim:
+    // adaptive is IDENTICAL to fixed wherever fixed already yields k
+    // (same recall, same rows) and escalates exactly where it starves,
+    // restoring full k for the rare class at bounded extra rows.
+    val (adaptiveJson, adaptiveS) = timed {
+      val k = 3
+      val cls = when(pmod(col("vec_id"), lit(1000L)) < 2, "rare")
+        .when(pmod(col("vec_id"), lit(100L)) < 5, "mid").otherwise("common")
+      val slabeled = assigned.select(col("vec_id"), col("q"), col("cell"), cls.as("slabel"))
+        .localCheckpoint(eager = true)
+      // router metadata: per-(cell, slabel) histogram + per-cell row counts
+      // (C × |classes| rows — the driver-side collect is the same bounded
+      // metadata a 100 TB router holds broadcast)
+      val hist = slabeled.groupBy(col("cell"), col("slabel")).count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val cellRowCount = slabeled.groupBy(col("cell")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val classTotals = slabeled.groupBy(col("slabel")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def il2(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+      }
+      val classQueries = Seq("rare" -> 1000L, "mid" -> 104L, "common" -> 150L)
+      val perClass = classQueries.map { case (c, qid) =>
+        val qrow = slabeled.filter(col("vec_id") === qid).head()
+        assert(qrow.getString(3) == c, s"query $qid is not class $c")
+        val qq = qrow.getSeq[Long](1).toArray
+        val qcell = qrow.getLong(2)
+        val rankedCells = codebookArr.map { case (cid, cq) => (cid, il2(qq, cq)) }
+          .sortBy { case (cid, d) => (d, cid) }.map(_._1)
+        def matchesIn(cid: Long) =
+          hist.getOrElse((cid, c), 0L) - (if (cid == qcell) 1L else 0L)
+        val cum = rankedCells.scanLeft(0L)((acc, cid) => acc + matchesIn(cid)).drop(1)
+        // escalate-only: floored at the deployment's recall-tuned nprobe
+        // (the un-floored minimal prefix measurably traded recall for I/O
+        // on dense labels — np 2 vs 10 dropped mid-class recall to 0)
+        val npAdaptive = math.max(nProbe, cum.indexWhere(_ >= k) match {
+          case -1 => rankedCells.length
+          case i  => i + 1
+        })
+        val qlit = array(qq.map(lit): _*)
+        def top3Ids(np: Int): Seq[Long] = {
+          val cells = rankedCells.take(np)
+          slabeled.filter(col("cell").isin(cells.map(Long.box): _*))
+            .filter(col("slabel") === c && col("vec_id") =!= qid)
+            .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+              lit(2L) * graft.functions.longDot(col("q"), qlit))
+            .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+        }
+        val exact3 = slabeled.filter(col("slabel") === c && col("vec_id") =!= qid)
+          .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+            lit(2L) * graft.functions.longDot(col("q"), qlit))
+          .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        def leg(np: Int) = {
+          val ids = top3Ids(np)
+          val rowsRead = rankedCells.take(np).map(cellRowCount.getOrElse(_, 0L)).sum
+          (ids.size, ids.count(exact3), rowsRead)
+        }
+        val (resF, hitF, rowsF) = leg(nProbe)
+        val (resA, hitA, rowsA) = leg(npAdaptive)
+        // the serving rule's guarantee: the histogram prefix always yields
+        // full k results (the corpus holds >= k matches for every class)
+        assert(resA == k, s"adaptive nprobe returned $resA < $k for class $c")
+        def rec(h: Int) = fmt4(h.toDouble / exact3.size)
+        s"""{"class":"$c","selectivity":${fmt4(
+            classTotals(c).toDouble / rowsTotal)},""" +
+          s""""np_fixed":$nProbe,"results_fixed":$resF,"recall_fixed":${rec(hitF)},"rows_read_fixed":$rowsF,""" +
+          s""""np_adaptive":$npAdaptive,"results_adaptive":$resA,"recall_adaptive":${rec(hitA)},"rows_read_adaptive":$rowsA}"""
+      }
+      perClass.mkString("[", ",", "]")
+    }
+
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     val line =
       s"""{"metric":"ann_serving","preset":${Artifacts.jsonStr(preset)},"scale":$scale,""" +
@@ -449,6 +533,7 @@ object AnnDemo {
         s""""bytes_read_1q_postfilter":$bytesPost,"bytes_read_1q_partitioned":$bytesPart,""" +
         s""""io_reduction":${fmt(rowsPost.toDouble / math.max(1L, rowsPart))},""" +
         s""""results_equal":true},""" +
+        s""""adaptive_nprobe":$adaptiveJson,"adaptive_s":${fmt(adaptiveS)},""" +
         s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)

@@ -334,8 +334,27 @@ object IncrementalDemo {
           s""""diff_s":${fmt(diffS)},"slice_s":${fmt(sliceS)},"guard_s":${fmt(guardS)},""" +
           s""""assign_s":${fmt(assignS)},"merge_s":${fmt(mergeS)},"day_s":${fmt(daySec)}}"""
     }
+    // END-OF-WINDOW MAINTENANCE: in-place compaction through the same
+    // manifest (Layout.compactIvfInPlace) — heals the file-grain drift a
+    // merge-only regime accumulates (per-span size skew; byte-target
+    // drift as the corpus evolves) with NO reader path switch: the
+    // serving path keeps resolving the same directory and sees the
+    // compacted snapshot at the manifest flip. Row identity asserted.
+    val tCp = System.nanoTime()
+    val rowsBeforeCompact = graft.layout.Layout.readIvfLists(spark, listsPath).count()
+    val (filesBefore, filesAfter) = graft.layout.Layout.compactIvfInPlace(spark, listsPath,
+      targetFileBytes = math.max(1L, graft.layout.Layout.liveBytes(spark, listsPath) / 16))
+    val rowsAfterCompact = graft.layout.Layout.readIvfLists(spark, listsPath).count()
+    assert(rowsAfterCompact == rowsBeforeCompact,
+      s"in-place compaction changed the row count: $rowsBeforeCompact -> $rowsAfterCompact")
+    val compactS = (System.nanoTime() - tCp) / 1e9
+    println(s"[incremental] end-of-window compact: files $filesBefore -> $filesAfter " +
+      s"rows=$rowsAfterCompact (${fmt(compactS)} s)")
+
     s"""{"kind":"topical_3day","corpus_rows":$nCorpus,"num_cells":$numCells,""" +
       s""""num_files":$numFiles,"day0_setup_s":${fmt(setupS)},$reseedRecord""" +
+      s""""compact":{"files_before":$filesBefore,"files_after":$filesAfter,""" +
+      s""""rows_unchanged":true,"compact_s":${fmt(compactS)}},""" +
       s""""days":[${dayRecords.result().mkString(",")}]}"""
   }
 

@@ -617,6 +617,95 @@ object Layout extends Serializable {
       tombstones: DataFrame): (Int, Int) =
     mergeIvfDeltaStaged(spark, listsPath, delta, _ => (), Some(tombstones))
 
+  /** IN-PLACE compaction of a manifested inverted-list layout — the
+    * table-format "optimize" operation incremental ingest needs. Every
+    * [[mergeIvfDelta]] leaves one merged file per touched span, so a
+    * daily-merged layout fragments toward many sub-target files (more
+    * footer reads and scheduler tasks per probe, NameNode pressure);
+    * [[compact]]-to-a-new-path fixes the files but breaks serving
+    * continuity (every reader must switch paths). This folds the LIVE
+    * snapshot back to ~`targetFileBytes` files through the SAME staged
+    * commit protocol the merge uses — re-cluster on `cell` into a hidden
+    * swap dir, rename in (unlisted: readers still see the old snapshot),
+    * OCC head check, commit manifest v+1 listing ONLY the compacted
+    * files, GC with the one-version retention window — so readers never
+    * change paths: one resolved on snapshot v keeps every file through
+    * the compaction, one resolving after the commit sees the compacted
+    * set. Same rows, fewer files, disjoint cell spans restored at full
+    * width (daily merges only ever split spans; compaction is what heals
+    * them). Crash contract identical to the merge's: any boundary crash
+    * leaves a manifest listing each row exactly once, residue swept by
+    * the next successful commit. Returns (filesBefore, filesAfter).
+    */
+  def compactIvfInPlace(spark: SparkSession, listsPath: String,
+      targetFileBytes: Long): (Int, Int) =
+    compactIvfInPlaceStaged(spark, listsPath, targetFileBytes, _ => ())
+
+  private[graft] def compactIvfInPlaceStaged(spark: SparkSession, listsPath: String,
+      targetFileBytes: Long, onStage: String => Unit): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = fileSystem(spark, listsPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = readManifest(spark, listsPath).getOrElse(
+      sys.error(s"compactIvfInPlace requires a manifested layout at $listsPath " +
+        "(pre-manifest layouts: use compact to a new path, or merge once to seed one)"))
+    val nextVersion = manifest.version + 1
+    val liveNames = manifest.names
+    require(liveNames.nonEmpty, s"compactIvfInPlace: empty layout at $listsPath")
+    val totalBytes = liveNames.map(n =>
+      fs.getFileStatus(new Path(s"$listsPath/$n")).getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // (1) stage: the live snapshot re-clustered on cell (one range
+    // shuffle) into a hidden swap dir — the same write writeIvfClustered
+    // does, but against the MANIFEST's file set, never a raw dir scan
+    val df = spark.read.parquet(liveNames.map(nm => s"$listsPath/$nm"): _*)
+    val swap = s"$listsPath/.merge_swap-${System.nanoTime()}"
+    df.repartitionByRange(n, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(swap)
+    onStage("staged")
+    // (2) rename in; per-file min-cell routing stats come from the fresh
+    // footers (metadata-only, O(new files))
+    val swapDir = new Path(swap)
+    val newNames =
+      (if (fs.exists(swapDir)) fs.listStatus(swapDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex.map { case (st, j) =>
+          val name = s"compacted-${System.nanoTime()}-$j.parquet"
+          fs.rename(st.getPath, new Path(s"$listsPath/$name"))
+          name
+        }.toIndexedSeq
+    val mins = footerMins(conf, listsPath, newNames)
+    onStage("renamed_in")
+    // OCC: a concurrent merge/compaction won the head — abort and clean
+    // (same contract as the merge; commitManifest's exists-CAS backstops)
+    val headNow = manifestVersions(fs, listsPath).lastOption.map(_._1)
+    if (!headNow.contains(manifest.version)) {
+      newNames.foreach(nm => fs.delete(new Path(s"$listsPath/$nm"), false))
+      fs.delete(swapDir, true)
+      throw new ConcurrentCommitException(
+        s"manifest head at $listsPath moved to $headNow (expected " +
+          s"${manifest.version}) during compaction — staged files cleaned, retry")
+    }
+    // (3) COMMIT: the new manifest lists only the compacted files
+    commitManifest(fs, listsPath, nextVersion,
+      newNames.map(nm => ManifestEntry(nm, Some(mins(nm)))),
+      manifest.schemaJson.orElse(Some(df.schema.json)))
+    onStage("manifest_committed")
+    // (4) GC: retain this version and the previous (a reader on snapshot
+    // v keeps its files through the compaction); sweep everything else
+    val retained = newNames.toSet ++ liveNames
+    dataFileNames(fs, listsPath).filterNot(retained)
+      .foreach(nm => fs.delete(new Path(s"$listsPath/$nm"), false))
+    manifestVersions(fs, listsPath).filter(_._1 < nextVersion - 1)
+      .foreach { case (_, p) => fs.delete(p, false) }
+    fs.listStatus(new Path(listsPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".merge_swap"))
+      .foreach(st => fs.delete(st.getPath, true))
+    onStage("gc_done")
+    (liveNames.size, newNames.size)
+  }
+
   /** [[mergeIvfDelta]] with a stage hook for crash-window testing:
     * `onStage` fires at each commit-stage boundary ("staged",
     * "renamed_in", "manifest_committed", "gc_done"); a hook that throws

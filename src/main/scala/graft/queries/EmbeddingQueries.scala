@@ -1524,11 +1524,14 @@ object EmbeddingQueries extends QueryModule {
         // metadata maintained by the same merge that maintains the lists)
         // — and picks each query's probe count np(q) as the SMALLEST
         // distance-ranked cell prefix whose cumulative same-label count
-        // reaches k, capped at C when the whole corpus holds fewer than k
-        // matches. Candidates are then fetched from exactly those np(q)
-        // cells: no query reads more cells than its predicate needs, and
-        // every query gets its full min(k, available) results — the
-        // result-count guarantee a fixed-nprobe plan cannot make. A
+        // reaches k, FLOORED at the deployment's recall-tuned NumProbe
+        // (escalate-only: shrinking below the floor for dense labels
+        // would silently trade recall for I/O) and capped at C when the
+        // whole corpus holds fewer than k matches. Candidates are then
+        // fetched from exactly those np(q) cells: a starved query reads
+        // just enough extra cells, and every query gets its full
+        // min(k, available) results — the result-count guarantee a
+        // fixed-nprobe plan cannot make. A
         // deployment without the histogram runs the same rule as bounded
         // DOUBLING escalation (probe 2, 4, 8… cells until k matches
         // accumulate); the histogram form is that escalation's fixpoint
@@ -1556,9 +1559,15 @@ object EmbeddingQueries extends QueryModule {
             when(col("cell") === col("qcell"), lit(1L)).otherwise(lit(0L)))
           .withColumn("cum", sum(col("m")).over(
             Window.partitionBy(col("query_id")).orderBy(col("prk"))))
+        // ESCALATE-ONLY: the deployment's recall-tuned nprobe is the FLOOR
+        // (shrinking below it would trade recall for I/O behind the
+        // operator's back — AnnDemo's selectivity rung measured exactly
+        // that regression before the floor); escalation past it happens
+        // only when the floor's cells hold fewer than k matches
         val np = cum.groupBy(col("query_id")).agg(
-          coalesce(min(when(col("cum") >= 3, col("prk"))), max(col("prk")))
-            .cast("long").as("np_used"))
+          greatest(lit(NumProbe.toLong),
+            coalesce(min(when(col("cum") >= 3, col("prk"))), max(col("prk"))).cast("long"))
+            .as("np_used"))
         val probes = cum.join(broadcast(np), Seq("query_id"))
           .filter(col("prk") <= col("np_used"))
           .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"),
@@ -1592,7 +1601,7 @@ object EmbeddingQueries extends QueryModule {
              |      OVER (PARTITION BY r.query_id ORDER BY r.prk) AS cum
              |  FROM ranked r LEFT JOIN hist h ON h.cell = r.cell AND h.qlabel = r.qlabel),
              |np AS (SELECT query_id,
-             |    COALESCE(min(CASE WHEN cum >= 3 THEN prk END), max(prk)) AS np_used
+             |    greatest($NumProbe, COALESCE(min(CASE WHEN cum >= 3 THEN prk END), max(prk))) AS np_used
              |  FROM cm GROUP BY query_id),
              |probes AS (SELECT c.query_id, c.qlabel, c.qq, c.qn2, c.cell, n.np_used
              |  FROM cm c JOIN np n ON n.query_id = c.query_id WHERE c.prk <= n.np_used),
@@ -1605,7 +1614,7 @@ object EmbeddingQueries extends QueryModule {
              |  SELECT query_id, np_used, vec_id AS neighbor_id, adist,
              |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
              |  FROM cand) WHERE rk <= 3""".stripMargin),
-      "Adaptive-nprobe filtered search: per-query probe count picked from the per-(cell,label) router histogram as the smallest ranked-cell prefix holding k same-label candidates (capped at C) — every query gets min(k, available) results at minimal cell I/O, closing the fixed-nprobe selectivity caveat."
+      "Adaptive-nprobe filtered search: per-query probe count picked from the per-(cell,label) router histogram as the smallest ranked-cell prefix holding k same-label candidates, floored at the recall-tuned nprobe (escalate-only, capped at C) — every query gets min(k, available) results, closing the fixed-nprobe selectivity caveat without trading dense-label recall."
     )
   )
 }

@@ -734,6 +734,94 @@ class LayoutSpec extends SparkSpec {
     assert(rows2.filter(col("vec_id") === 70000L).collect().map(_.getLong(1)).toSeq === Seq(10L))
   }
 
+  test("compactIvfInPlace heals merge fragmentation behind the same manifest — readers never switch paths") {
+    // a layout whose file grain has drifted sub-target (the incremental
+    // pathology: the write geometry was sized for a smaller corpus, and
+    // daily merges skew individual file sizes as spans absorb deltas)
+    val df = spark.range(6400).select(col("id").as("vec_id"), (col("id") % 64).as("cell"))
+    val path = tmp("inplace")
+    Layout.writeIvfClustered(df, path, numFiles = 16)
+    var want = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (d <- 1 to 3) {
+      val delta = spark.range(6).select((col("id") + d * 10000L).as("vec_id"),
+        ((col("id") + d * 7) % 64).as("cell"))
+      Layout.mergeIvfDelta(spark, path, delta)
+      want = want ++ delta.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val fragmented = Layout.currentManifest(spark, path).get
+    assert(fragmented._2.size >= 16, s"fixture not fragmented: ${fragmented._2.size} files")
+    // a reader resolves the fragmented snapshot before the compaction
+    val pinnedPaths = fragmented._2.map(n => s"$path/$n")
+
+    val bytes = Layout.liveBytes(spark, path)
+    val (before, after) = Layout.compactIvfInPlace(spark, path, targetFileBytes = bytes / 4)
+    assert(before === fragmented._2.size)
+    assert(after < before && after >= 4 && after <= 6, s"$before -> $after files")
+    // same rows through the SAME path, no reader reconfiguration
+    val got = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want.sorted)
+    // the pinned reader's fragmented snapshot survives the compaction
+    // (one-version retention), completing its in-flight scan
+    assert(spark.read.parquet(pinnedPaths: _*).count() === want.size)
+    // disjoint spans are restored at full width...
+    liveFileRanges(path, "cell").sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlap after in-place compact")
+      case _                      =>
+    }
+    // ...and the compacted layout keeps merging and upserting correctly
+    val delta = spark.range(3).select((col("id") + 90000L).as("vec_id"), lit(5L).as("cell"))
+    val (rw, tot) = Layout.mergeIvfDelta(spark, path, delta)
+    assert(tot === after && rw < tot)
+    Layout.mergeIvfDeltaUpsert(spark, path,
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("vec_id", "cell"),
+      spark.createDataFrame(Seq((90000L, 5L))).toDF("vec_id", "cell"))
+    assert(Layout.readIvfLists(spark, path).count() === want.size + 2)
+  }
+
+  test("compactIvfInPlace crash windows and concurrent-writer abort mirror the merge's contract") {
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    val preRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (stage <- Seq("staged", "renamed_in", "manifest_committed")) {
+      val path = tmp(s"inplace-crash-$stage")
+      Layout.writeIvfClustered(df, path, numFiles = 8)
+      val bytes = Layout.liveBytes(spark, path)
+      val boom = intercept[RuntimeException] {
+        Layout.compactIvfInPlaceStaged(spark, path, bytes / 2,
+          st => if (st == stage) throw new RuntimeException(s"killed at $st"))
+      }
+      assert(boom.getMessage === s"killed at $stage")
+      // the reader sees the complete old snapshot until the commit point,
+      // the complete compacted one after — never a torn file set
+      val seen = Layout.readIvfLists(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(seen === preRows, s"torn snapshot after compaction crash at $stage")
+      // recovery: re-running converges and sweeps the crashed residue
+      Layout.compactIvfInPlace(spark, path, bytes / 2)
+      assert(Layout.readIvfLists(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === preRows)
+    }
+    // concurrent writer: a merge commits mid-compaction — the compaction
+    // loses the CAS, aborts cleanly, and a retry folds the merge's rows in
+    val path = tmp("inplace-occ")
+    Layout.writeIvfClustered(df, path, numFiles = 8)
+    val delta = spark.range(4).select((col("id") + 50000L).as("vec_id"), lit(3L).as("cell"))
+    val bytes = Layout.liveBytes(spark, path)
+    var raced = false
+    intercept[Layout.ConcurrentCommitException] {
+      Layout.compactIvfInPlaceStaged(spark, path, bytes / 2, st =>
+        if (st == "renamed_in" && !raced) {
+          raced = true; Layout.mergeIvfDelta(spark, path, delta)
+        })
+    }
+    val postMerge = (preRows ++ delta.collect().map(r => (r.getLong(0), r.getLong(1)))).sorted
+    assert(Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === postMerge)
+    Layout.compactIvfInPlace(spark, path, bytes / 2) // retry sees the merged head
+    assert(Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === postMerge)
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val path = tmp("hive")
     events.write.partitionBy("event_type").parquet(path)
