@@ -706,6 +706,52 @@ object Layout extends Serializable {
     (liveNames.size, newNames.size)
   }
 
+  /** Metadata-only compaction TRIGGER: does the live snapshot hold more
+    * than `slack` × the byte-ideal file count? One manifest read plus
+    * O(files) file-status calls — the check a maintenance scheduler runs
+    * per partition per cycle at 100 TB, cheap enough to run always.
+    * False for pre-manifest and empty layouts (nothing to heal or no
+    * protocol to heal it through).
+    */
+  def needsCompaction(spark: SparkSession, path: String, targetFileBytes: Long,
+      slack: Double = 2.0): Boolean =
+    readManifest(spark, path) match {
+      case Some(m) if m.entries.nonEmpty =>
+        val fs = fileSystem(spark, path)
+        val total = m.names.map(n =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$n")).getLen).sum
+        val ideal = math.max(1L, math.ceil(total.toDouble / targetFileBytes).toLong)
+        m.entries.size > ideal * slack
+      case _ => false
+    }
+
+  /** Maintenance sweep over a [[writePartitionedIvf]] layout: compact IN
+    * PLACE ([[compactIvfInPlace]]) every partition whose live file count
+    * exceeds `slack` × its byte-ideal ([[needsCompaction]]) — partitions
+    * at a healthy grain are not touched (no I/O, no manifest bump, their
+    * pinned readers unaffected). Each partition compacts against its own
+    * manifest with its own crash/OCC isolation, like the per-partition
+    * merges. Returns value → (filesBefore, filesAfter) for the
+    * partitions that compacted.
+    */
+  def compactPartitionedIvf(spark: SparkSession, path: String, partCol: String,
+      targetFileBytes: Long, slack: Double = 2.0): Map[String, (Int, Int)] = {
+    val fs = fileSystem(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val parts =
+      if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(dir).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    parts.sortBy(_.getPath.getName).flatMap { d =>
+      val sub = s"$path/${d.getPath.getName}"
+      if (needsCompaction(spark, sub, targetFileBytes, slack)) {
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getPath.getName.stripPrefix(s"$partCol="))
+        Some(value -> compactIvfInPlace(spark, sub, targetFileBytes))
+      } else None
+    }.toMap
+  }
+
   /** [[mergeIvfDelta]] with a stage hook for crash-window testing:
     * `onStage` fires at each commit-stage boundary ("staged",
     * "renamed_in", "manifest_committed", "gc_done"); a hook that throws

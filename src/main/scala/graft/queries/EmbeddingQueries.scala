@@ -1521,7 +1521,9 @@ object EmbeddingQueries extends QueryModule {
         // The router holds a per-(cell, label) candidate HISTOGRAM — C ×
         // |labels| rows, metadata-scale at any corpus size (1e5 cells ×
         // 1e3 labels = 1e8 histogram rows worst-case, still index-side
-        // metadata maintained by the same merge that maintains the lists)
+        // metadata advanced by the same delta the merge applies to the
+        // lists: IncrementalPipeline.updateHistogram, spec-pinned equal
+        // to a recompute after a mixed add/move/retract day)
         // — and picks each query's probe count np(q) as the SMALLEST
         // distance-ranked cell prefix whose cumulative same-label count
         // reaches k, FLOORED at the deployment's recall-tuned NumProbe

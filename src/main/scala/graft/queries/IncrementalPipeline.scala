@@ -113,4 +113,28 @@ object IncrementalPipeline {
   def updateCatalog(catalog: DataFrame, victims: DataFrame, assigned: DataFrame): DataFrame =
     catalog.join(victims.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .unionByName(assigned.select(col("vec_id"), col("cell")))
+
+  /** Fold one day's index maintenance into the router HISTOGRAM — the
+    * per-(cell, label) candidate counts `v24_adaptive_nprobe` picks probe
+    * counts from. The histogram is serving metadata exactly like the
+    * pk→cell catalog (bounded by C × |labels| rows at ANY corpus size),
+    * and it advances by the same delta the merge applies to the lists:
+    * victims' `(cell, label)` coordinates decrement, the day's assigned
+    * `(cell, label)` increment, entries reaching zero drop out (a count
+    * of 0 and an absent row are the same answer to the router, and
+    * keeping zeros would grow the histogram monotonically with label
+    * churn). Shape: two metadata-scale aggregates + one outer join on
+    * (cell, label) — never a corpus scan; the spec pins equality with a
+    * recomputed histogram after a mixed add/move/retract day.
+    */
+  def updateHistogram(hist: DataFrame, victims: DataFrame, assigned: DataFrame): DataFrame = {
+    val dec = victims.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("d"))
+    val inc = assigned.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("i"))
+    hist.join(dec, Seq("cell", "label"), "full_outer")
+      .join(inc, Seq("cell", "label"), "full_outer")
+      .select(col("cell"), col("label"),
+        (coalesce(col("n_cl"), lit(0L)) - coalesce(col("d"), lit(0L)) +
+          coalesce(col("i"), lit(0L))).as("n_cl"))
+      .filter(col("n_cl") > 0L)
+  }
 }

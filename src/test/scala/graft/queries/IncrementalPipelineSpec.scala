@@ -186,6 +186,44 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(stale.count(_._1 == 5L) === 2, s"expected the stale-catalog dup: $stale")
   }
 
+  test("updateHistogram advances the v24 router metadata by exactly the merge's delta") {
+    import spark.implicits._
+    // day-0 corpus: (vec_id, cell, label); histogram recomputed from it
+    val corpus0 = Seq(
+      (0L, 0L, "en"), (1L, 0L, "en"), (2L, 0L, "fr"),
+      (3L, 1L, "en"), (4L, 1L, "fr"), (5L, 2L, "fr"))
+      .toDF("vec_id", "cell", "label")
+    def histOf(c: org.apache.spark.sql.DataFrame) =
+      c.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+    val hist0 = histOf(corpus0)
+
+    // the day's maintenance: doc 2 moves cell 0→2 (label fr), doc 4 is
+    // retracted, doc 6 arrives new (cell 1, en), doc 5 re-embeds in place
+    val victims = Seq((2L, 0L, "fr"), (4L, 1L, "fr"), (5L, 2L, "fr"))
+      .toDF("vec_id", "cell", "label")
+    val assigned = Seq((2L, 2L, "fr"), (6L, 1L, "en"), (5L, 2L, "fr"))
+      .toDF("vec_id", "cell", "label")
+    val corpus1 = corpus0
+      .join(victims.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(assigned)
+
+    val got = IncrementalPipeline.updateHistogram(hist0, victims, assigned)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = histOf(corpus1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === want, "folded histogram diverged from the recomputed one")
+    // the (cell 1, fr) entry reached zero and DROPPED (absent == 0 to the
+    // router; keeping zeros would grow the histogram with label churn)
+    assert(!got.exists(t => t._1 == 1L && t._2 == "fr"))
+    // a stale victim (coordinates not in the histogram) no-ops instead of
+    // going negative — mirroring the lists' stale-tombstone contract
+    val stale = IncrementalPipeline.updateHistogram(
+      hist0, Seq((99L, 7L, "de")).toDF("vec_id", "cell", "label"),
+      assigned.filter(lit(false)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(stale === hist0.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq)
+  }
+
   test("drift re-seed mid-loop: a reader pinned to codebook rev N is unaffected by the rev N+1 publish") {
     import spark.implicits._
     // corpus with one DRIFTED cell: cell 0's serving centroid sits at the
