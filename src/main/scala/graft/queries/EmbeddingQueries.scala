@@ -1617,6 +1617,57 @@ object EmbeddingQueries extends QueryModule {
              |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
              |  FROM cand) WHERE rk <= 3""".stripMargin),
       "Adaptive-nprobe filtered search: per-query probe count picked from the per-(cell,label) router histogram as the smallest ranked-cell prefix holding k same-label candidates, floored at the recall-tuned nprobe (escalate-only, capped at C) — every query gets min(k, available) results, closing the fixed-nprobe selectivity caveat without trading dense-label recall."
+    ),
+    QueryDef(
+      "v25_histogram_fold",
+      (s, d) => {
+        // The v24 router histogram's MAINTENANCE path under the oracle
+        // gate: one synthetic maintenance day (movers, retractions,
+        // in-place re-embeds — each class a deterministic vec_id residue)
+        // is folded into the day-0 histogram by the PRODUCT function
+        // ([[IncrementalPipeline.updateHistogram]] — the same fold the
+        // incremental loop runs after every merge), and DuckDB recomputes
+        // the day-1 histogram directly from the day-1 corpus. Hash
+        // equality certifies the fold arithmetic end to end: decrement at
+        // victim coordinates, increment at assigned coordinates, exact
+        // cancellation for in-place re-embeds, and the zero-drop rule
+        // (a (cell,label) pair emptied by the day must VANISH, not
+        // linger at 0 — the recompute never emits empty groups, so a
+        // lingering zero is a row-count mismatch). The fold itself is two
+        // metadata-scale aggregates plus one outer join on (cell,label) —
+        // at 100 TB it touches delta-sized and histogram-sized tables
+        // only, never the corpus; this query's corpus-sized recompute of
+        // hist0 stands in for the persisted histogram the loop maintains.
+        val labeled = seedAssigned(s, d).select(col("vec_id"), col("cell"))
+          .join(quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+        val hist0 = labeled.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+        // C as a broadcast 1-row aggregate (no driver action) so the
+        // mover rule (cell+1 mod C) stays in-plan
+        val cTot = broadcast(cellSeed(s, d).agg(count(lit(1)).as("c_tot")))
+        // the day: vec_id%14==3 moves one cell over, vec_id%14==10 is
+        // retracted, vec_id%7==5 re-embeds in place (same coordinates)
+        val victims = labeled.filter(col("vec_id") % 7 === 3 || col("vec_id") % 7 === 5)
+        val movers = labeled.filter(col("vec_id") % 14 === 3).crossJoin(cTot)
+          .select(col("vec_id"), pmod(col("cell") + 1, col("c_tot")).as("cell"), col("label"))
+        val inplace = labeled.filter(col("vec_id") % 7 === 5)
+          .select(col("vec_id"), col("cell"), col("label"))
+        IncrementalPipeline.updateHistogram(hist0, victims, movers.unionByName(inplace))
+          .select(col("cell"), col("label"), col("n_cl"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "an", "assigned")},
+             |lab AS (SELECT a.vec_id, a.cell, b.label
+             |  FROM assigned a JOIN base b ON b.vec_id = a.vec_id),
+             |ct AS (SELECT count(*) AS c FROM cent),
+             |fin AS (
+             |  SELECT cell, label FROM lab WHERE vec_id % 7 <> 3 AND vec_id % 7 <> 5
+             |  UNION ALL
+             |  SELECT (l.cell + 1) % ct.c AS cell, l.label FROM lab l CROSS JOIN ct WHERE l.vec_id % 14 = 3
+             |  UNION ALL
+             |  SELECT cell, label FROM lab WHERE vec_id % 7 = 5)
+             |SELECT cell, label, count(*) AS n_cl FROM fin GROUP BY cell, label""".stripMargin),
+      "Router-histogram incremental fold: one maintenance day's victims/assigned delta folded into the per-(cell,label) candidate counts by the same updateHistogram the incremental loop runs, oracle-checked against a direct recompute of the day-1 corpus — certifying decrement/increment placement, in-place cancellation, and the zero-drop rule under the hash gate."
     )
   )
 }
