@@ -142,6 +142,12 @@ object IncrementalDemo {
     *  - per day: row accounting `rowsAfter == rowsPrior − tombs + assigned`
     *    MUST hold exactly (asserted), and the catalog advances with the
     *    index;
+    *  - the v24 ROUTER HISTOGRAM (per-(cell, label) candidate counts —
+    *    the metadata adaptive-nprobe picks probe counts from) advances by
+    *    the same victims/assigned delta via
+    *    [[graft.queries.IncrementalPipeline.updateHistogram]] and is
+    *    asserted equal to a recompute from the live index every day —
+    *    the serving-metadata twin of the row-accounting invariant;
     *  - before the FINAL day, the loop runs live codebook maintenance:
     *    the v20-rule drift audit picks the top-10 drifted cells, the v21
     *    local Lloyd step re-centers them ([[graft.queries.IvfCentroids
@@ -185,6 +191,22 @@ object IncrementalDemo {
     graft.layout.Layout.writeIvfClustered(assigned0, listsPath, numFiles)
     var catalogPath = s"$leg/catalog_d0"
     assigned0.select("vec_id", "cell").write.mode("overwrite").parquet(catalogPath)
+    // the v24 ROUTER HISTOGRAM, maintained by this same loop: per-(cell,
+    // label) candidate counts, label derived from the document's OPENING
+    // (so a topic-mover's rewrite changes its label — the adaptive-nprobe
+    // predicate the histogram routes is exactly this kind of
+    // content-derived facet). Day 0 builds it from the indexed corpus;
+    // every later day advances it by the merge's own delta
+    // (IncrementalPipeline.updateHistogram) and AUDITS the fold against a
+    // recompute from the live index — the demo-scale proof that the
+    // metadata-scale fold tracks the corpus-scale truth. Persisted like
+    // the catalog: a metadata-scale parquet beside the lists.
+    def labelOf(c: DataFrame) = c.select(col("doc_id").as("vec_id"),
+      pmod(xxhash64(element_at(split(col("text"), " "), 1)), lit(8L)).as("label"))
+    var histPath = s"$leg/hist_d0"
+    assigned0.select("vec_id", "cell").join(labelOf(kept0), Seq("vec_id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+      .write.mode("overwrite").parquet(histPath)
     // the codebook serves through its VERSIONED publication (rev 1 = the
     // day-0 seed): the mid-loop drift re-seed below bumps the revision and
     // every later day assigns against the new one, while a reader pinned
@@ -319,6 +341,31 @@ object IncrementalDemo {
       val catalogRows = spark.read.parquet(catalogPath).count()
       assert(catalogRows == rowsAfter,
         s"day $d catalog drifted from the index: $catalogRows != $rowsAfter")
+      // advance the router histogram by the SAME delta the merge applied:
+      // victims decrement at their catalog cell under YESTERDAY's label
+      // (the label their old vector was inserted under — a mover's label
+      // changes with its opening, so old and new coordinates differ in
+      // both axes), the kept delta increments at its new (cell, label).
+      // The fold touches delta-sized and histogram-sized tables only; the
+      // recompute below is the demo-scale AUDIT, not the maintenance path.
+      // (The drift re-seed is invisible here by construction: v21 keeps
+      // cell MEMBERSHIP, so the histogram's coordinates don't move.)
+      val victimsH = tombstones.join(labelOf(prior), Seq("vec_id"))
+      val assignedH = deltaAssigned.select("vec_id", "cell")
+        .join(labelOf(cur), Seq("vec_id"))
+      val histNext = IncrementalPipeline.updateHistogram(
+        spark.read.parquet(histPath), victimsH, assignedH)
+      val nextHist = s"$leg/hist_d$d"
+      histNext.write.mode("overwrite").parquet(nextHist)
+      histPath = nextHist
+      val histRows = spark.read.parquet(histPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val histTruth = graft.layout.Layout.readIvfLists(spark, listsPath)
+        .select("vec_id", "cell").join(labelOf(cur), Seq("vec_id"))
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(histRows == histTruth,
+        s"day $d router histogram diverged from the live index (${histRows.size} vs ${histTruth.size} rows)")
       prior = cur
       rowsPrior = rowsAfter
       val daySec = (System.nanoTime() - tDay) / 1e9
@@ -331,6 +378,7 @@ object IncrementalDemo {
           s""""assigned":$nAssigned,"tombstones":$nTombs,""" +
           s""""merge_files_rewritten":$filesRewritten,"merge_files_total":$filesTotal,""" +
           s""""index_rows_after":$rowsAfter,"catalog_rows":$catalogRows,""" +
+          s""""hist_rows":${histRows.size},"hist_consistent":true,""" +
           s""""diff_s":${fmt(diffS)},"slice_s":${fmt(sliceS)},"guard_s":${fmt(guardS)},""" +
           s""""assign_s":${fmt(assignS)},"merge_s":${fmt(mergeS)},"day_s":${fmt(daySec)}}"""
     }

@@ -700,6 +700,81 @@ object CurationQueries extends QueryModule {
       "Temperature (τ=0.5) source resampling: keep rate ∝ √n/Σ√n scaled to a budget, seeded-hash membership — the multilingual head-flattening mix rule, exact-integer weight arithmetic."
     ),
     QueryDef(
+      "m11_budget_select",
+      (s, d) => {
+        // m7's budgeter EXECUTED: the materialization step that emits the
+        // curated training set. Per source, documents rank by a
+        // deterministic quality score (type-token ratio in integer ppm —
+        // floor(distinct_tokens × 1e6 / tokens); exact across engines:
+        // operands ≤ 1e12 are exactly representable and a non-multiple
+        // quotient sits ≥ 1/nt > ulp away from any integer, so floor
+        // can't flip) and the selection keeps the cumulative-token PREFIX
+        // under the source's tiered target budget (m7's rule recomputed
+        // here so the two queries can't drift). Rank totality: the order
+        // key packs (quality desc, doc_id asc) into one long —
+        // doc_id − ppm × 1e9 — which is also what lets the prefix sum run
+        // SEGMENTED ([[PipelineFns.segmentedCumSum]]: parallel per-segment
+        // sums + broadcast segment offsets) instead of a per-source window
+        // that caps parallelism at #sources whatever the corpus size.
+        // Scale shape: one corpus scan, one (source, seg) shuffle for the
+        // prefix sum, budgets and offsets broadcast — never a sort of the
+        // whole corpus on one task.
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("nt"),
+            size(array_distinct(col("toks"))).cast("long").as("nd"))
+          .withColumn("qi",
+            floor(col("nd").cast("double") * lit(1000000) / col("nt").cast("double")).cast("long"))
+          .withColumn("ord", col("doc_id") - col("qi") * lit(1000000000L))
+        val per = base.groupBy(col("source"))
+          .agg(sum(col("nt")).cast("long").as("n_tokens"))
+          .withColumn("tier", lit(1L) +
+            pmod(col("source").substr(lit(4), length(col("source"))).cast("long"), lit(3L)))
+        // corpus totals via the m7 fold (collect_list over the
+        // n_sources-row aggregate — metadata-scale, no partition-less
+        // window, no second corpus scan)
+        val asArray = per
+          .agg(collect_list(struct(col("source"), col("n_tokens"), col("tier"))).as("rs"))
+          .select(col("rs"),
+            aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("n_tokens")).as("total_tokens"),
+            aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("tier")).as("total_tier"))
+        val budgets = asArray
+          .select(explode(col("rs")).as("r"), col("total_tokens"), col("total_tier"))
+          .withColumn("budget", floor(col("total_tokens").cast("double") / 2).cast("long"))
+          .select(col("r").getField("source").as("source"),
+            floor(col("budget").cast("double") * col("r").getField("tier") / col("total_tier"))
+              .cast("long").as("target_tokens"))
+        segmentedCumSum(base.select(col("doc_id"), col("source"), col("nt"), col("qi"), col("ord")),
+            Seq("source"), "ord", col("nt"), "cum_tokens", autoSegments(s))
+          .join(broadcast(budgets), Seq("source"))
+          .filter(col("cum_tokens") <= col("target_tokens"))
+          .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
+            col("qi").as("quality_ppm"), col("cum_tokens").cast("long").as("cum_tokens"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
+             |    CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) * 1000000 / len(toks)) AS BIGINT) AS qi
+             |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents)),
+             |per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |    1 + (CAST(substring(source, 4) AS BIGINT) % 3) AS tier
+             |  FROM q GROUP BY source),
+             |tot AS (SELECT *,
+             |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+             |    CAST(sum(tier) OVER () AS BIGINT) AS total_tier
+             |  FROM per),
+             |tgt AS (SELECT source,
+             |    CAST(floor(CAST(floor(CAST(total_tokens AS DOUBLE) / 2) AS DOUBLE) * tier / total_tier) AS BIGINT) AS target_tokens
+             |  FROM tot),
+             |sel AS (SELECT doc_id, source, nt, qi,
+             |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY (doc_id - qi * 1000000000) ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM q)
+             |SELECT s.source, s.doc_id, s.nt AS n_tokens, s.qi AS quality_ppm, s.cum_tokens
+             |FROM sel s JOIN tgt t ON t.source = s.source
+             |WHERE s.cum_tokens <= t.target_tokens""".stripMargin),
+      "Budget-capped quality selection: per source, docs ranked by integer-ppm type-token ratio take the cumulative-token prefix under m7's tiered target budget (segmented prefix sum, broadcast budgets) — the materialization step that emits the curated training set."
+    ),
+    QueryDef(
       "m6_stratified_sample",
       (s, d) => {
         // Deterministic stratified sampling — the data-mixing knob: each
