@@ -153,6 +153,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("m11_budget_select: segmented prefix sum + broadcast budgets (no per-source-only window, no shuffle join)") {
+    val df = SparkEntry.queries("m11_budget_select")(spark, sf)
+    // the corpus-scale cumulative window must carry the segment key next
+    // to source — partitioning by source alone caps parallelism at
+    // #sources whatever the corpus size (same contract as t8)
+    val rowWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.orderSpec.exists(_.child.references.exists(_.name == "ord")) => w
+    }
+    assert(rowWindows.nonEmpty, "m11 lost its cumulative window")
+    for (w <- rowWindows)
+      assert(w.partitionSpec.size >= 2,
+        s"m11 row-level window partitions only by ${w.partitionSpec}: one task per source")
+    // budgets and segment offsets join back via broadcast — the corpus
+    // side never shuffles for them
+    val p = plan("m11_budget_select")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m7_domain_mix: fold-and-explode totals — one corpus scan, no window, no join") {
     val p = plan("m7_domain_mix")
     // corpus totals via collect_list-fold-explode over the n_sources-row
