@@ -85,6 +85,17 @@ object ScaleBench {
     // corpus size) and the ranked-prefix window runs on queries × C rows,
     // so the curve must track v22's with a ~flat metadata increment
     "v24_adaptive_nprobe",
+    // router-histogram fold (round 14): the maintenance half of v24 — the
+    // fold is two delta/histogram-scale aggregates + one outer join, but
+    // this catalog form recomputes hist0 from the corpus, so its curve
+    // measures that corpus-side (cell, label) partial aggregate (output
+    // bounded by C × |labels| at ANY corpus size, like v20's)
+    "v25_histogram_fold",
+    // budget-capped selection (round 14): one corpus scan + the segmented
+    // (source, seg) prefix-sum shuffle + broadcast budgets — must go
+    // linear with a flat per-row constant; a super-linear bend here means
+    // the window degenerated to one-task-per-source
+    "m11_budget_select",
     // LSH geometry audit (round 11): the sample is pinned at
     // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
     // over the seeded hash), so this leg measures what the pin buys — the
