@@ -445,6 +445,25 @@ object StreamingOps {
     vecs.withColumn("cell", assignF(col("q")))
   }
 
+  /** Streaming router-histogram maintenance — the CDC form of
+    * [[graft.queries.IncrementalPipeline.updateHistogram]]: the index
+    * merge's change feed arrives as (cell, label, delta) rows (+1 per
+    * assigned vector — [[assignVectors]] upstream supplies the cell —
+    * −1 per tombstoned victim at its old coordinates) and a stateful
+    * streaming aggregation keeps the running per-(cell, label) candidate
+    * counts the v24 adaptive-nprobe router reads. State is
+    * histogram-sized (≤ C × |labels| rows at ANY ingest volume — the
+    * same bound as the batch fold). One honest divergence from the batch
+    * fold: an emptied coordinate's state row lingers at 0 (a streaming
+    * aggregation never deletes state on value), so the SERVED view
+    * filters `n_cl > 0` — the zero-drop rule applied at read time;
+    * batch/stream parity under that filter is spec-pinned against
+    * `updateHistogram` over the same change feed.
+    */
+  def histogramDeltas(changes: DataFrame): DataFrame =
+    changes.groupBy(col("cell"), col("label"))
+      .agg(sum(col("delta")).cast("long").as("n_cl"))
+
   /** Production state-store settings for the stateful guards (band-claim
     * dedup, sequence packing, sessionization): the RocksDB provider keeps
     * state off-heap and disk-spillable, so a band-claim store with one

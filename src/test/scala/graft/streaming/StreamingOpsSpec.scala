@@ -783,4 +783,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(Layout.mergeIvfDeltaOnce(s, lists, again, batchId = 99L))
     assert(Layout.readIvfLists(s, lists).count() === 8)
   }
+
+  test("histogramDeltas: streaming CDC counts match the batch updateHistogram fold (zero-drop at read)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val mem = MemoryStream[(Long, String, Long)] // (cell, label, delta)
+    val q = StreamingOps.histogramDeltas(mem.toDF().toDF("cell", "label", "delta"))
+      .writeStream.format("memory").queryName("hist_cdc").outputMode("complete").start()
+    try {
+      // day-0 inserts: the index build's change feed
+      mem.addData((0L, "en", 1L), (0L, "en", 1L), (0L, "fr", 1L),
+        (1L, "en", 1L), (1L, "fr", 1L), (2L, "fr", 1L))
+      q.processAllAvailable()
+      // the maintenance day as CDC: a mover 0→2 (fr), a retraction at
+      // (1, fr), an in-place re-embed at (2, fr) (−1 then +1, must cancel)
+      mem.addData((0L, "fr", -1L), (2L, "fr", 1L), (1L, "fr", -1L),
+        (2L, "fr", -1L), (2L, "fr", 1L))
+      q.processAllAvailable()
+      val got = s.table("hist_cdc").filter(col("n_cl") > 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+      // the batch fold over the same maintenance day
+      val hist0 = Seq((0L, "en", 2L), (0L, "fr", 1L), (1L, "en", 1L),
+        (1L, "fr", 1L), (2L, "fr", 1L)).toDF("cell", "label", "n_cl")
+      val victims = Seq((101L, 0L, "fr"), (102L, 1L, "fr"), (103L, 2L, "fr"))
+        .toDF("vec_id", "cell", "label")
+      val assigned = Seq((101L, 2L, "fr"), (103L, 2L, "fr"))
+        .toDF("vec_id", "cell", "label")
+      val want = graft.queries.IncrementalPipeline.updateHistogram(hist0, victims, assigned)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got === want, "streaming CDC histogram diverged from the batch fold")
+      // emptied coordinates (0,fr) and (1,fr) are absent from the served
+      // view even though their state rows linger at 0
+      assert(!got.exists(t => (t._1, t._2) == (0L, "fr")))
+      assert(!got.exists(t => (t._1, t._2) == (1L, "fr")))
+      assert(got.contains((2L, "fr", 2L)), s"in-place re-embed must cancel: $got")
+    } finally q.stop()
+  }
 }
