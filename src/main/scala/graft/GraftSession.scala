@@ -36,6 +36,22 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Size-adaptive shuffle parallelism: stages START at 2× cores and
+      // AQE coalesces small ones back to ~cores, so a wide stage's
+      // per-task working set no longer grows linearly with the corpus at
+      // a pinned partition count. Measured trigger: the ×10-corpus LSH
+      // band explode spilled ~2.9 GB/query at exactly-32 partitions
+      // (148 MB execution share per task, shuffle_audit_last.json); at
+      // 2× the same stages fit and spill goes back to zero. Why not
+      // higher: downstream stages inherit the count as their MAP side,
+      // where fewer rows per task weakens partial aggregation — measured
+      // at 4×, the banded-dedup family wrote +34% shuffle bytes and ran
+      // ~40% slower at the ×10 corpus, a worse trade than the spill it
+      // cured. On a cluster the same rule holds — start moderately high,
+      // let AQE right-size per stage at runtime.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (sys.env.getOrElse("SPARK_GRAFT_INIT_MULT", "2").toInt *
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // QA metadata maps follow Python-dict last-wins collision semantics
