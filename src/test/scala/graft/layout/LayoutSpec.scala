@@ -628,6 +628,47 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.currentManifest(spark, s"$path/label=0").exists(_._1 == 1L))
   }
 
+  test("partitioned layout: writers on different partitions commit independently (no false conflict)") {
+    // the partition-level concurrency contract at 100 TB: two schedulers
+    // merging DISJOINT partitions share no manifest, so neither can see
+    // (or cause) a CAS conflict — writer B completes a full merge on
+    // label=1 while writer A sits mid-commit (renamed_in) on label=0,
+    // and A still commits successfully. A same-partition race, by
+    // contrast, aborts at the CAS like any single-layout race.
+    val df = spark.range(600).select(col("id").as("vec_id"),
+      (col("id") % 2).as("label"), (col("id") % 8).as("cell"))
+    val path = tmp("partocc")
+    Layout.writePartitionedIvf(df, path, "label", numFiles = 2)
+    val deltaA = spark.range(3).select((col("id") + 7000L).as("vec_id"), lit(1L).as("cell"))
+    val deltaB = spark.range(4).select((col("id") + 8000L).as("vec_id"), lit(5L).as("cell"))
+    var interleaved = false
+    // A on label=0; B's full merge on label=1 fires inside A's commit window
+    Layout.mergeIvfDeltaStaged(spark, s"$path/label=0", deltaA, st =>
+      if (st == "renamed_in" && !interleaved) {
+        interleaved = true
+        Layout.mergeIvfDelta(spark, s"$path/label=1", deltaB)
+      })
+    assert(interleaved)
+    assert(Layout.readPartitionedIvf(spark, path, "label", 0L).count() === 303)
+    assert(Layout.readPartitionedIvf(spark, path, "label", 1L).count() === 304)
+    // both manifests advanced past the initial write's v1 — independently
+    assert(Layout.currentManifest(spark, s"$path/label=0").exists(_._1 == 2L))
+    assert(Layout.currentManifest(spark, s"$path/label=1").exists(_._1 == 2L))
+    // the same-partition race still aborts at the CAS
+    var raced = false
+    val e = intercept[Layout.ConcurrentCommitException] {
+      Layout.mergeIvfDeltaStaged(spark, s"$path/label=0",
+        spark.range(2).select((col("id") + 9000L).as("vec_id"), lit(2L).as("cell")),
+        st => if (st == "renamed_in" && !raced) {
+          raced = true
+          Layout.mergeIvfDelta(spark, s"$path/label=0",
+            spark.range(2).select((col("id") + 9500L).as("vec_id"), lit(6L).as("cell")))
+        })
+    }
+    assert(e.getMessage.contains("retry"), e.getMessage)
+    assert(Layout.readPartitionedIvf(spark, path, "label", 0L).count() === 305)
+  }
+
   test("concurrent writers: the loser aborts cleanly at the commit CAS and a retry converges") {
     // two schedulers race a merge on the same layout: writer A stages and
     // renames its files in, then — before A commits — writer B runs a full
