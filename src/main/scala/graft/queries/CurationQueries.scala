@@ -724,6 +724,10 @@ object CurationQueries extends QueryModule {
           .select(col("doc_id"), col("source"),
             size(col("toks")).cast("long").as("nt"),
             size(array_distinct(col("toks"))).cast("long").as("nd"))
+          // tokenless docs carry zero budget mass and would NaN the
+          // quality ratio (ANSI long-cast error) — gate them out; the
+          // testdata floor never exercises this, EdgeInputSpec does
+          .filter(col("nt") > 0)
           .withColumn("qi",
             floor(col("nd").cast("double") * lit(1000000) / col("nt").cast("double")).cast("long"))
           .withColumn("ord", col("doc_id") - col("qi") * lit(1000000000L))
@@ -754,7 +758,8 @@ object CurationQueries extends QueryModule {
       },
       Some(s"""WITH q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
              |    CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) * 1000000 / len(toks)) AS BIGINT) AS qi
-             |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents)),
+             |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents)
+             |  WHERE len(toks) > 0),
              |per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
              |    1 + (CAST(substring(source, 4) AS BIGINT) % 3) AS tier
              |  FROM q GROUP BY source),

@@ -62,4 +62,33 @@ class EdgeInputSpec extends SparkSpec {
     val noMerges = BpeTokenizer.pieceCounts(docs, Map.empty).collect()
     assert(noMerges.nonEmpty)
   }
+
+  test("m11_budget_select gates tokenless docs instead of NaN-casting the quality ratio") {
+    // run the ACTUAL catalog entry over a degenerate corpus: tokenless
+    // docs (null/empty/whitespace) would make nd/nt = 0/0 → NaN and an
+    // ANSI long-cast error without the nt > 0 gate; the testdata floor
+    // (10 tokens/doc) can never exercise this
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_m11").toString
+    val s = spark
+    import s.implicits._
+    // doc 8 is the only one that FITS its source's budget: totals 13
+    // tokens → budget 6; tiers src1=2/src3=1/src4=2 (total 5) → src4
+    // target floor(6·2/5)=2 ≥ its 2 tokens, while every other source's
+    // top-ranked doc overflows its target — so the expected selection is
+    // exactly {8}, proving the gate dropped tokenless docs rather than
+    // the whole corpus
+    val edge = docs.unionByName(Seq((8L, "one two", "src4")).toDF("doc_id", "text", "source"))
+    edge.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")),
+          org.apache.spark.sql.functions.lit(0)).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("m11_budget_select")(spark, dir).collect()
+    val keptIds = out.map(_.getLong(1)).toSet
+    // docs 2/3/5 are tokenless: never selected, never crashed the plan
+    assert(keptIds.intersect(Set(2L, 3L, 5L)).isEmpty, keptIds)
+    assert(keptIds === Set(8L), keptIds)
+  }
 }
