@@ -145,12 +145,16 @@ object CorpusDemo {
       f"lm=${stages.getLong(5)} sampled=${stages.getLong(6)} packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     // upsert keyed on (src, copies): the demo-scale and ×10 funnel lines
-    // coexist in one artifact instead of clobbering each other
-    val key = s""""src":${Artifacts.jsonStr(sfDir)},"copies":$copies"""
+    // coexist in one artifact instead of clobbering each other. The key
+    // INCLUDES the comma after the copies number: upsertLine matches by
+    // substring, and a bare `"copies":32` also matches `"copies":320` —
+    // a copies=32 refresh silently deleted the copies=320 capacity line
+    // before the terminator was added.
+    val key = s""""src":${Artifacts.jsonStr(sfDir)},"copies":$copies,"""
     Artifacts.upsertLine(
       sys.env.getOrElse("SPARK_GRAFT_TPUT_CORPUS_OUT", "throughput_corpus.json"),
       key,
-      f"""{"metric":"corpus_docs_per_s",$key%s,"value":${n / secs}%.0f,"docs":$n%d,"quality":${stages.getLong(1)}%d,"exact":${stages.getLong(2)}%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"lm":${stages.getLong(5)}%d,"sampled":${stages.getLong(6)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
+      f"""{"metric":"corpus_docs_per_s",$key%s"value":${n / secs}%.0f,"docs":$n%d,"quality":${stages.getLong(1)}%d,"exact":${stages.getLong(2)}%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"lm":${stages.getLong(5)}%d,"sampled":${stages.getLong(6)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
     funnel.unpersist()
     sig.unpersist()
     spark.stop()
