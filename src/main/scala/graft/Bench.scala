@@ -155,6 +155,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // stages start at the count the CORPUS warrants (1× at sf0.1, up to
+      // 4× at synthesized capacity corpora — same rule as GraftSession):
+      // the capacity sweep (bench_sf1_100tb) rides the spill fix, the
+      // demo sweep keeps 1× scheduling overhead on sub-second queries
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        GraftSession.initialPartitions(GraftSession.dirBytes(sfDir), cpus.toInt).toString)
       // wide generated plans (128-slice signatures at the capacity preset)
       // exceed the 25-field default and WARN-spam plan truncation notices
       .config("spark.sql.debug.maxToStringFields", "2000")

@@ -26,7 +26,74 @@ object GraftSession {
     catch { case _: Throwable => () }
   }
 
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+  /** Compressed-input bytes one INITIAL shuffle partition absorbs before
+    * the count steps up a core-multiple. Calibrated to the two measured
+    * operating points of this engine's heaviest stage (the LSH band
+    * explode, ~27× input→shuffle amplification): at the ×10 corpus
+    * (~175 MB parquet) exactly-32 partitions spilled ~2.9 GB/query
+    * (148 MB execution share per task) while 2×cores = 64 returned spill
+    * to zero, and at sf0.1 (~18 MB) a flat 2× start costs sub-second
+    * window/vector queries 64-task scheduling overhead AQE cannot recover
+    * (coalescing happens after the map side). 3 MB/core/multiple puts the
+    * step between those points: ≤ ~96 MB input → 1×, ~1 GB → capped 4×.
+    */
+  private val BytesPerCorePerStep = 3L << 20
+
+  /** Initial shuffle-partition count for a stage reading `inputBytes` of
+    * compressed input on `cores` cores: a CORE MULTIPLE (even wave
+    * scheduling) in [1×, 4×], stepping up with input volume. Why the cap:
+    * downstream stages inherit the count as their MAP side, where fewer
+    * rows per task weakens partial aggregation — measured at 4× on the
+    * ×10 corpus, banded dedup wrote +34% shuffle bytes and ran ~40%
+    * slower, so growth past 4× must come from a cluster's added cores,
+    * not more partitions per core.
+    */
+  def initialPartitions(inputBytes: Long, cores: Int): Int = {
+    val mult = math.min(4L, math.max(1L,
+      math.ceil(inputBytes.toDouble / (cores.toLong * BytesPerCorePerStep)).toLong))
+    (mult * cores).toInt
+  }
+
+  /** Total on-disk bytes under `dir` (driver-side metadata walk; 0 for a
+    * missing dir — sizing then defaults to 1×). At cluster scale this is
+    * the catalog's table statistics; here it is the corpus directory the
+    * main is about to read.
+    */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir.stripPrefix("file:")))
+  }
+
+  /** Re-size the session's AQE start parallelism for a corpus at `dir` —
+    * for mains that synthesize or switch corpora mid-session (ScaleBench
+    * sweeps ×1/×3/×10 in one JVM): `initialPartitionNum` is a runtime SQL
+    * conf, so each scale's stages start at the count ITS bytes warrant.
+    * Returns the count set.
+    */
+  def sizeShuffleFor(spark: SparkSession, dir: String): Int = {
+    val n = initialPartitions(dirBytes(dir), spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
+    n
+  }
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Size-adaptive shuffle parallelism, BY STAGE INPUT BYTES (see
+    // initialPartitions): stages start at an input-sized core multiple and
+    // AQE coalesces small ones back down, so a wide stage's per-task
+    // working set no longer grows linearly with the corpus at a pinned
+    // count, while small-corpus sessions keep the 1× start whose absence
+    // cost sub-second queries 2× in scheduling overhead (round-14 lesson:
+    // a FLAT 2× start fixed the ×10 spill but taxed every demo-scale
+    // query). SPARK_GRAFT_INIT_MULT stays as an explicit override for
+    // experiments; corpus-switching mains re-size via sizeShuffleFor.
+    val initial = sys.env.get("SPARK_GRAFT_INIT_MULT") match {
+      case Some(m) => m.toInt * cores
+      case None => initialPartitions(
+        dirBytes(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")), cores)
+    }
     SparkSession
       .builder()
       .master(master)
@@ -36,22 +103,7 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Size-adaptive shuffle parallelism: stages START at 2× cores and
-      // AQE coalesces small ones back to ~cores, so a wide stage's
-      // per-task working set no longer grows linearly with the corpus at
-      // a pinned partition count. Measured trigger: the ×10-corpus LSH
-      // band explode spilled ~2.9 GB/query at exactly-32 partitions
-      // (148 MB execution share per task, shuffle_audit_last.json); at
-      // 2× the same stages fit and spill goes back to zero. Why not
-      // higher: downstream stages inherit the count as their MAP side,
-      // where fewer rows per task weakens partial aggregation — measured
-      // at 4×, the banded-dedup family wrote +34% shuffle bytes and ran
-      // ~40% slower at the ×10 corpus, a worse trade than the spill it
-      // cured. On a cluster the same rule holds — start moderately high,
-      // let AQE right-size per stage at runtime.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (sys.env.getOrElse("SPARK_GRAFT_INIT_MULT", "2").toInt *
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // QA metadata maps follow Python-dict last-wins collision semantics
@@ -60,6 +112,7 @@ object GraftSession {
       // reads as a long; Tables/queries convert explicitly where needed
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -236,6 +236,11 @@ object ScaleBench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     for (name <- families)
       times(name) = scales.map { k =>
+        // each scale's stages start at the count ITS corpus bytes warrant
+        // (input-sized rule, GraftSession.initialPartitions): ×1 keeps the
+        // 1× start, ×10 gets the spill-free 2× — measured per point, not
+        // one flat multiplier across the sweep
+        GraftSession.sizeShuffleFor(spark, s"$workDir/x$k")
         val samples = Seq.fill(2)(coldRun(spark, s"$workDir/x$k", queryFn(name)))
         (samples.min, samples.max)
       }

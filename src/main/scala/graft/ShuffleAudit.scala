@@ -136,6 +136,9 @@ object ShuffleAudit {
       if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     GraftSession.quietStartupWarnings()
     val spark = GraftSession.getOrCreate()
+    // the audited dir may differ from the env the builder sized for (the
+    // ×10 leg passes a synthesized corpus as args(0)) — re-size for it
+    GraftSession.sizeShuffleFor(spark, sfDir)
     def mb(v: Long) = math.rint(v / 1048576.0 * 100) / 100
     val rows = names.map { n => n -> measure(spark, sfDir, n) }
     val zero = rows.collect { case (n, b) if b.shuffleWrite == 0 => n }

@@ -180,10 +180,45 @@ object Layout extends Serializable {
   /** A manifest commit lost the optimistic-concurrency race: another
     * writer advanced the manifest head between this merge's snapshot read
     * and its commit point. The losing merge has ALREADY cleaned up its
-    * staged files when this is thrown — the committed snapshot is intact
-    * and the merge is safely retryable (a re-run re-reads the new head).
+    * staged files when this is thrown — BOTH loss points (the head check
+    * after rename-in, and the exists-CAS inside the manifest commit) run
+    * the same staged-file cleanup before the exception escapes — so the
+    * committed snapshot is intact and the merge is safely retryable (a
+    * re-run re-reads the new head).
     */
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  /** Grace window before a sweep may delete ANOTHER writer's `.merge_swap-*`
+    * staging dir (by modification time). Without it, a winner's post-commit
+    * GC could rip a live concurrent writer's staging out from under its
+    * Spark write or rename-in loop — that loser was going to abort at the
+    * OCC check anyway, but it would die with an arbitrary FS/task error
+    * instead of the clean retryable [[ConcurrentCommitException]] the
+    * protocol promises. Ten minutes bounds any real staging write;
+    * truly-orphaned dirs (crashed writers) outlive it and get swept by the
+    * next commit's GC or [[gcOrphans]]. Test seam: spec cases shrink it to
+    * sweep deterministically.
+    */
+  @volatile private[graft] var swapGraceMs: Long = 10 * 60 * 1000L
+
+  /** Delete `.merge_swap-*` staging dirs (and `.manifest_tmp-*` residue)
+    * older than [[swapGraceMs]] — shared by every post-commit GC and by
+    * [[gcOrphans]]. Freshly created staging belongs to its own writer
+    * (abort path or a later sweep). Returns the number of paths deleted.
+    */
+  private def sweepStaleSwaps(fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
+    val cutoff = System.currentTimeMillis() - swapGraceMs
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count { st =>
+      val n = st.getPath.getName
+      val stale = st.getModificationTime < cutoff
+      val sweepable =
+        (st.isDirectory && n.startsWith(".merge_swap")) ||
+          (st.isFile && n.startsWith(".manifest_tmp"))
+      if (sweepable && stale) { fs.delete(st.getPath, st.isDirectory); true } else false
+    }
+  }
 
   private[graft] final case class ManifestSnapshot(version: Long,
       entries: Seq[ManifestEntry], schemaJson: Option[String]) {
@@ -679,18 +714,26 @@ object Layout extends Serializable {
     onStage("renamed_in")
     // OCC: a concurrent merge/compaction won the head — abort and clean
     // (same contract as the merge; commitManifest's exists-CAS backstops)
-    val headNow = manifestVersions(fs, listsPath).lastOption.map(_._1)
-    if (!headNow.contains(manifest.version)) {
+    def abortStaged(): Unit = {
       newNames.foreach(nm => fs.delete(new Path(s"$listsPath/$nm"), false))
       fs.delete(swapDir, true)
+    }
+    val headNow = manifestVersions(fs, listsPath).lastOption.map(_._1)
+    if (!headNow.contains(manifest.version)) {
+      abortStaged()
       throw new ConcurrentCommitException(
         s"manifest head at $listsPath moved to $headNow (expected " +
           s"${manifest.version}) during compaction — staged files cleaned, retry")
     }
-    // (3) COMMIT: the new manifest lists only the compacted files
-    commitManifest(fs, listsPath, nextVersion,
+    onStage("head_checked")
+    // (3) COMMIT: the new manifest lists only the compacted files. The
+    // exists-CAS loss inside commitManifest runs the SAME cleanup as the
+    // head-check abort — the exception's cleaned-up contract holds at both
+    // loss points.
+    try commitManifest(fs, listsPath, nextVersion,
       newNames.map(nm => ManifestEntry(nm, Some(mins(nm)))),
       manifest.schemaJson.orElse(Some(df.schema.json)))
+    catch { case e: ConcurrentCommitException => abortStaged(); throw e }
     onStage("manifest_committed")
     // (4) GC: retain this version and the previous (a reader on snapshot
     // v keeps its files through the compaction); sweep everything else
@@ -699,9 +742,11 @@ object Layout extends Serializable {
       .foreach(nm => fs.delete(new Path(s"$listsPath/$nm"), false))
     manifestVersions(fs, listsPath).filter(_._1 < nextVersion - 1)
       .foreach { case (_, p) => fs.delete(p, false) }
-    fs.listStatus(new Path(listsPath))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".merge_swap"))
-      .foreach(st => fs.delete(st.getPath, true))
+    // this compaction's own staging is already renamed away; other swap
+    // dirs are swept only past the grace window (a LIVE concurrent
+    // writer's staging must survive until its own OCC abort)
+    fs.delete(swapDir, true)
+    sweepStaleSwaps(fs, listsPath)
     onStage("gc_done")
     (liveNames.size, newNames.size)
   }
@@ -867,17 +912,24 @@ object Layout extends Serializable {
     // (unlisted, so no reader ever saw them) and throw retryable. The
     // exists-CAS inside commitManifest backstops the narrow window
     // between this check and the rename.
-    val headNow = manifestVersions(fs, listsPath).lastOption.map(_._1)
-    if (headNow != manifest.map(_.version)) {
+    def abortStaged(): Unit = {
       mergedEntries.result().foreach(e =>
         fs.delete(new Path(s"$listsPath/${e.name}"), false))
       fs.delete(swapDir, true)
+    }
+    val headNow = manifestVersions(fs, listsPath).lastOption.map(_._1)
+    if (headNow != manifest.map(_.version)) {
+      abortStaged()
       throw new ConcurrentCommitException(
         s"manifest head at $listsPath moved to $headNow (expected " +
           s"${manifest.map(_.version)}) during the merge — staged files cleaned, retry")
     }
+    onStage("head_checked")
     // (3) COMMIT: manifest v+1 = live − replaced + merged, one atomic
-    // rename — the instant readers switch snapshots
+    // rename — the instant readers switch snapshots. Losing the
+    // exists-CAS inside commitManifest runs the SAME cleanup as the
+    // head-check abort before the exception escapes (the exception's
+    // cleaned-up contract holds at both loss points).
     val replacedNames = touched.map(i => lows(i)._1).toSet
     val keptRaw = manifest.map(_.entries).getOrElse(liveNames.map(ManifestEntry(_, None)))
       .filterNot(e => replacedNames(e.name))
@@ -888,7 +940,8 @@ object Layout extends Serializable {
     val keptEntries = keptRaw.map(e =>
       if (e.lo.isDefined) e else e.copy(lo = Some(backfill(e.name))))
     val newEntries = keptEntries ++ mergedEntries.result()
-    commitManifest(fs, listsPath, nextVersion, newEntries, Some(schema.json))
+    try commitManifest(fs, listsPath, nextVersion, newEntries, Some(schema.json))
+    catch { case e: ConcurrentCommitException => abortStaged(); throw e }
     onStage("manifest_committed")
     // (4) GC with a ONE-VERSION retention window: keep the previous
     // manifest and every data file it references (a reader that resolved
@@ -901,14 +954,65 @@ object Layout extends Serializable {
       .foreach(n => fs.delete(new Path(s"$listsPath/$n"), false))
     manifestVersions(fs, listsPath).filter(_._1 < nextVersion - 1)
       .foreach { case (_, p) => fs.delete(p, false) }
-    // sweep ALL swap dirs, not just this merge's: a crashed writer's
-    // stale staging would otherwise accumulate forever (a live concurrent
-    // loser whose staging this sweeps was going to abort at the CAS anyway)
-    fs.listStatus(new Path(listsPath))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".merge_swap"))
-      .foreach(st => fs.delete(st.getPath, true))
+    // this merge's own staging is already renamed away; OTHER writers'
+    // swap dirs are swept only past the grace window — a LIVE concurrent
+    // loser's staging must survive until its own OCC abort (ripping it out
+    // mid-write would turn its clean retryable ConcurrentCommitException
+    // into an arbitrary FS/task failure), while a crashed writer's staging
+    // outlives the grace and is reclaimed here or by [[gcOrphans]]
+    fs.delete(swapDir, true)
+    sweepStaleSwaps(fs, listsPath)
     onStage("gc_done")
     (touched.length, lows.length)
+  }
+
+  /** STANDALONE crash-orphan GC — reclaim residue no manifest references
+    * WITHOUT waiting for the next successful commit: a writer killed
+    * between rename-in and commit leaks `merged-*`/`compacted-*` data
+    * files that are invisible to every reader (never listed) but hold
+    * bytes until the next merge's GC; a maintenance scheduler runs this
+    * sweep on its own cadence instead. Deletes, past the [[swapGraceMs]]
+    * grace window (modification time — freshly staged files may belong to
+    * a LIVE writer that has not reached its commit point):
+    *
+    *   - data files referenced by NO retained manifest version (the same
+    *     retention rule the post-commit GC applies: the head and its
+    *     predecessor keep every file they list, so snapshot reads and
+    *     time travel within the retention window are unaffected),
+    *   - stale `.merge_swap-*` staging dirs and `.manifest_tmp-*` residue,
+    *   - manifest versions below head−1 (composing with the snapshot-GC
+    *     retention policy).
+    *
+    * Pre-manifest layouts are left untouched (a raw dir has no liveness
+    * metadata to distinguish orphans). Returns the number of paths
+    * deleted. Safe to run concurrently with readers (only unreferenced
+    * paths are touched) and with writers (grace window; a racing writer's
+    * own commit-time GC deleting the same orphan first is benign — both
+    * sides tolerate a missing target).
+    */
+  def gcOrphans(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = fileSystem(spark, path)
+    val versions = manifestVersions(fs, path)
+    if (versions.isEmpty) return 0
+    val head = versions.last._1
+    val retainedManifests = versions.filter(_._1 >= head - 1)
+    val referenced = retainedManifests
+      .flatMap { case (v, p) => loadManifest(fs, v, p).names }.toSet
+    val cutoff = System.currentTimeMillis() - swapGraceMs
+    val dir = new Path(path)
+    var deleted = 0
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !referenced(n)
+          && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false); deleted += 1
+      }
+    }
+    versions.filter(_._1 < head - 1).foreach { case (_, p) =>
+      fs.delete(p, false); deleted += 1
+    }
+    deleted + sweepStaleSwaps(fs, path)
   }
 
   /** At-most-once wrapper for streaming index maintenance: fold a

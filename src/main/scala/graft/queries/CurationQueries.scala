@@ -711,11 +711,15 @@ object CurationQueries extends QueryModule {
         // can't flip) and the selection keeps the cumulative-token PREFIX
         // under the source's tiered target budget (m7's rule recomputed
         // here so the two queries can't drift). Rank totality: the order
-        // key packs (quality desc, doc_id asc) into one long —
-        // doc_id − ppm × 1e9 — which is also what lets the prefix sum run
-        // SEGMENTED ([[PipelineFns.segmentedCumSum]]: parallel per-segment
-        // sums + broadcast segment offsets) instead of a per-source window
-        // that caps parallelism at #sources whatever the corpus size.
+        // key is the COMPOSITE (−quality asc, doc_id asc) — two columns,
+        // not a packed long, so no doc_id domain bound exists (a packed
+        // doc_id − ppm×1e9 silently mis-ranks once ids reach 1e9, exactly
+        // the id range a 100 TB corpus hits) — and the prefix sum runs
+        // SEGMENTED on the bounded head column
+        // ([[PipelineFns.segmentedCumSumMulti]]: range-bucket −quality
+        // (∈ [−1e6, 0] always, ratio ≤ 1), parallel per-segment sums +
+        // broadcast segment offsets) instead of a per-source window that
+        // caps parallelism at #sources whatever the corpus size.
         // Scale shape: one corpus scan, one (source, seg) shuffle for the
         // prefix sum, budgets and offsets broadcast — never a sort of the
         // whole corpus on one task.
@@ -730,7 +734,10 @@ object CurationQueries extends QueryModule {
           .filter(col("nt") > 0)
           .withColumn("qi",
             floor(col("nd").cast("double") * lit(1000000) / col("nt").cast("double")).cast("long"))
-          .withColumn("ord", col("doc_id") - col("qi") * lit(1000000000L))
+          // head of the composite order key: quality DESC as a negated long
+          // (bounded: qi ∈ [0, 1e6]); doc_id asc breaks ties — see the
+          // rank-totality note above
+          .withColumn("negq", -col("qi"))
         val per = base.groupBy(col("source"))
           .agg(sum(col("nt")).cast("long").as("n_tokens"))
           .withColumn("tier", lit(1L) +
@@ -749,8 +756,8 @@ object CurationQueries extends QueryModule {
           .select(col("r").getField("source").as("source"),
             floor(col("budget").cast("double") * col("r").getField("tier") / col("total_tier"))
               .cast("long").as("target_tokens"))
-        segmentedCumSum(base.select(col("doc_id"), col("source"), col("nt"), col("qi"), col("ord")),
-            Seq("source"), "ord", col("nt"), "cum_tokens", autoSegments(s))
+        segmentedCumSumMulti(base.select(col("doc_id"), col("source"), col("nt"), col("qi"), col("negq")),
+            Seq("source"), Seq("negq", "doc_id"), col("nt"), "cum_tokens", autoSegments(s))
           .join(broadcast(budgets), Seq("source"))
           .filter(col("cum_tokens") <= col("target_tokens"))
           .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
@@ -771,7 +778,7 @@ object CurationQueries extends QueryModule {
              |    CAST(floor(CAST(floor(CAST(total_tokens AS DOUBLE) / 2) AS DOUBLE) * tier / total_tier) AS BIGINT) AS target_tokens
              |  FROM tot),
              |sel AS (SELECT doc_id, source, nt, qi,
-             |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY (doc_id - qi * 1000000000) ASC
+             |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY qi DESC, doc_id ASC
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
              |  FROM q)
              |SELECT s.source, s.doc_id, s.nt AS n_tokens, s.qi AS quality_ppm, s.cum_tokens

@@ -111,23 +111,44 @@ object PipelineFns {
     * orderable type, without the ceiling lift.
     */
   def segmentedCumSum(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCol: Column, cumName: String, segments: Int): DataFrame =
+    segmentedCumSumMulti(df, partCols, Seq(orderCol), valueCol, cumName, segments)
+
+  /** [[segmentedCumSum]] with a COMPOSITE order key: rows order by
+    * `(orderCols.head asc, orderCols.tail… asc)` within `partCols`, and the
+    * range-bucketed segmentation runs on the HEAD column only — monotone
+    * bucketing of the head keeps (seg, composite) order-equivalent to the
+    * composite itself, so the two-level sums are exact for any tail domain.
+    * This is what removes packed-key domain bounds: a caller that would
+    * otherwise squeeze (quality desc, doc_id asc) into one long — correct
+    * only while doc_id < 1e9 — passes the two columns as they are and no
+    * id range can silently mis-rank (m11's lesson).
+    *
+    * Caller contract as [[segmentedCumSum]], per composite key: HEAD column
+    * integral for the segmented path (tail columns may be any orderable
+    * type), composite unique within its partition.
+    */
+  def segmentedCumSumMulti(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
       valueCol: Column, cumName: String, segments: Int): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(orderCols.nonEmpty, "segmentedCumSum needs at least one order column")
     val pcols = partCols.map(col)
-    val integral = df.schema(orderCol).dataType match {
+    val orderKey = orderCols.map(c => col(c).asc)
+    val head = orderCols.head
+    val integral = df.schema(head).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
     if (segments <= 1 || !integral) {
-      val w = Window.partitionBy(pcols: _*).orderBy(col(orderCol).asc)
+      val w = Window.partitionBy(pcols: _*).orderBy(orderKey: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return df.withColumn(cumName, sum(valueCol).over(w))
     }
-    val bounds = df.agg(min(col(orderCol)).as("__omin"), max(col(orderCol)).as("__omax"))
+    val bounds = df.agg(min(col(head)).as("__omin"), max(col(head)).as("__omax"))
     val withSeg = df.crossJoin(broadcast(bounds))
-      .withColumn("__seg", segmentOf(col(orderCol), col("__omin"), col("__omax"), segments))
+      .withColumn("__seg", segmentOf(col(head), col("__omin"), col("__omax"), segments))
       .drop("__omin", "__omax")
-    val wLoc = Window.partitionBy(pcols :+ col("__seg"): _*).orderBy(col(orderCol).asc)
+    val wLoc = Window.partitionBy(pcols :+ col("__seg"): _*).orderBy(orderKey: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withSeg.withColumn("__lsum", sum(valueCol).over(wLoc))
     // Per-segment totals, aggregated from the window output: `local` is

@@ -914,6 +914,122 @@ class LayoutSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("gcOrphans reclaims a crashed writer's staged residue without waiting for the next merge") {
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    val path = tmp("gcorphans")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    // advance to v2 first, so retention (head + head−1) is actually in play
+    val d1 = spark.range(4).select((col("id") + 40000L).as("vec_id"), lit(2L).as("cell"))
+    Layout.mergeIvfDelta(spark, path, d1)
+    val committedRows = Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def digest(f: java.io.File) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    def topLevel = new java.io.File(path).listFiles
+    def orphanParquet(live: Set[String]) = topLevel
+      .filter(f => f.getName.endsWith(".parquet") && !live(f.getName)).map(_.getName).toSet
+    val liveBefore = (Layout.currentManifest(spark, path).get._2 ++
+      Layout.readIvfListsAsOf(spark, path, 1L).inputFiles
+        .map(p => new java.io.File(new java.net.URI(p).getPath).getName)).toSet
+    val liveDigests = topLevel.filter(f => liveBefore(f.getName))
+      .map(f => f.getName -> digest(f)).toMap
+    // writer killed between rename-in and commit: orphan merged-* files +
+    // a populated swap dir, referenced by no manifest
+    val d2 = spark.range(5).select((col("id") + 50000L).as("vec_id"), lit(7L).as("cell"))
+    intercept[RuntimeException] {
+      Layout.mergeIvfDeltaStaged(spark, path, d2,
+        st => if (st == "renamed_in") throw new RuntimeException("killed at renamed_in"))
+    }
+    assert(orphanParquet(liveBefore).nonEmpty, "fixture: crash left no orphans")
+    assert(topLevel.exists(_.getName.startsWith(".merge_swap")), "fixture: no swap residue")
+    // fresh residue is INSIDE the grace window: gcOrphans must not touch it
+    // (it may belong to a live writer that has not reached its commit point)
+    assert(Layout.gcOrphans(spark, path) === 0)
+    assert(orphanParquet(liveBefore).nonEmpty, "grace window ignored")
+    // past the grace window the sweep reclaims everything unreferenced
+    val saved = Layout.swapGraceMs
+    try {
+      Layout.swapGraceMs = 0L
+      assert(Layout.gcOrphans(spark, path) > 0)
+    } finally Layout.swapGraceMs = saved
+    assert(orphanParquet(liveBefore).isEmpty, "orphans survived the sweep")
+    assert(!topLevel.exists(_.getName.startsWith(".merge_swap")), "swap residue survived")
+    // the committed snapshot is untouched — byte-identical live files,
+    // same rows — and time travel within retention still works
+    topLevel.filter(f => liveBefore(f.getName)).foreach(f =>
+      assert(digest(f) === liveDigests(f.getName), s"live file ${f.getName} changed"))
+    assert(Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === committedRows)
+    assert(Layout.retainedVersions(spark, path) === Seq(1L, 2L))
+    assert(Layout.readIvfListsAsOf(spark, path, 1L).count() === 1600)
+    // a crash-free layout sweeps nothing; pre-manifest dirs are left alone
+    assert(Layout.gcOrphans(spark, path) === 0)
+    val raw = tmp("gcraw")
+    df.write.parquet(raw)
+    assert(Layout.gcOrphans(spark, raw) === 0)
+  }
+
+  test("losing the exists-CAS inside the manifest commit cleans staged files like the head-check abort") {
+    // the NARROW race: another writer commits between this merge's head
+    // check and its manifest rename. Simulated by committing a conflicting
+    // (content-identical) manifest v+1 from the head_checked hook — the
+    // exists-CAS then fires, and the loser must still clean its staged
+    // files before the retryable exception escapes (the exception's
+    // documented contract holds at BOTH loss points).
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    for (op <- Seq("merge", "compact")) {
+      val path = tmp(s"casloss-$op")
+      Layout.writeIvfClustered(df, path, numFiles = 4)
+      val preRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val v1Names = Layout.currentManifest(spark, path).get._2.toSet
+      def winnerCommits(): Unit = {
+        val dir = java.nio.file.Paths.get(path)
+        java.nio.file.Files.copy(dir.resolve("_graft_manifest-1"),
+          dir.resolve("_graft_manifest-2"))
+      }
+      val hook = (st: String) => if (st == "head_checked") winnerCommits()
+      val e = intercept[Layout.ConcurrentCommitException] {
+        if (op == "merge")
+          Layout.mergeIvfDeltaStaged(spark, path,
+            spark.range(3).select((col("id") + 60000L).as("vec_id"), lit(5L).as("cell")), hook)
+        else
+          Layout.compactIvfInPlaceStaged(spark, path,
+            Layout.liveBytes(spark, path) / 2, hook)
+      }
+      assert(e.getMessage.contains("already committed"), s"$op: ${e.getMessage}")
+      // staged residue cleaned: disk holds exactly the winner's snapshot
+      val onDisk = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(onDisk === v1Names, s"$op CAS loser left garbage: ${onDisk -- v1Names}")
+      assert(!new java.io.File(path).listFiles.exists(_.getName.startsWith(".merge_swap")),
+        s"$op CAS loser left its swap dir")
+      assert(Layout.readIvfLists(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === preRows, s"$op")
+    }
+  }
+
+  test("post-commit GC leaves a concurrent writer's FRESH staging alone (grace window)") {
+    val df = spark.range(800).select(col("id").as("vec_id"), (col("id") % 8).as("cell"))
+    val path = tmp("gcgrace")
+    Layout.writeIvfClustered(df, path, numFiles = 2)
+    // a concurrent writer's staging, mid-write (fresh mtime)
+    val foreign = new java.io.File(s"$path/.merge_swap-999")
+    foreign.mkdirs()
+    java.nio.file.Files.write(new java.io.File(foreign, "part-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val delta = spark.range(2).select((col("id") + 9000L).as("vec_id"), lit(1L).as("cell"))
+    Layout.mergeIvfDelta(spark, path, delta) // winner's commit + GC
+    assert(foreign.exists, "winner's GC ripped a live writer's fresh staging")
+    // past the grace window the same staging is reclaimed as a true orphan
+    val saved = Layout.swapGraceMs
+    try {
+      Layout.swapGraceMs = 0L
+      val d2 = spark.range(2).select((col("id") + 9500L).as("vec_id"), lit(2L).as("cell"))
+      Layout.mergeIvfDelta(spark, path, d2)
+    } finally Layout.swapGraceMs = saved
+    assert(!foreign.exists, "stale staging survived a post-grace GC")
+  }
+
   test("compact folds a many-file directory to the byte-targeted count") {
     val scattered = tmp("scattered")
     events.repartition(32).write.parquet(scattered)

@@ -160,7 +160,7 @@ class PlanSpec extends SparkSpec {
     // #sources whatever the corpus size (same contract as t8)
     val rowWindows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.orderSpec.exists(_.child.references.exists(_.name == "ord")) => w
+          if w.orderSpec.exists(_.child.references.exists(_.name == "negq")) => w
     }
     assert(rowWindows.nonEmpty, "m11 lost its cumulative window")
     for (w <- rowWindows)

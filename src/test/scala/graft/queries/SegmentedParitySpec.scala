@@ -91,4 +91,43 @@ class SegmentedParitySpec extends SparkSpec {
       assert(single.nonEmpty, label)
     }
   }
+
+  // ---- composite order key (m11's ranking shape) -------------------------
+
+  private val multiCases: Seq[(String, Seq[(String, Long, Long, Long)])] = Seq(
+    // the case the packed-long key got WRONG: ids past 1e9 with adjacent
+    // quality values — doc_id − qi×1e9 collides ranks here
+    "ids past 1e9 with adjacent qualities" ->
+      Seq(("a", -500000L, 2500000000L, 7L), ("a", -499999L, 3L, 5L),
+          ("a", -500000L, 12L, 11L), ("b", -1L, 4000000000L, 2L)),
+    "duplicate head keys (ties broken by second column)" ->
+      (1 to 60).map(i => ("s" + i % 2, -(i % 5).toLong, i.toLong, (i % 13).toLong)),
+    "single distinct head value (all rows one segment)" ->
+      (1 to 20).map(i => ("a", -3L, i.toLong * 1000000000L, i.toLong)),
+    "seeded random with negative heads" -> {
+      val r = new scala.util.Random(11)
+      (1 to 250).map(i => (s"s${r.nextInt(3)}", -r.nextInt(1000000).toLong,
+        r.nextLong(1L << 40) + (if (i % 2 == 0) 3000000000L else 0L), r.nextInt(50).toLong))
+    }
+  )
+
+  test("segmentedCumSumMulti composite (head, tiebreak) == single-window, beyond any packed-key id bound") {
+    for ((label, rows) <- multiCases) {
+      val df = rows.toDF("part", "negq", "doc_id", "v")
+      def run(segs: Int) = key(
+        PipelineFns.segmentedCumSumMulti(df, Seq("part"), Seq("negq", "doc_id"), col("v"), "cum", segs)
+          .select(col("part"), col("negq"), col("doc_id"), col("v"), col("cum")))
+      val single = run(1)
+      for (segs <- Seq(2, 7, 64))
+        assert(run(segs) == single, s"$label segments=$segs diverges")
+      // independent scala recompute of the composite-ordered prefix sums
+      val want = rows.groupBy(_._1).flatMap { case (p, rs) =>
+        val ranked = rs.sortBy(r => (r._2, r._3))
+        ranked.zip(ranked.scanLeft(0L)(_ + _._4).tail).map { case (r, c) =>
+          s"$p|${r._2}|${r._3}|${r._4}|$c"
+        }
+      }.toSeq.sorted
+      assert(single == want, s"$label diverges from the scala recompute")
+    }
+  }
 }
