@@ -421,19 +421,24 @@ object AnnDemo {
         s""""drift_after":${fmt(driftAfter)},"codebook_rev":$rev,"rows_touched":${ranked.length}}"""
     }
 
-    // 7. ADAPTIVE NPROBE (the v24 serving rule measured across label
-    // selectivities): a synthetic skewed label (rare 0.2% / mid ~5% /
-    // common ~95%) makes the filtered-ANN failure mode measurable — at
-    // fixed nprobe a rare-label query's probed cells hold fewer than k
-    // matches, so it returns short results; the adaptive router picks
-    // np(q) from the per-(cell,label) histogram as the smallest ranked
-    // prefix holding k matches, FLOORED at the recall-tuned nprobe
-    // (escalate-only). Measured per class: np chosen, results returned,
-    // recall@3 vs exact same-label brute force, and rows read (the
-    // post-filter convention: every row of every probed cell). The claim:
-    // adaptive is IDENTICAL to fixed wherever fixed already yields k
-    // (same recall, same rows) and escalates exactly where it starves,
-    // restoring full k for the rare class at bounded extra rows.
+    // 7. ADAPTIVE NPROBE + TIERED DISPATCH (the v24/v26 serving rules
+    // measured across label selectivities): a synthetic skewed label
+    // (rare 0.2% / mid ~5% / common ~95%) makes the filtered-ANN failure
+    // mode measurable — at fixed nprobe a rare-label query's probed cells
+    // hold fewer than k matches, so it returns short results; histogram
+    // escalation (v24) restores k RESULTS but not the right ones for the
+    // rare class, because a ~30-row class scattered over 1000 cells gives
+    // IVF routing no signal (round-14 measured recall 0.0 at np 10→34).
+    // The router therefore DISPATCHES on per-label mass (v26's rule): a
+    // class whose candidate mass sits at or under the I/O break-even —
+    // nprobe × average cell occupancy, the rows a FLOOR probe reads
+    // anyway — is served from its own label-partitioned inverted lists
+    // (exact within label, recall 1.0 by construction, rows read = the
+    // partition's own rows); denser classes keep the adaptive-nprobe
+    // rule, which is identical to fixed wherever fixed already yields k
+    // and escalates exactly where it starves. Measured per class: the
+    // tier chosen, np, results, recall@3 vs exact same-label brute
+    // force, and rows read.
     val (adaptiveJson, adaptiveS) = timed {
       val k = 3
       val cls = when(pmod(col("vec_id"), lit(1000L)) < 2, "rare")
@@ -449,6 +454,17 @@ object AnnDemo {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val classTotals = slabeled.groupBy(col("slabel")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the dispatch threshold, from the demo's own geometry: the rows a
+      // floor-nprobe probe reads anyway (nprobe cells × average
+      // occupancy) — a label partition at or under it is cheaper to scan
+      // outright AND exact (v26's RareMass pins the same rule's semantics
+      // under the oracle gate with a catalog-scale constant)
+      val breakEven = nProbe * (rowsTotal / math.max(1L, nCells))
+      // the rare tier's serving layout: inverted lists partitioned by the
+      // synthetic class — one manifested sub-layout per value, the
+      // directory-pruned read path the dispatch routes to
+      val byClassPath = s"$workDir/lists_by_class"
+      graft.layout.Layout.writePartitionedIvf(slabeled, byClassPath, "slabel", 2)
       def il2(a: Array[Long], b: Array[Long]): Long = {
         var s = 0L; var i = 0
         while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
@@ -492,15 +508,36 @@ object AnnDemo {
           (ids.size, ids.count(exact3), rowsRead)
         }
         val (resF, hitF, rowsF) = leg(nProbe)
-        val (resA, hitA, rowsA) = leg(npAdaptive)
-        // the serving rule's guarantee: the histogram prefix always yields
-        // full k results (the corpus holds >= k matches for every class)
-        assert(resA == k, s"adaptive nprobe returned $resA < $k for class $c")
+        // THE DISPATCH (v26's rule at the demo threshold): rare classes go
+        // to their own partition of the by-class layout — exact within
+        // label, read through the partition's manifest, rows read = the
+        // partition's rows (≤ break-even by the dispatch predicate)
+        val avail = classTotals(c) - 1
+        val (tier, npA, resA, hitA, rowsA) =
+          if (avail <= breakEven) {
+            val part = graft.layout.Layout
+              .readPartitionedIvf(spark, byClassPath, "slabel", c)
+            val ids = part.filter(col("vec_id") =!= qid)
+              .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+                lit(2L) * graft.functions.longDot(col("q"), qlit))
+              .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
+              .select("vec_id").collect().map(_.getLong(0)).toSeq
+            ("partitioned", 0, ids.size, ids.count(exact3), part.count())
+          } else {
+            val (r, h, rows) = leg(npAdaptive)
+            ("ivf", npAdaptive, r, h, rows)
+          }
+        // the serving rule's guarantee: every class returns full k (the
+        // corpus holds >= k matches per class), and the partitioned tier
+        // is EXACT — its hits are the brute-force answer by construction
+        assert(resA == k, s"$tier tier returned $resA < $k for class $c")
+        if (tier == "partitioned")
+          assert(hitA == exact3.size, s"partitioned tier missed exact neighbors for $c")
         def rec(h: Int) = fmt4(h.toDouble / exact3.size)
         s"""{"class":"$c","selectivity":${fmt4(
             classTotals(c).toDouble / rowsTotal)},""" +
           s""""np_fixed":$nProbe,"results_fixed":$resF,"recall_fixed":${rec(hitF)},"rows_read_fixed":$rowsF,""" +
-          s""""np_adaptive":$npAdaptive,"results_adaptive":$resA,"recall_adaptive":${rec(hitA)},"rows_read_adaptive":$rowsA}"""
+          s""""tier":"$tier","np_adaptive":$npA,"results_adaptive":$resA,"recall_adaptive":${rec(hitA)},"rows_read_adaptive":$rowsA}"""
       }
       perClass.mkString("[", ",", "]")
     }

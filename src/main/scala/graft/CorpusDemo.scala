@@ -93,6 +93,14 @@ object CorpusDemo {
       .join(lm, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
+        // m11's integer-ppm quality from the signals already computed
+        // (nd = n_tokens − n_dup_tokens): the budget leg below ranks on
+        // it without another pass over text. Tokenless docs guard to 0
+        // (they never survive the quality gate, but an unguarded NaN→long
+        // cast would ANSI-fail the whole funnel aggregate)
+        when(col("n_tokens") > 0,
+          floor((col("n_tokens") - col("n_dup_tokens")).cast("double") * lit(1000000)
+            / col("n_tokens").cast("double")).cast("long")).otherwise(lit(0L)).as("qi"),
         col("keep_quality"),
         (col("doc_id") =!= col("exact_rep")).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
@@ -114,22 +122,43 @@ object CorpusDemo {
       coalesce(sum(when(col("keep_quality") && !col("exact_dup") && !col("near_dup") && !col("contaminated") && col("lm_ok") && col("keep_sample"), 1L).otherwise(0L)), lit(0L)).as("sampled")
     ).collect()(0)
 
-    // survivors → offset-based sequence packing (t8 shape)
+    // survivors → m11 BUDGET SELECTION (the materialization step that
+    // emits the curated training set, run as the funnel's selection leg:
+    // per source, quality-ranked prefix under the tiered token target —
+    // the SAME CurationQueries.budgetSelect the oracle gate checks)
     val survivors = funnel.filter(
       col("keep_quality") && !col("exact_dup") && !col("near_dup") && !col("contaminated") && col("lm_ok") && col("keep_sample"))
+    val selected = CurationQueries.budgetSelect(
+      survivors.select(col("doc_id"), col("source"), col("n_tokens").as("nt"), col("qi")),
+      graft.queries.PipelineFns.autoSegments(spark)).cache()
+    // token accounting for the artifact: kept tokens vs tiered targets —
+    // the selection CONTRACT (kept ≤ target per source) asserted, not
+    // assumed
+    val budgetRows = selected.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("kept_tokens"),
+        max(col("target_tokens")).as("target_tokens")).collect()
+    budgetRows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"budget leg overflow: ${r.getString(0)} kept ${r.getLong(2)} > target ${r.getLong(3)}")
+    }
+    val budgetSelected = budgetRows.map(_.getLong(1)).sum
+    val budgetTokens = budgetRows.map(_.getLong(2)).sum
+    val budgetTargets = budgetRows.map(_.getLong(3)).sum
+
+    // selected set → offset-based sequence packing (t8 shape)
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // coalesce: sum over zero groups is null when every doc was gated out
-    val packs = survivors
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val packs = selected
+      .withColumn("start_offset", sum(col("nt")).over(w) - col("nt"))
       .withColumn("pack_id", (col("start_offset") / 4096L).cast("long"))
       .groupBy(col("source")).agg(countDistinct(col("pack_id")).as("n_packs"))
       .agg(coalesce(sum(col("n_packs")), lit(0L))).collect()(0).getLong(0)
 
-    // export stage: survivors as size-bounded parquet shards (the training
-    // export shape — bounded files regardless of partition skew)
+    // export stage: the budget-selected set as size-bounded parquet shards
+    // (the training export shape — bounded files regardless of skew)
     val outDir = args.lift(2).getOrElse("/tmp/graft_corpus_demo/packed")
-    survivors.select(col("doc_id"), col("source"), col("n_tokens"))
+    selected.select(col("doc_id"), col("source"), col("nt").as("n_tokens"), col("qi"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 500)
       .parquet(outDir)
@@ -142,7 +171,9 @@ object CorpusDemo {
     val n = stages.getLong(0)
     println(f"[corpus] funnel: input=${n} quality=${stages.getLong(1)} " +
       f"exact=${stages.getLong(2)} near=${stages.getLong(3)} decon=${stages.getLong(4)} " +
-      f"lm=${stages.getLong(5)} sampled=${stages.getLong(6)} packs=$packs shards=$nShards")
+      f"lm=${stages.getLong(5)} sampled=${stages.getLong(6)} " +
+      f"budget_selected=$budgetSelected (tokens $budgetTokens <= targets $budgetTargets) " +
+      f"packs=$packs shards=$nShards")
     println(f"[corpus] $n%d docs in $secs%.1f s (${n / secs}%.0f docs/s)")
     // upsert keyed on (src, copies): the demo-scale and ×10 funnel lines
     // coexist in one artifact instead of clobbering each other. The key
@@ -154,7 +185,8 @@ object CorpusDemo {
     Artifacts.upsertLine(
       sys.env.getOrElse("SPARK_GRAFT_TPUT_CORPUS_OUT", "throughput_corpus.json"),
       key,
-      f"""{"metric":"corpus_docs_per_s",$key%s"value":${n / secs}%.0f,"docs":$n%d,"quality":${stages.getLong(1)}%d,"exact":${stages.getLong(2)}%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"lm":${stages.getLong(5)}%d,"sampled":${stages.getLong(6)}%d,"packs":$packs%d,"sec":$secs%.1f}""")
+      f"""{"metric":"corpus_docs_per_s",$key%s"value":${n / secs}%.0f,"docs":$n%d,"quality":${stages.getLong(1)}%d,"exact":${stages.getLong(2)}%d,"near":${stages.getLong(3)}%d,"decon":${stages.getLong(4)}%d,"lm":${stages.getLong(5)}%d,"sampled":${stages.getLong(6)}%d,"budget_selected":$budgetSelected%d,"budget_tokens":$budgetTokens%d,"budget_targets":$budgetTargets%d,"packs":$packs%d,"sec":$secs%.1f}""")
+    selected.unpersist()
     funnel.unpersist()
     sig.unpersist()
     spark.stop()

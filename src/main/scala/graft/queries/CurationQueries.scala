@@ -75,6 +75,51 @@ object CurationQueries extends QueryModule {
     when(col("source") === "src1", lit(200L))
       .when(col("source") === "src2", lit(800L)).otherwise(lit(500L))
 
+  /** m11's budget selection as ONE function — the materialization step
+    * that emits the curated training set, shared by the m11_budget_select
+    * catalog query and [[graft.CorpusDemo]]'s funnel selection leg (a
+    * re-implementation in either place could silently drift from the
+    * oracle-gated rule). Input: one row per candidate document with
+    * `(doc_id, source, nt, qi)` — token count and integer-ppm quality.
+    * Per source, documents rank by (quality desc, doc_id asc) — the
+    * COMPOSITE key, no packed-long domain bound — and the selection keeps
+    * the cumulative-token PREFIX under the source's tiered target: tier =
+    * 1 + (source suffix % 3), budget = half the total token supply, each
+    * source's target = budget × tier / Σtier (m7's rule). Scale shape:
+    * one pass over the candidates, one (source, segment) shuffle for the
+    * segmented prefix sum, budgets and offsets broadcast.
+    * Returns `(source, doc_id, nt, qi, cum_tokens, target_tokens)` for
+    * the KEPT rows.
+    */
+  def budgetSelect(base: org.apache.spark.sql.DataFrame, segments: Int): org.apache.spark.sql.DataFrame = {
+    val withOrd = base.withColumn("negq", -col("qi"))
+    val per = base.groupBy(col("source"))
+      .agg(sum(col("nt")).cast("long").as("n_tokens"))
+      .withColumn("tier", lit(1L) +
+        pmod(col("source").substr(lit(4), length(col("source"))).cast("long"), lit(3L)))
+    // corpus totals via the m7 fold (collect_list over the n_sources-row
+    // aggregate — metadata-scale, no partition-less window, no second
+    // corpus scan)
+    val asArray = per
+      .agg(collect_list(struct(col("source"), col("n_tokens"), col("tier"))).as("rs"))
+      .select(col("rs"),
+        aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("n_tokens")).as("total_tokens"),
+        aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("tier")).as("total_tier"))
+    val budgets = asArray
+      .select(explode(col("rs")).as("r"), col("total_tokens"), col("total_tier"))
+      .withColumn("budget", floor(col("total_tokens").cast("double") / 2).cast("long"))
+      .select(col("r").getField("source").as("source"),
+        floor(col("budget").cast("double") * col("r").getField("tier") / col("total_tier"))
+          .cast("long").as("target_tokens"))
+    segmentedCumSumMulti(
+        withOrd.select(col("doc_id"), col("source"), col("nt"), col("qi"), col("negq")),
+        Seq("source"), Seq("negq", "doc_id"), col("nt"), "cum_tokens", segments)
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("target_tokens"))
+      .select(col("source"), col("doc_id"), col("nt"), col("qi"),
+        col("cum_tokens").cast("long").as("cum_tokens"), col("target_tokens"))
+  }
+
   /** GPT-2-style pre-tokenizer regex (t9), lookahead-free so Java regex
     * (Spark) and RE2 (DuckDB) agree: contraction suffixes, space-prefixed
     * letter runs, space-prefixed digit runs, space-prefixed punctuation
@@ -734,34 +779,12 @@ object CurationQueries extends QueryModule {
           .filter(col("nt") > 0)
           .withColumn("qi",
             floor(col("nd").cast("double") * lit(1000000) / col("nt").cast("double")).cast("long"))
-          // head of the composite order key: quality DESC as a negated long
-          // (bounded: qi ∈ [0, 1e6]); doc_id asc breaks ties — see the
-          // rank-totality note above
-          .withColumn("negq", -col("qi"))
-        val per = base.groupBy(col("source"))
-          .agg(sum(col("nt")).cast("long").as("n_tokens"))
-          .withColumn("tier", lit(1L) +
-            pmod(col("source").substr(lit(4), length(col("source"))).cast("long"), lit(3L)))
-        // corpus totals via the m7 fold (collect_list over the
-        // n_sources-row aggregate — metadata-scale, no partition-less
-        // window, no second corpus scan)
-        val asArray = per
-          .agg(collect_list(struct(col("source"), col("n_tokens"), col("tier"))).as("rs"))
-          .select(col("rs"),
-            aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("n_tokens")).as("total_tokens"),
-            aggregate(col("rs"), lit(0L), (a, x) => a + x.getField("tier")).as("total_tier"))
-        val budgets = asArray
-          .select(explode(col("rs")).as("r"), col("total_tokens"), col("total_tier"))
-          .withColumn("budget", floor(col("total_tokens").cast("double") / 2).cast("long"))
-          .select(col("r").getField("source").as("source"),
-            floor(col("budget").cast("double") * col("r").getField("tier") / col("total_tier"))
-              .cast("long").as("target_tokens"))
-        segmentedCumSumMulti(base.select(col("doc_id"), col("source"), col("nt"), col("qi"), col("negq")),
-            Seq("source"), Seq("negq", "doc_id"), col("nt"), "cum_tokens", autoSegments(s))
-          .join(broadcast(budgets), Seq("source"))
-          .filter(col("cum_tokens") <= col("target_tokens"))
+        // the selection itself is the shared [[budgetSelect]] — one
+        // definition for the catalog gate and the funnel demo's leg
+        budgetSelect(base.select(col("doc_id"), col("source"), col("nt"), col("qi")),
+            autoSegments(s))
           .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
-            col("qi").as("quality_ppm"), col("cum_tokens").cast("long").as("cum_tokens"))
+            col("qi").as("quality_ppm"), col("cum_tokens"))
       },
       Some(s"""WITH q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
              |    CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) * 1000000 / len(toks)) AS BIGINT) AS qi

@@ -35,6 +35,16 @@ object EmbeddingQueries extends QueryModule {
   private val NumProbe = 2 // IVF cells probed per query
   private val TrainIters = 2 // sampled-Lloyd rounds for the IVF codebook
   private val SampleMod = 4 // train on vec_id % 4 == 0 (deterministic sample)
+  /** v26's dispatch threshold: a label whose candidate mass (excluding the
+    * query itself) is at or under this routes to the EXACT
+    * label-partitioned tier — scanning its whole partition costs at most
+    * this many rows, which is already cheaper than the floor-nprobe IVF
+    * probe (NumProbe cells × avg occupancy ≈ 2 × n/C rows ≫ 16 at any
+    * serving geometry) AND exact, while IVF cell routing carries no
+    * signal for a class scattered this thin (the v24 escalation-curve
+    * lesson: recall 0.0 for the rare class at any np).
+    */
+  private val RareMass = 16
 
   /** Data-adaptive cell seed `(cid, cq)`: the first
     * `least(NumCells, greatest(1, floor((n/2)^(3/4))))` vectors
@@ -94,6 +104,22 @@ object EmbeddingQueries extends QueryModule {
   /** (vec_id, q, n2, cell) against the raw seed codebook — v7/v10/v12. */
   private def seedAssigned(s: SparkSession, d: String): DataFrame =
     cachedAssigned(s, d, "ivfSeedAssigned", cellSeed(s, d))
+
+  /** Pre-materialize the v-family's shared INDEX-side caches (codebooks +
+    * corpus→cell assignments) for `(s, d)` — the bench warmup hook. At a
+    * deployment these artifacts are BUILT once and PERSISTED
+    * ([[IvfCentroids.save]] + the materialized assignment beside it);
+    * every serving query reads them. A bench that lets the first measured
+    * sample of the first v-query pay sampled-Lloyd training measures
+    * index BUILD inside a SERVING number — at the ×10 corpus that showed
+    * as v6 max/min ≈ 4 (2.8 s warm vs 11.2 s training-loaded), pure
+    * structure, not noise. Build cost stays measured where it belongs:
+    * AnnDemo's build_s. Idempotent (SharedCaches registry).
+    */
+  def warmIndexCaches(s: SparkSession, d: String): Unit = {
+    seedAssigned(s, d)
+    trainedAssigned(s, d)
+  }
 
   /** The same cap as a SQL scalar subquery over the base CTE — the exact
     * Spark op sequence (divide, sqrt, multiply, sqrt, floor: all IEEE
@@ -1668,6 +1694,142 @@ object EmbeddingQueries extends QueryModule {
              |  SELECT cell, label FROM lab WHERE vec_id % 7 = 5)
              |SELECT cell, label, count(*) AS n_cl FROM fin GROUP BY cell, label""".stripMargin),
       "Router-histogram incremental fold: one maintenance day's victims/assigned delta folded into the per-(cell,label) candidate counts by the same updateHistogram the incremental loop runs, oracle-checked against a direct recompute of the day-1 corpus — certifying decrement/increment placement, in-place cancellation, and the zero-drop rule under the hash gate."
+    ),
+    QueryDef(
+      "v26_rare_label_dispatch",
+      (s, d) => {
+        // TIERED dispatch — the serving rule v24's escalation curve showed
+        // was still missing: for a RARE label (a 120-row class scattered
+        // over 1000 cells) IVF cell routing carries NO signal, so nprobe
+        // escalation fills k results with candidates that are not the true
+        // same-label neighbors (AnnDemo measured recall 0.0 for the
+        // 0.002-selectivity class even at np 10→34). The engine already
+        // owns the right tool for that regime: the label-PARTITIONED
+        // inverted lists behind v22 ([[graft.layout.Layout
+        // .writePartitionedIvf]] — exact within label, directory-pruned).
+        // This query pins the DISPATCH rule between the two tiers:
+        //
+        //   avail(label) = router-histogram label mass − self
+        //   avail ≤ RareMass → EXACT tier: scan the label's own partition
+        //     (≤ RareMass rows by construction — BOUNDED I/O, recall 1.0
+        //     by definition; at serving scale readPartitionedIvf resolves
+        //     the one subdirectory, in-catalog the same set arrives via a
+        //     broadcast flabel-join against the shared assignment)
+        //   avail > RareMass → IVF tier: v24's adaptive rule unchanged
+        //     (histogram-prefix np, escalate-only above the recall floor)
+        //
+        // The histogram the router already maintains (v24/v25) answers the
+        // dispatch predicate for free — mass is its per-label rollup,
+        // |labels| rows. Rarity is synthesized deterministically (the
+        // testdata's labels are uniform): vec_id % 50 == 7 rows move to
+        // fine classes 100 + vec_id % 3, giving three ~3-member classes
+        // beside the ~50-member dense ones; query 7 lands rare, 0–6 dense,
+        // so both tiers sit under the one hash gate. Output carries the
+        // tier and np_used (0 = exact-tier partition scan) so the artifact
+        // shows which rule served each query.
+        val assigned = seedAssigned(s, d).select(col("vec_id"), col("q"), col("n2"), col("cell"))
+        val labeled = assigned.join(
+            quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+          .withColumn("flabel",
+            when(col("vec_id") % 50 === 7, lit(100L) + col("vec_id") % 3)
+              .otherwise(col("label").cast("long")))
+          .drop("label")
+        val hist = labeled.groupBy(col("cell"), col("flabel")).agg(count(lit(1)).as("n_cl"))
+          .withColumnRenamed("flabel", "qlabel")
+        // the dispatch predicate: the router histogram's per-label rollup
+        val mass = hist.groupBy(col("qlabel")).agg(sum(col("n_cl")).as("n_label"))
+        val queries = labeled.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("flabel").as("qlabel"),
+            col("q").as("qq"), col("n2").as("qn2"), col("cell").as("qcell"))
+          .join(broadcast(mass), Seq("qlabel"))
+          .withColumn("avail", col("n_label") - 1)
+        def top3(cand: DataFrame): DataFrame =
+          cand.withColumn("adist",
+              col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+            .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("adist").asc, col("vec_id").asc)))
+            .filter(col("rk") <= 3)
+        // EXACT tier: the rare label's whole partition — ≤ RareMass rows
+        val exact = top3(labeled
+            .join(broadcast(queries.filter(col("avail") <= RareMass)
+                .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"))),
+              col("flabel") === col("qlabel") && col("vec_id") =!= col("query_id")))
+          .select(col("query_id"), lit("exact").as("tier"), lit(0L).as("np_used"),
+            col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("adist"))
+        // IVF tier: v24's adaptive rule over the dense queries
+        val denseQ = queries.filter(col("avail") > RareMass)
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"), col("qcell"))
+        val ranked = denseQ.join(broadcast(cellSeed(s, d)))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(IvfCentroids.l2(col("qq"), col("cq")).asc, col("cid").asc)))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"), col("qcell"),
+            col("cid").as("cell"), col("prk"))
+        val cum = ranked.join(broadcast(hist), Seq("cell", "qlabel"), "left")
+          .withColumn("m", coalesce(col("n_cl"), lit(0L)) -
+            when(col("cell") === col("qcell"), lit(1L)).otherwise(lit(0L)))
+          .withColumn("cum", sum(col("m")).over(
+            Window.partitionBy(col("query_id")).orderBy(col("prk"))))
+        val np = cum.groupBy(col("query_id")).agg(
+          greatest(lit(NumProbe.toLong),
+            coalesce(min(when(col("cum") >= 3, col("prk"))), max(col("prk"))).cast("long"))
+            .as("np_used"))
+        val probes = cum.join(broadcast(np), Seq("query_id"))
+          .filter(col("prk") <= col("np_used"))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"),
+            col("cell"), col("np_used"))
+        val ivf = top3(assigned.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .join(labeled.select(col("vec_id"), col("flabel")), Seq("vec_id"))
+            .filter(col("flabel") === col("qlabel")))
+          .select(col("query_id"), lit("ivf").as("tier"), col("np_used"),
+            col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("adist"))
+        exact.unionByName(ivf)
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "rd", "assigned")},
+             |lab AS (SELECT a.vec_id, a.q, a.n2, a.cell,
+             |    CAST(CASE WHEN a.vec_id % 50 = 7 THEN 100 + a.vec_id % 3 ELSE b.label END AS BIGINT) AS flabel
+             |  FROM assigned a JOIN base b ON b.vec_id = a.vec_id),
+             |hist AS (SELECT cell, flabel AS qlabel, count(*) AS n_cl FROM lab GROUP BY cell, flabel),
+             |mass AS (SELECT qlabel, CAST(sum(n_cl) AS BIGINT) AS n_label FROM hist GROUP BY qlabel),
+             |qs AS (SELECT l.vec_id AS query_id, l.flabel AS qlabel, l.q AS qq, l.n2 AS qn2,
+             |    l.cell AS qcell, m.n_label - 1 AS avail
+             |  FROM lab l JOIN mass m ON m.qlabel = l.flabel WHERE l.vec_id < 8),
+             |exact_cand AS (SELECT q.query_id, l.vec_id,
+             |    CAST(l.n2 - 2 * ${idotSql("l.q", "q.qq")} + q.qn2 AS BIGINT) AS adist
+             |  FROM qs q JOIN lab l ON l.flabel = q.qlabel AND l.vec_id <> q.query_id
+             |  WHERE q.avail <= $RareMass),
+             |ex AS (SELECT query_id, 'exact' AS tier, CAST(0 AS BIGINT) AS np_used,
+             |    CAST(rk AS BIGINT) AS rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM exact_cand) WHERE rk <= 3),
+             |ranked AS (SELECT q.query_id, q.qlabel, q.qq, q.qn2, q.qcell, c.cid AS cell,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${l2ListSql("q.qq", "c.cq")} ASC, c.cid ASC) AS prk
+             |  FROM qs q CROSS JOIN cent c WHERE q.avail > $RareMass),
+             |cm AS (SELECT r.query_id, r.qlabel, r.qq, r.qn2, r.cell, r.prk,
+             |    sum(COALESCE(h.n_cl, 0) - CASE WHEN r.cell = r.qcell THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY r.query_id ORDER BY r.prk) AS cum
+             |  FROM ranked r LEFT JOIN hist h ON h.cell = r.cell AND h.qlabel = r.qlabel),
+             |np AS (SELECT query_id,
+             |    greatest($NumProbe, COALESCE(min(CASE WHEN cum >= 3 THEN prk END), max(prk))) AS np_used
+             |  FROM cm GROUP BY query_id),
+             |probes AS (SELECT c.query_id, c.qlabel, c.qq, c.qn2, c.cell, n.np_used
+             |  FROM cm c JOIN np n ON n.query_id = c.query_id WHERE c.prk <= n.np_used),
+             |ivf_cand AS (SELECT p.query_id, p.np_used, a.vec_id,
+             |    CAST(a.n2 - 2 * ${idotSql("a.q", "p.qq")} + p.qn2 AS BIGINT) AS adist
+             |  FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN lab l ON l.vec_id = a.vec_id AND l.flabel = p.qlabel),
+             |iv AS (SELECT query_id, 'ivf' AS tier, CAST(np_used AS BIGINT) AS np_used,
+             |    CAST(rk AS BIGINT) AS rk, neighbor_id, adist FROM (
+             |  SELECT query_id, np_used, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM ivf_cand) WHERE rk <= 3)
+             |SELECT * FROM ex UNION ALL SELECT * FROM iv""".stripMargin),
+      "Tiered rare-label dispatch: the router histogram's per-label mass routes rare labels (avail <= threshold) to the exact label-partitioned tier (bounded rows, recall 1.0 by construction — v22's partitioned-list layout at serving scale) and dense labels to v24's adaptive-nprobe rule — closing the scattered-rare-label regime where IVF cell routing carries no signal."
     )
   )
 }
