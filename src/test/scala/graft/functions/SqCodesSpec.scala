@@ -60,20 +60,28 @@ class SqCodesSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-sq8-bytes").toString
     def bytesOf(sub: String): Long = new java.io.File(s"$dir/$sub").listFiles
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
-    df.select($"vec_id", $"cell", packU8($"codes").as("code"))
-      .coalesce(1).write.parquet(s"$dir/sq8")
+    // PIN the writer geometry the ratio windows assume: snappy + format v1
+    // encodings (plain floats, dictionary/bit-packed ints). A Spark/
+    // parquet-mr dependency bump that flips a default (zstd, v2's
+    // BYTE_STREAM_SPLIT for floats) would otherwise move these file sizes
+    // and flake the windows with the codec under test unchanged.
+    def write(d: org.apache.spark.sql.DataFrame, sub: String): Unit =
+      d.coalesce(1).write
+        .option("compression", "snappy")
+        .option("parquet.writer.version", "PARQUET_1_0")
+        .option("parquet.enable.dictionary", "true")
+        .parquet(s"$dir/$sub")
+    write(df.select($"vec_id", $"cell", packU8($"codes").as("code")), "sq8")
     // the serving layout contract: codes land as BINARY, not array<*>
     assert(spark.read.parquet(s"$dir/sq8").schema("code").dataType ===
       org.apache.spark.sql.types.BinaryType)
     // fp32 tier: entropy-saturated floats at the same shape
-    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat()), (i % 50).toLong))
-      .toDF("vec_id", "embedding", "cell")
-      .coalesce(1).write.parquet(s"$dir/fp32")
+    write((0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat()), (i % 50).toLong))
+      .toDF("vec_id", "embedding", "cell"), "fp32")
     // grid tier: 11-bit integer coords as array<bigint> (QuantizeVec's
     // [0, 2047] range at the demo scale factor)
-    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextInt(2048).toLong), (i % 50).toLong))
-      .toDF("vec_id", "q", "cell")
-      .coalesce(1).write.parquet(s"$dir/grid")
+    write((0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextInt(2048).toLong), (i % 50).toLong))
+      .toDF("vec_id", "q", "cell"), "grid")
     val (sq8B, fpB, gridB) = (bytesOf("sq8"), bytesOf("fp32"), bytesOf("grid"))
     // layout bound: 1 B/dim plus <= 24 B/row of key+page overhead
     val perRow = sq8B.toDouble / n
