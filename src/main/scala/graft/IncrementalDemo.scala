@@ -398,11 +398,25 @@ object IncrementalDemo {
     val compactS = (System.nanoTime() - tCp) / 1e9
     println(s"[incremental] end-of-window compact: files $filesBefore -> $filesAfter " +
       s"rows=$rowsAfterCompact (${fmt(compactS)} s)")
+    // …followed by the crash-orphan GC sweep ([[graft.layout.Layout
+    // .gcOrphans]]): the standalone reclaim a maintenance scheduler runs
+    // on its own cadence for residue a killed writer left between
+    // rename-in and commit. A healthy loop reclaims ZERO paths — that 0
+    // is the committed evidence the merge/compaction protocol leaks
+    // nothing — and the snapshot must be untouched either way. (Grace
+    // window left at default: anything it would sweep here would be a
+    // protocol leak, not staged work.)
+    val gcReclaimed = graft.layout.Layout.gcOrphans(spark, listsPath)
+    val rowsAfterGc = graft.layout.Layout.readIvfLists(spark, listsPath).count()
+    assert(rowsAfterGc == rowsAfterCompact,
+      s"gcOrphans disturbed the live snapshot: $rowsAfterCompact -> $rowsAfterGc")
+    println(s"[incremental] end-of-window gcOrphans: reclaimed=$gcReclaimed (expect 0 when healthy)")
 
     s"""{"kind":"topical_3day","corpus_rows":$nCorpus,"num_cells":$numCells,""" +
       s""""num_files":$numFiles,"day0_setup_s":${fmt(setupS)},$reseedRecord""" +
       s""""compact":{"files_before":$filesBefore,"files_after":$filesAfter,""" +
       s""""rows_unchanged":true,"compact_s":${fmt(compactS)}},""" +
+      s""""gc_orphans_reclaimed":$gcReclaimed,""" +
       s""""days":[${dayRecords.result().mkString(",")}]}"""
   }
 

@@ -28,6 +28,13 @@ object CurationQueries extends QueryModule {
   /** Token budget per pack (t8): the classic 4k context window. */
   private val PackBudget = 4096L
 
+  /** Token budget per export shard (t19) — a demo-scale constant sized so
+    * the testdata's ~27k-token corpus splits into ~13 shards (enough to
+    * check balance and hash-dispersion); at a deployment this is the
+    * loader's work-unit knob, typically GBs of tokens.
+    */
+  private val ShardBudget = 2048L
+
   /** The stateless curation stage as one column program over (doc_id, text,
     * source): repetition signals → keep gate → stratified-sample gate.
     * Shared by the batch queries and the streaming lift
@@ -862,6 +869,43 @@ object CurationQueries extends QueryModule {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_offset
              |  FROM (SELECT doc_id, source, len($tokensSql) AS n_tokens FROM documents))""".stripMargin),
       "Offset-based sequence packing into fixed token budgets (concatenate-and-chunk): per-source prefix-sum window, pack_id = start_offset div budget."
+    ),
+    QueryDef(
+      "t19_shuffled_shards",
+      (s, d) => {
+        // Deterministic SHUFFLED token-balanced sharding — the training
+        // EXPORT step after packing: shards must be (a) random-ordered
+        // (consecutive doc_ids in one shard bake ingest order into every
+        // training batch), (b) token-balanced (the loader's work unit),
+        // and (c) reproducible across runs/engines/partitionings. Order
+        // is the seeded 60-bit hash (the engine's RNG-free shuffle, same
+        // as m6/m10 membership), tie-broken by doc_id — a COMPOSITE key,
+        // the global analog of m11's ranking — and a document's shard is
+        // its start offset in that order divided by the shard token
+        // budget (t8's rule at CORPUS scope, no source partitioning).
+        // Scale shape: the global cumulative sum runs SEGMENTED on the
+        // hash head ([[PipelineFns.segmentedCumSumMulti]] with NO
+        // partition columns — the one-task global window this replaces is
+        // the classic export bottleneck): parallel per-segment windows +
+        // a segments-row offset pass, one corpus scan, no global sort on
+        // a single task at any corpus size.
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("hkey", h60(concat(lit("shard:"), col("doc_id"))))
+        segmentedCumSumMulti(base, Seq.empty, Seq("hkey", "doc_id"),
+            col("n_tokens"), "cum_tokens", autoSegments(s))
+          .select(col("doc_id"), col("n_tokens"),
+            ((col("cum_tokens") - col("n_tokens")) / ShardBudget).cast("long").as("shard_id"))
+      },
+      Some(s"""SELECT doc_id, n_tokens,
+             |  CAST(floor((cum_tokens - n_tokens) / $ShardBudget) AS BIGINT) AS shard_id
+             |FROM (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY hkey ASC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM (SELECT doc_id, len($tokensSql) AS n_tokens,
+             |    ${h60Sql("concat('shard:', doc_id)")} AS hkey FROM documents))""".stripMargin),
+      "Deterministic shuffled token-balanced sharding (the training-export step): seeded-hash global order, tie-broken by doc_id, shard = start offset div token budget — a global segmented prefix sum with no partition columns, replacing the one-task global window export bottleneck."
     ),
     QueryDef(
       "t16a_bpe_encode",

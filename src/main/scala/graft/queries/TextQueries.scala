@@ -156,11 +156,36 @@ object PipelineFns {
     // no exchange, and the shuffle below it is reused (ReusedExchange)
     // rather than recomputed.
     val segTot = local.groupBy(pcols :+ col("__seg"): _*).agg(sum(valueCol).as("__ssum"))
-    val wOff = Window.partitionBy(pcols: _*).orderBy(col("__seg").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = segTot
-      .withColumn("__osum", coalesce(sum(col("__ssum")).over(wOff), lit(0L)))
-      .drop("__ssum")
+    val offsets =
+      if (pcols.nonEmpty) {
+        val wOff = Window.partitionBy(pcols: _*).orderBy(col("__seg").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        segTot
+          .withColumn("__osum", coalesce(sum(col("__ssum")).over(wOff), lit(0L)))
+          .drop("__ssum")
+      } else {
+        // GLOBAL case (no partition columns — t19's corpus-wide order):
+        // the offset pass cannot ride a Window, because an empty
+        // partitionBy is exactly the partition-less-Window shape the plan
+        // contract bans outright (and an allowlist for "small" windows
+        // would age badly). The per-segment totals are `segments` rows —
+        // metadata-scale — so fold them through ONE collect_list +
+        // aggregate expression (the m7/m11 totals pattern): sort by
+        // segment, running-sum the exclusive prefix, explode back.
+        segTot
+          .agg(collect_list(struct(col("__seg"), col("__ssum"))).as("rs"))
+          .select(explode(aggregate(
+            sort_array(col("rs")),
+            struct(lit(0L).as("s"),
+              array().cast("array<struct<__seg:bigint,__osum:bigint>>").as("out")),
+            (acc, x) => struct(
+              (acc.getField("s") + x.getField("__ssum")).as("s"),
+              concat(acc.getField("out"), array(struct(
+                x.getField("__seg").as("__seg"),
+                acc.getField("s").as("__osum")))).as("out")),
+            acc => acc.getField("out"))).as("r"))
+          .select(col("r.__seg").as("__seg"), col("r.__osum").as("__osum"))
+      }
     local.join(broadcast(offsets), partCols :+ "__seg")
       .withColumn(cumName, col("__lsum") + col("__osum"))
       .drop("__seg", "__lsum", "__osum")

@@ -91,4 +91,33 @@ class EdgeInputSpec extends SparkSpec {
     assert(keptIds.intersect(Set(2L, 3L, 5L)).isEmpty, keptIds)
     assert(keptIds === Set(8L), keptIds)
   }
+
+  test("v26 dispatch: a SINGLETON rare label returns zero rows for its query, not a crash or an ivf fallback") {
+    // the rare-tier boundary the testdata can't reach: a query whose fine
+    // label contains ONLY itself (avail = 0). The dispatch must route it
+    // to the exact tier (0 ≤ threshold), where the self-exclusion leaves
+    // zero candidates — the correct empty answer. A rule that fell
+    // through to the ivf tier instead would ALSO return zero rows here
+    // but would read nprobe cells to learn it; worse, an unguarded
+    // min-over-empty in the np rule could throw. 10 vectors: vec 7 is
+    // the lone vec_id % 50 == 7 row → fine class 101 of size 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_v26").toString
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    (0L until 10L).map(i => (i, Seq.fill(64)(rnd.nextFloat()), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("v26_rare_label_dispatch")(spark, dir).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    // query 7's singleton class: dispatched, empty, silent
+    assert(!byQuery.contains(7L), s"singleton-label query returned rows: ${byQuery.get(7L)}")
+    // every other query (labels of ~5 members, avail 4 ≤ threshold →
+    // exact tier) returns its full top-3 with tier marked
+    for (q <- 0L to 6L) {
+      val rows = byQuery.getOrElse(q, Array.empty)
+      assert(rows.length == 3, s"query $q returned ${rows.length} rows")
+      assert(rows.forall(_.getString(1) == "exact"), s"query $q not on the exact tier")
+    }
+  }
 }

@@ -123,6 +123,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t19_shuffled_shards: the GLOBAL prefix sum is segmented — no empty-partition one-task window over the corpus") {
+    // t19's cumulative sum has NO natural partition key at all (global
+    // seeded-hash order), so an unsegmented plan would funnel the whole
+    // corpus through ONE task — the classic export bottleneck. The
+    // corpus-scale window (ordered by the hash key) must carry the
+    // segment key in its partitionSpec; only the metadata-scale offset
+    // window (segments rows, ordered by __seg) may run partition-less.
+    val df = SparkEntry.queries("t19_shuffled_shards")(spark, sf)
+    val rowWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.orderSpec.exists(_.child.references.exists(_.name == "hkey")) => w
+    }
+    assert(rowWindows.nonEmpty, "t19 lost its cumulative window")
+    for (w <- rowWindows)
+      assert(w.partitionSpec.nonEmpty,
+        s"t19 corpus window is partition-less: one task for the whole corpus")
+    // segment offsets ride back on a broadcast join; no corpus sort-merge
+    val p = plan("t19_shuffled_shards")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("g22/g23 AP sweeps: cumulative-PR windows are segmented (no one-task-per-threshold sort)") {
     for (name <- Seq("g22_ap_sweep", "g23_ap_add_sweep")) {
       val df = SparkEntry.queries(name)(spark, sf)

@@ -60,10 +60,11 @@ class ShuffleAuditSpec extends SparkSpec {
   private val BoundedCeiling = 65536L
 
   // Must-shuffle sanity: these queries' semantics REQUIRE repartitioning
-  // (corpus-wide span frequency, per-frame self-join pairs). If the
+  // (corpus-wide span frequency, per-frame self-join pairs, t19's global
+  // segmented prefix sum hash-partitioning on the segment key). If the
   // listener ever reported zero for them, the metrics plumbing is broken
   // and the zero-shuffle contract above would be vacuous.
-  private val mustShuffle = Seq("t11_span_dedup", "j8_selfjoin_pairs")
+  private val mustShuffle = Seq("t11_span_dedup", "j8_selfjoin_pairs", "t19_shuffled_shards")
 
   private lazy val measured: Map[String, ShuffleAudit.QueryBytes] = {
     // Warm the shared band-signature caches first: the FIRST consumer of a
