@@ -130,19 +130,19 @@ object Bench {
     // the protocol constant so cross-round artifact semantics hold)
     val nSamples = results.collect { case (_, v) if !v.exists(_ < 0) => v.size }
       .minOption.getOrElse(0)
-    // the DENSE probe grid (one point per ~15 queries) would blow the
-    // scrape window at catalog size: the stdout line carries the first
-    // probe + the [min,max] envelope (a contaminated band reads as a wide
-    // envelope); the full grid goes on the durable line
+    // the DENSE probe grid (one point per ~15 queries) and the protocol
+    // markers beyond the headline would blow the scrape window at catalog
+    // size (148 queries measured 1906 chars with the calib envelope +
+    // stat marker inline — 6 over the contract): the stdout line carries
+    // value/calib/samples/counts + the min map ONLY; the calib envelope,
+    // the stat marker, the full grid, and the spread maps are durable-only
+    // (bench_last.json is the committed number of record anyway)
     val rng = Seq(calibPts.min, calibPts.max).map(fmt).mkString("[", ",", "]")
     val pts = calibPts.map(fmt).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibPts.head)},"calib_rng":$rng,"samples":$nSamples,"stat":"min","n":${results.size},"failed":$nFailed,"reran":${reran.size},"queries":${qmap(_.min)},"sf":${Artifacts.jsonStr(sfDir)}}"""
-    // full record (median + max per query, the whole calib grid, tripwire
-    // detail) goes only to the durable file: the stderr tail the driver
-    // scrapes is ~2000 chars, and extra maps would decapitate it again
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibPts.head)},"samples":$nSamples,"n":${results.size},"failed":$nFailed,"reran":${reran.size},"queries":${qmap(_.min)},"sf":${Artifacts.jsonStr(sfDir)}}"""
     val reranList = reran.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
     (line, line.dropRight(1) +
-      s""","calib_pts":$pts,"queries_mid":${qmap(median)},"queries_max":${qmap(_.max)},"reran_queries":$reranList}""")
+      s""","stat":"min","calib_rng":$rng,"calib_pts":$pts,"queries_mid":${qmap(median)},"queries_max":${qmap(_.max)},"reran_queries":$reranList}""")
   }
 
   def main(args: Array[String]): Unit = {

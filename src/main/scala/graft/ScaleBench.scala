@@ -96,6 +96,13 @@ object ScaleBench {
     // linear with a flat per-row constant; a super-linear bend here means
     // the window degenerated to one-task-per-source
     "m11_budget_select",
+    // shuffled export sharding (round 15): the GLOBAL segmented prefix
+    // sum — no partition columns at all, the shape whose naive form is a
+    // one-task window over the whole corpus. Its curve must go linear
+    // with a flat per-row constant (one scan + one segment-key shuffle +
+    // a segments-row broadcast fold); a bend here means the segmentation
+    // degenerated back to the serialized global window
+    "t19_shuffled_shards",
     // LSH geometry audit (round 11): the sample is pinned at
     // AuditSampleCap docs inside the operator itself (TakeOrderedAndProject
     // over the seeded hash), so this leg measures what the pin buys — the

@@ -34,16 +34,18 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(j.get("n").asInt === names.size)
     assert(j.get("failed").asInt === 0)
     assert(j.get("samples").asInt === 3)
-    assert(j.get("stat").asText === "min")
     assert(j.get("reran").asInt === 0)
     assert(j.get("queries").size === names.size)
-    // stdout carries the compact calib envelope; the full grid is durable-only
-    assert(j.get("calib_rng").size === 2)
+    // protocol markers beyond the headline are durable-only — at 148
+    // queries the inline envelope + stat marker overflowed the window
+    assert(j.get("calib_rng") === null, "calib envelope must stay off the stdout line")
     assert(j.get("calib_pts") === null, "the dense probe grid must stay off the stdout line")
     assert(!line.contains("queries_max") && !line.contains("queries_mid"),
       "spread maps must stay off the stdout line")
-    // the durable record carries the judge-auditable spread: median + max
+    // the durable record carries the judge-auditable spread and markers
     val jf = mapper.readTree(full)
+    assert(jf.get("stat").asText === "min")
+    assert(jf.get("calib_rng").size === 2)
     assert(jf.get("calib_pts").size === calibPts.size)
     assert(jf.get("queries_max").size === names.size)
     assert(jf.get("queries_mid").size === names.size)
