@@ -1167,6 +1167,56 @@ object DedupQueries extends QueryModule {
              |    ELSE '4_large_17_plus' END AS bucket, sz FROM gsz)
              |GROUP BY bucket""".stripMargin),
       "Dedup-mass audit: duplicate-cluster size distribution over the d8 group pipeline with per-class redundant-doc counts — the corpus-health report that distinguishes thin-spread duplication from mirror/boilerplate pathology."
+    ),
+    QueryDef(
+      "d21_cross_source_overlap",
+      (s, d) => {
+        // Cross-source overlap MATRIX — the corpus-governance report a
+        // multi-source 100 TB assembly runs before mixing: for every
+        // source pair, the Jaccard similarity of their distinct 5-gram
+        // shingle sets. High overlap between two sources means the mixer
+        // is double-counting the same content under two names (a mirror,
+        // a re-crawl, a filtered subset shipped as a new dataset) — the
+        // duplication pressure dedup will pay for and the mixing weights
+        // silently distort. Scale shape: one corpus scan exploding to
+        // DISTINCT (shingle, source) rows; the pair join shuffles ON THE
+        // SHINGLE KEY where each group holds at most |sources| rows
+        // (bounded fan-out ≤ |sources|² per shingle, never an O(n²) doc
+        // join); output is |sources|²/2 rows at any corpus size. The
+        // per-source set sizes ride back on a broadcast.
+        val sh = Tables.documents(s, d)
+          .select(col("source"),
+            explode(array_distinct(shingles(tokens(col("text")), 5))).as("sg"))
+          .distinct()
+        val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.withColumnRenamed("source", "source_a")
+        val b = sh.withColumnRenamed("source", "source_b")
+        a.join(b, Seq("sg"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(per.withColumnRenamed("source", "source_a")
+            .withColumnRenamed("n_sh", "n_a")), Seq("source_a"))
+          .join(broadcast(per.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("n_sh", "n_b")), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            round(col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      },
+      Some(s"""WITH sh AS (SELECT DISTINCT source, unnest(${shinglesSql("toks", 5)}) AS sg
+             |  FROM (SELECT source, $tokensSql AS toks FROM documents)),
+             |per AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+             |pairs AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+             |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+             |  CAST(pa.n_sh AS BIGINT) AS n_a, CAST(pb.n_sh AS BIGINT) AS n_b,
+             |  round(CAST(p.n_shared AS DOUBLE) / (pa.n_sh + pb.n_sh - p.n_shared), 6) AS jaccard
+             |FROM pairs p
+             |JOIN per pa ON pa.source = p.source_a
+             |JOIN per pb ON pb.source = p.source_b""".stripMargin),
+      "Cross-source overlap matrix: per source pair, Jaccard of distinct 5-gram shingle sets — the governance report that exposes mirrors/re-crawls double-counted under two source names; shingle-keyed join (groups ≤ |sources|), |sources|²-row output at any corpus size."
     )
   )
 }
