@@ -107,7 +107,12 @@ object IncrementalDemo {
     //  - the SCATTERED leg (10% uniform-random delta, single day): the
     //    adversarial regime where deltas hit every cell span — honest
     //    contrast, file-pruning cannot help here and the artifact says so
-    val legs = Seq(topicalLeg(spark, sfDir, workDir, nDays = 3), deltaLeg(spark, sfDir, workDir, 20))
+    //  - the SOURCE-ADD leg: a new source lands and its row/column of the
+    //    cross-source overlap matrix (d22's sketch) is emitted by FOLDING
+    //    the new source's MinHash signature into the persisted signature
+    //    table — mergeable state, no rescan of old sources
+    val legs = Seq(topicalLeg(spark, sfDir, workDir, nDays = 3), deltaLeg(spark, sfDir, workDir, 20),
+      overlapLeg(spark, sfDir, workDir))
     val pipeLine =
       s"""{"metric":"incremental_pipeline","sf":${Artifacts.jsonStr(sfDir)},"legs":[${legs.mkString(",")}]}"""
     Artifacts.upsertLine(
@@ -418,6 +423,83 @@ object IncrementalDemo {
       s""""rows_unchanged":true,"compact_s":${fmt(compactS)}},""" +
       s""""gc_orphans_reclaimed":$gcReclaimed,""" +
       s""""days":[${dayRecords.result().mkString(",")}]}"""
+  }
+
+  /** The SOURCE-ADD overlap leg — the incremental half of the d21/d22
+    * cross-source overlap matrix: when a new source lands, its row/column
+    * of the matrix is produced by FOLDING its per-source MinHash sketch
+    * signature ([[graft.queries.DedupQueries.sourceSketchSignatures]])
+    * into a persisted signature table
+    * ([[graft.queries.DedupQueries.mergeSketchSignatures]] — element-wise
+    * min, the same mergeable-state shape as the v25 router-histogram
+    * fold), WITHOUT rescanning old sources. Day-0 setup builds the table
+    * over the resident corpus (|sources|−1 rows × 128 longs — metadata);
+    * the timed fold reads ONLY the new source's docs (a source-partitioned
+    * corpus prunes at the directory level; here the leaf-scan metric
+    * records the rows actually read) plus the signature table, and the
+    * updated matrix row falls out of signature agreement on |sources|
+    * rows. Fold == recompute is asserted in-leg (and spec-pinned in
+    * DedupSketchSpec): the folded table must equal a whole-corpus
+    * signature rebuild EXACTLY — min-merge loses nothing.
+    */
+  private def overlapLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      workDir: String): String = {
+    import graft.queries.DedupQueries
+    val leg = s"$workDir/pipe_overlap"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("text"))
+    val sources = docs.select("source").distinct()
+      .orderBy("source").collect().map(_.getString(0)).toSeq
+    val newSource = sources.last
+    val corpusRows = docs.count()
+
+    // ---- day-0 state: signature table over the resident sources
+    val t0 = System.nanoTime()
+    val sigPath = s"$leg/sigs_d0"
+    DedupQueries.sourceSketchSignatures(docs.filter(col("source") =!= newSource))
+      .write.mode("overwrite").parquet(sigPath)
+    val setupS = (System.nanoTime() - t0) / 1e9
+
+    // ---- the source-add: signature of ONLY the new source's docs, folded
+    // into the stored table; leaf-scan rows measured on this job's own
+    // execution (the bytes-bounded claim, made auditable)
+    val newDocs = docs.filter(col("source") === newSource)
+    val stored = spark.read.parquet(sigPath)
+    val ((foldedRows, rowsScanned), foldS) = timed {
+      val folded = DedupQueries.mergeSketchSignatures(
+        stored, DedupQueries.sourceSketchSignatures(newDocs))
+      folded.write.mode("overwrite").parquet(s"$leg/sigs_d1")
+      val written = spark.read.parquet(s"$leg/sigs_d1")
+      // rows the fold's document scan actually produced: re-execute the
+      // new-source signature scan bare and read its leaf metric (the
+      // pushed `source =` filter is what bounds it)
+      val scan = docs.filter(col("source") === newSource)
+      scan.write.format("noop").mode("overwrite").save()
+      val scanned = scan.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      (written.count(), scanned)
+    }
+    // the updated matrix row: pairs involving the new source only
+    val sigsD1 = spark.read.parquet(s"$leg/sigs_d1")
+    val newRow = DedupQueries.overlapMatrixFromSignatures(sigsD1)
+      .filter(col("source_a") === newSource || col("source_b") === newSource)
+    val nPairs = newRow.count()
+    // FOLD == RECOMPUTE: the folded signature table must equal a
+    // whole-corpus rebuild exactly (sorted driver-side compare on
+    // |sources| metadata rows)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    val recomputed = DedupQueries.sourceSketchSignatures(docs)
+    assert(canon(sigsD1) == canon(recomputed),
+      "overlap fold diverged from whole-corpus signature recompute")
+    val newSourceRows = newDocs.count()
+    println(s"[incremental] overlap source-add: sources=${sources.size} " +
+      s"new=$newSource rows_scanned=$rowsScanned/$corpusRows pairs=$nPairs (${fmt(foldS)} s)")
+    s"""{"kind":"overlap_source_add","sources":${sources.size},""" +
+      s""""new_source":${Artifacts.jsonStr(newSource)},"new_source_rows":$newSourceRows,""" +
+      s""""corpus_rows":$corpusRows,"rows_scanned":$rowsScanned,""" +
+      s""""sig_rows":$foldedRows,"matrix_pairs_emitted":$nPairs,""" +
+      s""""fold_equals_recompute":true,"day0_setup_s":${fmt(setupS)},"fold_s":${fmt(foldS)}}"""
   }
 
   /** One composed-pipeline leg at delta fraction 2/mod (doc_id % mod == 0

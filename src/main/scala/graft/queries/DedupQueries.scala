@@ -1178,21 +1178,34 @@ object DedupQueries extends QueryModule {
         // is double-counting the same content under two names (a mirror,
         // a re-crawl, a filtered subset shipped as a new dataset) — the
         // duplication pressure dedup will pay for and the mixing weights
-        // silently distort. Scale shape: one corpus scan exploding to
-        // DISTINCT (shingle, source) rows; the pair join shuffles ON THE
-        // SHINGLE KEY where each group holds at most |sources| rows
-        // (bounded fan-out ≤ |sources|² per shingle, never an O(n²) doc
-        // join); output is |sources|²/2 rows at any corpus size. The
-        // per-source set sizes ride back on a broadcast.
-        val sh = Tables.documents(s, d)
+        // silently distort. Scale shape — ONE corpus-scale shuffle total
+        // (the round-15 form shuffled the DISTINCT (shingle, source) set
+        // three times — distinct + a self-join's two sides — and was the
+        // catalog's one scale-killer: 1937× input→shuffle amplification,
+        // 449 MB peak task at ×10): the exploded (source, shingle) rows
+        // partial-aggregate map-side into per-shingle source SETS (each
+        // bounded by |sources|, so collect_set state is tiny), pairs are
+        // expanded IN-ROW from the sorted set (≤ |sources|²/2 per
+        // shingle, never an O(n²) doc join), and the per-source distinct
+        // counts fall out of the same aggregated frame — every post-
+        // shuffle relation is metadata-scale. Output is |sources|²/2 rows
+        // at any corpus size; per-source set sizes ride back on a
+        // broadcast. The 100 TB governance path is d22's sketch (one
+        // scan, |sources|×128 rows of shuffle); this exact form is the
+        // small-corpus audit that calibrates it.
+        val srcSets = Tables.documents(s, d)
           .select(col("source"),
             explode(array_distinct(shingles(tokens(col("text")), 5))).as("sg"))
-          .distinct()
-        val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-        val a = sh.withColumnRenamed("source", "source_a")
-        val b = sh.withColumnRenamed("source", "source_b")
-        a.join(b, Seq("sg"))
-          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("sg"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        val per = srcSets.select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        srcSets
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(flatten(transform(col("srcs"), (x, i) =>
+            transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+              y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+          .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
           .groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_shared"))
           .join(broadcast(per.withColumnRenamed("source", "source_a")
@@ -1216,7 +1229,103 @@ object DedupQueries extends QueryModule {
              |FROM pairs p
              |JOIN per pa ON pa.source = p.source_a
              |JOIN per pb ON pb.source = p.source_b""".stripMargin),
-      "Cross-source overlap matrix: per source pair, Jaccard of distinct 5-gram shingle sets — the governance report that exposes mirrors/re-crawls double-counted under two source names; shingle-keyed join (groups ≤ |sources|), |sources|²-row output at any corpus size."
+      "Cross-source overlap matrix (exact): per source pair, Jaccard of distinct 5-gram shingle sets — the governance report that exposes mirrors/re-crawls double-counted under two source names; ONE corpus-scale shuffle (map-side partial collect_set into per-shingle source sets, in-row sorted-pair expansion bounded by |sources|), |sources|²-row output at any corpus size. The 100 TB path is d22's sketch; this is the exact small-corpus audit."
+    ),
+    QueryDef(
+      "d22_overlap_sketch",
+      (s, d) => overlapSketchMatrix(Tables.documents(s, d)),
+      Some(overlapSketchSql),
+      "Cross-source overlap matrix (sketched, the 100 TB governance path): per-source 128-perm MinHash signatures built by min-aggregation in ONE corpus scan (the d2 fused signature kernel, partial-agg to |sources|×128 values of shuffle at ANY corpus size), pairwise Jaccard estimated from signature agreement — deterministic integer math, so the DuckDB oracle replays the identical mins; d21 stays the exact small-corpus audit that calibrates the estimator."
     )
   )
+
+  // ------------------------------------------------ d22 sketch machinery
+  // Exposed as library functions (not just the QueryDef body) because the
+  // signature is MERGEABLE STATE: element-wise min over any partition of
+  // the corpus equals the whole-corpus signature, which is what lets the
+  // incremental loop fold a NEW source's signature into a persisted
+  // signature table and emit the updated overlap row with bytes read
+  // bounded by the new source (IncrementalDemo; fold == recompute pinned
+  // in DedupSketchSpec).
+
+  /** Signature length of the cross-source overlap sketch — fixed at 128
+    * independent 2-universal slices ([[graft.functions.MinHashN]])
+    * regardless of preset: the sketch is a governance estimator whose
+    * ±1/√128 ≈ 9% standard error is the product contract, not an LSH
+    * geometry knob. A CONSTANT VALUE DEFINITION (`final`, no type
+    * ascription) on purpose: `defs` — an object-init `val` — builds the
+    * d22 oracle SQL from it, and an ordinary field would still be 0 at
+    * that point (declared below `defs`), silently generating a 0-perm
+    * sketch; the constant is inlined at use sites instead.
+    */
+  final val SketchPerms = 128
+
+  /** Per-source MinHash sketch signatures over distinct 5-gram shingle
+    * digests: `(source, sig: array<long>[SketchPerms])`. One corpus scan
+    * (fused shingle→minhash kernels), then a partial-aggregating
+    * element-wise min to |sources| rows — min over docs of per-doc minima
+    * IS the min over the source's distinct shingle set (min is duplicate-
+    * blind and monotone under union), so the shuffle moves |sources|×128
+    * longs at any corpus size.
+    */
+  def sourceSketchSignatures(docs: DataFrame): DataFrame = {
+    val docSig = docs
+      .select(col("source"), graft.functions.shingleHashes(col("text"), 5).as("sh"))
+      .select(col("source"), graft.functions.minhashN(col("sh"), SketchPerms).as("mh"))
+    val aggs = (0 until SketchPerms).map(j => min(element_at(col("mh"), j + 1)).as(s"mh$j"))
+    docSig.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("source"),
+        array((0 until SketchPerms).map(j => col(s"mh$j")): _*).as("sig"))
+  }
+
+  /** Fold signature frames `(source, sig)` into one: element-wise min per
+    * source — the mergeable-state half of the incremental overlap matrix
+    * (a source present in several frames merges; a new source lands as
+    * its own row). Inputs are |sources|-row metadata frames.
+    */
+  def mergeSketchSignatures(sigs: DataFrame*): DataFrame = {
+    val all = sigs.reduce(_ unionByName _)
+    val aggs = (0 until SketchPerms).map(j => min(element_at(col("sig"), j + 1)).as(s"mh$j"))
+    all.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("source"),
+        array((0 until SketchPerms).map(j => col(s"mh$j")): _*).as("sig"))
+  }
+
+  /** Pairwise estimated Jaccard from signature agreement: the standard
+    * MinHash estimator (fraction of agreeing components). Input is the
+    * |sources|-row signature frame, so the i<j pair expansion is a
+    * broadcast nested-loop over metadata — never corpus-scale.
+    */
+  def overlapMatrixFromSignatures(sigs: DataFrame): DataFrame = {
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("n_agree", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        round(col("n_agree").cast("double") / SketchPerms, 6).as("est_jaccard"))
+  }
+
+  /** The d22 operator: sketch signatures → estimated overlap matrix. */
+  def overlapSketchMatrix(docs: DataFrame): DataFrame =
+    overlapMatrixFromSignatures(sourceSketchSignatures(docs))
+
+  private def overlapSketchSql: String = {
+    val sigCols = (0 until SketchPerms).map(j =>
+      s"min(list_min(list_transform(sh, h -> ${graft.functions.MinHashN.sliceSql(SketchPerms, j)}))) AS mh$j")
+      .mkString(",\n    ")
+    val agree = balSumSql((0 until SketchPerms).map(j =>
+      s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END"))
+    s"""WITH sh AS (SELECT source, list_distinct(list_transform(${shinglesSql("toks", 5)}, x -> ${h60Sql("x")})) AS sh
+       |  FROM (SELECT source, $tokensSql AS toks FROM documents)),
+       |sig AS (SELECT source,
+       |    $sigCols
+       |  FROM sh GROUP BY source)
+       |SELECT source_a, source_b, n_agree,
+       |  round(CAST(n_agree AS DOUBLE) / $SketchPerms, 6) AS est_jaccard
+       |FROM (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST($agree AS BIGINT) AS n_agree
+       |  FROM sig a JOIN sig b ON a.source < b.source)""".stripMargin
+  }
 }
