@@ -60,12 +60,47 @@ object AnnDemo {
     // vectors for a 1000-cell index with visible per-file cell locality
     if (scale > 1) ScaleBench.synthesize(spark, sfDir, s"$workDir/corpus", scale)
     val corpusDir = if (scale > 1) s"$workDir/corpus" else sfDir
-    val quantized = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+    // SPREAD the corpus scan to core width before the distance-dense work
+    // (the shingleSetsWide precedent): byte-based file packing folds the
+    // synthesized ×30 corpus (~15 MB parquet) into 1–2 scan partitions,
+    // and every downstream map-side job — the Lloyd rounds' sample×cent
+    // argmin, the full-corpus assignment — inherits that width and runs
+    // on 1 of 32 cores. THIS, not the flat-vs-routed dispatch, was the
+    // round-15 "preset-sensitive build" finding: the demo preset's 109.9 s
+    // build was ~3e7 single-threaded distance rows (the 100tb preset's
+    // routed path does 15× less work per row, which merely masked the
+    // under-split scan). One cheap shuffle of the skinny rows buys full
+    // width; at production split counts the branch never fires.
+    val rawEmb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val par = spark.sparkContext.defaultParallelism
+    val spreadEmb =
+      if (rawEmb.rdd.getNumPartitions < par) rawEmb.repartition(par, col("vec_id"))
+      else rawEmb
+    // ONE materialization for the demo's dozen consumers (build sample,
+    // corpus assign — whose skinny-argmin + payload-join-back shape reads
+    // its base twice — probe routing, sweeps): every later use is an
+    // in-memory filter instead of a scan + quantize re-execution.
+    val quantized = spreadEmb
       .select(col("vec_id"), graft.functions.quantizeVec(col("embedding"), 1000).as("q"))
+      .localCheckpoint(eager = true)
 
-    // 1. index build: trained codebook parquet + corpus→cell assignment
-    val (_, buildS) = timed {
-      IvfCentroids.save(quantized, s"$workDir/codebook", k = 1000, iters = 2, sampleMod = 4)
+    // 1. index build: trained codebook parquet + corpus→cell assignment.
+    // Training depth stays on the PRESET dispatch — the profiled
+    // alternative was measured and rejected: forcing routed training at
+    // k=1000 cut build_s 109.9 → 11 s but cost the index its low-np
+    // recall (this demo's own sweep: flat-trained 0.525 recall@5 at np 1
+    // vs routed-trained 0.175 — approximate Lloyd assignment degrades the
+    // centroids themselves, not just the final routing), while the REAL
+    // day-0 inefficiency was the under-split corpus scan fixed above —
+    // flat training at full core width costs ~seconds, keeping the better
+    // codebook. build_profile carries the per-stage attribution (seed /
+    // per-Lloyd-round / write) so the next regression is diagnosable from
+    // the artifact alone.
+    val routedTrain = graft.GraftConfig.active.ivfRouted
+    val ((seedS, roundS, writeS), buildS) = timed {
+      IvfCentroids.saveProfiled(quantized, s"$workDir/codebook",
+        k = 1000, iters = 2, sampleMod = 4, routed = routedTrain)
     }
     val codebook = IvfCentroids.load(spark, s"$workDir/codebook").cache()
     val nCells = codebook.count()
@@ -439,105 +474,172 @@ object AnnDemo {
     // and escalates exactly where it starves. Measured per class: the
     // tier chosen, np, results, recall@3 vs exact same-label brute
     // force, and rows read.
-    val (adaptiveJson, adaptiveS) = timed {
-      val k = 3
-      val cls = when(pmod(col("vec_id"), lit(1000L)) < 2, "rare")
-        .when(pmod(col("vec_id"), lit(100L)) < 5, "mid").otherwise("common")
-      val slabeled = assigned.select(col("vec_id"), col("q"), col("cell"), cls.as("slabel"))
-        .localCheckpoint(eager = true)
-      // router metadata: per-(cell, slabel) histogram + per-cell row counts
-      // (C × |classes| rows — the driver-side collect is the same bounded
-      // metadata a 100 TB router holds broadcast)
-      val hist = slabeled.groupBy(col("cell"), col("slabel")).count()
-        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-      val cellRowCount = slabeled.groupBy(col("cell")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val classTotals = slabeled.groupBy(col("slabel")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // the dispatch threshold, from the demo's own geometry: the rows a
-      // floor-nprobe probe reads anyway (nprobe cells × average
-      // occupancy) — a label partition at or under it is cheaper to scan
-      // outright AND exact (v26's RareMass pins the same rule's semantics
-      // under the oracle gate with a catalog-scale constant)
-      val breakEven = nProbe * (rowsTotal / math.max(1L, nCells))
-      // the rare tier's serving layout: inverted lists partitioned by the
-      // synthetic class — one manifested sub-layout per value, the
-      // directory-pruned read path the dispatch routes to
-      val byClassPath = s"$workDir/lists_by_class"
+    // --- prep (untimed ROUTER/BUILD state): synthetic classes, router
+    // metadata, and the rare tier's partitioned layout. The layout write
+    // is INDEX-BUILD cost and is timed separately (adaptive_build_s) —
+    // round-15 advice: it previously sat inside the timed serving block,
+    // charging one-time build cost to the adaptive leg's serving time,
+    // inconsistent with the build-vs-serve separation Bench enforces.
+    val kAdapt = 3
+    // MASS-COVERAGE target (the v27 rule): probe until the ranked-cell
+    // prefix's cumulative same-class histogram mass reaches α·k, not
+    // merely k — count coverage is blind to candidate QUALITY, and the
+    // 100tb-preset run of this very demo measured the failure (mid class:
+    // 3 candidates filled k at the np floor, recall 0.0 fixed AND
+    // adaptive; the true neighbors sat one quantization boundary away).
+    val massAlpha = 4
+    val massCover = massAlpha * kAdapt
+    val clsExpr = when(pmod(col("vec_id"), lit(1000L)) < 2, "rare")
+      .when(pmod(col("vec_id"), lit(100L)) < 5, "mid").otherwise("common")
+    val slabeled = assigned.select(col("vec_id"), col("q"), col("cell"), clsExpr.as("slabel"))
+      .localCheckpoint(eager = true)
+    // router metadata: per-(cell, slabel) histogram + per-cell row counts
+    // (C × |classes| rows — the driver-side collect is the same bounded
+    // metadata a 100 TB router holds broadcast)
+    val histCl = slabeled.groupBy(col("cell"), col("slabel")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cellRowCount = slabeled.groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val classTotals = slabeled.groupBy(col("slabel")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the dispatch threshold, from the demo's own geometry: the rows a
+    // floor-nprobe probe reads anyway (nprobe cells × average
+    // occupancy) — a label partition at or under it is cheaper to scan
+    // outright AND exact (v26's RareMass pins the same rule's semantics
+    // under the oracle gate with a catalog-scale constant). The v27
+    // extensions join it: a class whose available mass cannot COVER the
+    // α·k target would escalate toward np = C for nothing, and a class
+    // whose PER-CELL density avail/C sits below k gives cell routing no
+    // label signal at ANY prefix depth (this demo measured the mid class
+    // — 2.9 members/cell — at recall 0.0 fixed np16 AND mass-escalated;
+    // its 2880-row partition costs about the np16 read for recall 1.0).
+    // At capacity geometry k·C = 3e5 of 1e10 rows, so only genuinely
+    // scattered classes qualify and their partitions stay bounded.
+    val breakEven = nProbe * (rowsTotal / math.max(1L, nCells))
+    val exactTierMax = math.max(math.max(breakEven, massCover - 1L),
+      kAdapt * nCells - 1L)
+    // the rare tier's serving layout: inverted lists partitioned by the
+    // synthetic class — one manifested sub-layout per value, the
+    // directory-pruned read path the dispatch routes to
+    val byClassPath = s"$workDir/lists_by_class"
+    val (_, adaptiveBuildS) = timed {
       graft.layout.Layout.writePartitionedIvf(slabeled, byClassPath, "slabel", 2)
+    }
+    val (adaptiveJson, adaptiveS) = timed {
+      val k = kAdapt
       def il2(a: Array[Long], b: Array[Long]): Long = {
         var s = 0L; var i = 0
         while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
       }
-      val classQueries = Seq("rare" -> 1000L, "mid" -> 104L, "common" -> 150L)
-      val perClass = classQueries.map { case (c, qid) =>
-        val qrow = slabeled.filter(col("vec_id") === qid).head()
-        assert(qrow.getString(3) == c, s"query $qid is not class $c")
-        val qq = qrow.getSeq[Long](1).toArray
-        val qcell = qrow.getLong(2)
-        val rankedCells = codebookArr.map { case (cid, cq) => (cid, il2(qq, cq)) }
-          .sortBy { case (cid, d) => (d, cid) }.map(_._1)
-        def matchesIn(cid: Long) =
-          hist.getOrElse((cid, c), 0L) - (if (cid == qcell) 1L else 0L)
-        val cum = rankedCells.scanLeft(0L)((acc, cid) => acc + matchesIn(cid)).drop(1)
-        // escalate-only: floored at the deployment's recall-tuned nprobe
-        // (the un-floored minimal prefix measurably traded recall for I/O
-        // on dense labels — np 2 vs 10 dropped mid-class recall to 0)
-        val npAdaptive = math.max(nProbe, cum.indexWhere(_ >= k) match {
-          case -1 => rankedCells.length
-          case i  => i + 1
-        })
-        val qlit = array(qq.map(lit): _*)
-        def top3Ids(np: Int): Seq[Long] = {
-          val cells = rankedCells.take(np)
-          slabeled.filter(col("cell").isin(cells.map(Long.box): _*))
-            .filter(col("slabel") === c && col("vec_id") =!= qid)
-            .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
-              lit(2L) * graft.functions.longDot(col("q"), qlit))
-            .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
-            .select("vec_id").collect().map(_.getLong(0)).toSeq
-        }
-        val exact3 = slabeled.filter(col("slabel") === c && col("vec_id") =!= qid)
-          .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
-            lit(2L) * graft.functions.longDot(col("q"), qlit))
-          .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        def leg(np: Int) = {
-          val ids = top3Ids(np)
-          val rowsRead = rankedCells.take(np).map(cellRowCount.getOrElse(_, 0L)).sum
-          (ids.size, ids.count(exact3), rowsRead)
-        }
-        val (resF, hitF, rowsF) = leg(nProbe)
-        // THE DISPATCH (v26's rule at the demo threshold): rare classes go
-        // to their own partition of the by-class layout — exact within
-        // label, read through the partition's manifest, rows read = the
-        // partition's rows (≤ break-even by the dispatch predicate)
+      // 8 queries per class (the sweep's nQueries discipline): the
+      // round-15 single-query-per-class numbers carried ~full-range
+      // variance — one query's 3 neighbors either route or don't — so
+      // per-class recall is now an average the rule can be graded on
+      val classQueries = Seq(
+        "rare" -> Seq(1000L, 1001L, 2000L, 2001L, 3000L, 3001L, 4000L, 4001L),
+        "mid" -> Seq(101L, 102L, 103L, 104L, 201L, 202L, 203L, 204L),
+        "common" -> Seq(150L, 151L, 152L, 153L, 154L, 155L, 156L, 157L))
+      val perClass = classQueries.map { case (c, qids) =>
         val avail = classTotals(c) - 1
-        val (tier, npA, resA, hitA, rowsA) =
-          if (avail <= breakEven) {
-            val part = graft.layout.Layout
-              .readPartitionedIvf(spark, byClassPath, "slabel", c)
-            val ids = part.filter(col("vec_id") =!= qid)
+        val exactTier = avail <= exactTierMax
+        val partRows =
+          if (exactTier)
+            graft.layout.Layout.readPartitionedIvf(spark, byClassPath, "slabel", c).count()
+          else 0L
+        val perQuery = qids.map { qid =>
+          val qrow = slabeled.filter(col("vec_id") === qid).head()
+          assert(qrow.getString(3) == c, s"query $qid is not class $c")
+          val qq = qrow.getSeq[Long](1).toArray
+          val qcell = qrow.getLong(2)
+          val rankedCells = codebookArr.map { case (cid, cq) => (cid, il2(qq, cq)) }
+            .sortBy { case (cid, d) => (d, cid) }.map(_._1)
+          def matchesIn(cid: Long) =
+            histCl.getOrElse((cid, c), 0L) - (if (cid == qcell) 1L else 0L)
+          val cum = rankedCells.scanLeft(0L)((acc, cid) => acc + matchesIn(cid)).drop(1)
+          // escalate-only, floored at the deployment's recall-tuned nprobe
+          // (the un-floored minimal prefix measurably traded recall for
+          // I/O on dense labels — np 2 vs 10 dropped mid-class recall to
+          // 0); the stop condition is the MASS-COVERAGE target α·k, not
+          // k — see massCover above
+          val npAdaptive = math.max(nProbe, cum.indexWhere(_ >= massCover) match {
+            case -1 => rankedCells.length
+            case i  => i + 1
+          })
+          val qlit = array(qq.map(lit): _*)
+          def top3Ids(np: Int): Seq[Long] = {
+            val cells = rankedCells.take(np)
+            slabeled.filter(col("cell").isin(cells.map(Long.box): _*))
+              .filter(col("slabel") === c && col("vec_id") =!= qid)
               .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
                 lit(2L) * graft.functions.longDot(col("q"), qlit))
               .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
               .select("vec_id").collect().map(_.getLong(0)).toSeq
-            ("partitioned", 0, ids.size, ids.count(exact3), part.count())
-          } else {
-            val (r, h, rows) = leg(npAdaptive)
-            ("ivf", npAdaptive, r, h, rows)
           }
-        // the serving rule's guarantee: every class returns full k (the
-        // corpus holds >= k matches per class), and the partitioned tier
-        // is EXACT — its hits are the brute-force answer by construction
-        assert(resA == k, s"$tier tier returned $resA < $k for class $c")
-        if (tier == "partitioned")
-          assert(hitA == exact3.size, s"partitioned tier missed exact neighbors for $c")
-        def rec(h: Int) = fmt4(h.toDouble / exact3.size)
+          val exact3 = slabeled.filter(col("slabel") === c && col("vec_id") =!= qid)
+            .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+              lit(2L) * graft.functions.longDot(col("q"), qlit))
+            .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          def leg(np: Int) = {
+            val ids = top3Ids(np)
+            val rowsRead = rankedCells.take(np).map(cellRowCount.getOrElse(_, 0L)).sum
+            (ids.size, ids.count(exact3), rowsRead)
+          }
+          val (resF, hitF, rowsF) = leg(nProbe)
+          // fixed np=16 reference (the sweep's deepest fixed point): the
+          // bar the serving rule is graded against per class
+          val (resF16, hitF16, rowsF16) = leg(16)
+          // THE DISPATCH (v26's rule + v27's coverage and density guards
+          // at the demo threshold — see exactTierMax above): qualifying
+          // classes serve from their own partition of the by-class
+          // layout — exact within label, read through the partition's
+          // manifest, rows read = the partition's rows
+          val (npA, resA, hitA, rowsA) =
+            if (exactTier) {
+              val ids = graft.layout.Layout
+                .readPartitionedIvf(spark, byClassPath, "slabel", c)
+                .filter(col("vec_id") =!= qid)
+                .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+                  lit(2L) * graft.functions.longDot(col("q"), qlit))
+                .orderBy(col("adist").asc, col("vec_id").asc).limit(k)
+                .select("vec_id").collect().map(_.getLong(0)).toSeq
+              (0, ids.size, ids.count(exact3), partRows)
+            } else {
+              val (r, h, rows) = leg(npAdaptive)
+              (npAdaptive, r, h, rows)
+            }
+          // the serving rule's guarantees, per query: full k results (the
+          // corpus holds >= k matches per class); the partitioned tier is
+          // EXACT — its hits are the brute-force answer by construction;
+          // the ivf tier's escalated candidate set is a superset of the
+          // floor's, so its hits can only match or exceed the floor's
+          assert(resA == k, s"adaptive tier returned $resA < $k for class $c query $qid")
+          if (exactTier)
+            assert(hitA == exact3.size, s"partitioned tier missed exact neighbors for $c")
+          else
+            assert(hitA >= hitF, s"escalated probe lost recall for $c query $qid: $hitA < $hitF")
+          (exact3.size, hitF, rowsF, hitF16, rowsF16, npA, hitA, rowsA, resF, resF16)
+        }
+        val tier = if (exactTier) "partitioned" else "ivf"
+        val nEx = perQuery.map(_._1).sum
+        def ratio(h: Int) = fmt4(h.toDouble / nEx)
+        def avg(xs: Seq[Long]) = xs.sum / xs.size
+        val (hitF, hitF16, hitA) =
+          (perQuery.map(_._2).sum, perQuery.map(_._4).sum, perQuery.map(_._7).sum)
+        // the round-15 done bar, self-checking at class granularity: the
+        // served rule must meet or beat the DEEPEST fixed sweep point
+        // (np=16) for every class the dispatch takes OFF the floor — the
+        // exact tier by recall 1.0, the escalated ivf tier by superset
+        // monotonicity; a floor-served dense class ties its fixed floor
+        // by construction (escalate-only is the documented contract)
+        if (exactTier) assert(hitA >= hitF16,
+          s"dispatch under fixed np16 for class $c: $hitA < $hitF16")
         s"""{"class":"$c","selectivity":${fmt4(
-            classTotals(c).toDouble / rowsTotal)},""" +
-          s""""np_fixed":$nProbe,"results_fixed":$resF,"recall_fixed":${rec(hitF)},"rows_read_fixed":$rowsF,""" +
-          s""""tier":"$tier","np_adaptive":$npA,"results_adaptive":$resA,"recall_adaptive":${rec(hitA)},"rows_read_adaptive":$rowsA}"""
+            classTotals(c).toDouble / rowsTotal)},"n_queries":${qids.size},""" +
+          s""""np_fixed":$nProbe,"results_fixed":${perQuery.map(_._9).sum},"recall_fixed":${ratio(hitF)},"rows_read_fixed":${avg(perQuery.map(_._3))},""" +
+          s""""np_fixed16":16,"results_fixed16":${perQuery.map(_._10).sum},"recall_fixed16":${ratio(hitF16)},"rows_read_fixed16":${avg(perQuery.map(_._5))},""" +
+          s""""tier":"$tier","np_adaptive_max":${perQuery.map(_._6).max},"recall_adaptive":${ratio(hitA)},"rows_read_adaptive":${avg(perQuery.map(_._8))},""" +
+          s""""mass_cover_target":$massCover}"""
       }
       perClass.mkString("[", ",", "]")
     }
@@ -545,7 +647,9 @@ object AnnDemo {
     val preset = sys.env.getOrElse("GRAFT_PRESET", "demo")
     val line =
       s"""{"metric":"ann_serving","preset":${Artifacts.jsonStr(preset)},"scale":$scale,""" +
-        s""""build_s":${fmt(buildS)},"assign_s":${fmt(assignS)},"layout_s":${fmt(layoutS)},""" +
+        s""""build_s":${fmt(buildS)},"build_profile":{"routed_train":$routedTrain,"seed_s":${fmt(seedS)},""" +
+        s""""round_s":[${roundS.map(fmt).mkString(",")}],"write_s":${fmt(writeS)}},""" +
+        s""""assign_s":${fmt(assignS)},"layout_s":${fmt(layoutS)},""" +
         s""""probe_s":${fmt(probeS)},"cells":$nCells,"nprobe":$nProbe,"n_queries":$nQueries,""" +
         s""""files_total":$filesTotal,"files_touched":$filesTouched,""" +
         s""""files_per_query_avg":${fmt(fAvg)},"files_per_query_max":$fMax,""" +
@@ -571,6 +675,7 @@ object AnnDemo {
         s""""io_reduction":${fmt(rowsPost.toDouble / math.max(1L, rowsPart))},""" +
         s""""results_equal":true},""" +
         s""""adaptive_nprobe":$adaptiveJson,"adaptive_s":${fmt(adaptiveS)},""" +
+        s""""adaptive_build_s":${fmt(adaptiveBuildS)},""" +
         s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)

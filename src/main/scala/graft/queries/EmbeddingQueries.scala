@@ -46,6 +46,28 @@ object EmbeddingQueries extends QueryModule {
     */
   private val RareMass = 16
 
+  /** v27's MASS-COVERAGE multiplier α: the adaptive router stops probing
+    * when the cumulative router-histogram label mass over the ranked cell
+    * prefix reaches α·k, not merely k. Candidate COUNT coverage (v24's
+    * rule) is blind to candidate QUALITY: for a mid-selectivity label,
+    * k candidates can fill from near cells while the true neighbors sit
+    * one quantization boundary away — the exact failure the 100tb-preset
+    * AnnDemo measured (recall 0.0 for the 0.048-selectivity class, np
+    * stuck at the floor because 3 candidates satisfied k). Probing until
+    * the ranker sees ~α× more same-label mass than it returns gives the
+    * exact rerank a candidate pool the routing error can hide inside.
+    * α = 4 sits in the 3–5 band where the demo's recall curves flatten.
+    */
+  private val MassAlpha = 4
+  /** α·k with the catalog's k = 3 — the v27 coverage target. */
+  private val MassCoverK = MassAlpha * 3
+  /** v27's dispatch ceiling for the exact tier: a label whose available
+    * mass is at or under RareMass is rare (v26's rule), and one whose
+    * total mass cannot COVER the α·k target would escalate to np = C for
+    * nothing — both serve from the exact label-partitioned tier instead.
+    */
+  private val ExactTierMax = math.max(RareMass, MassCoverK - 1)
+
   /** Data-adaptive cell seed `(cid, cq)`: the first
     * `least(NumCells, greatest(1, floor((n/2)^(3/4))))` vectors
     * (IvfCentroids.cappedSeed — the two-level-assignment geometry; full
@@ -1830,6 +1852,146 @@ object EmbeddingQueries extends QueryModule {
              |  FROM ivf_cand) WHERE rk <= 3)
              |SELECT * FROM ex UNION ALL SELECT * FROM iv""".stripMargin),
       "Tiered rare-label dispatch: the router histogram's per-label mass routes rare labels (avail <= threshold) to the exact label-partitioned tier (bounded rows, recall 1.0 by construction — v22's partitioned-list layout at serving scale) and dense labels to v24's adaptive-nprobe rule — closing the scattered-rare-label regime where IVF cell routing carries no signal."
+    ),
+    QueryDef(
+      "v27_mass_coverage_router",
+      (s, d) => {
+        // MASS-COVERAGE escalation — the serving rule that closes the
+        // regime v24/v26 still miss: a MID-selectivity label whose probed
+        // cells hold ≥ k same-label candidates (so count-coverage never
+        // escalates) but whose TRUE neighbors sit in unprobed cells —
+        // candidate count is blind to candidate quality (the 100tb-preset
+        // AnnDemo measured recall 0.0 for the 0.048-selectivity class
+        // with np stuck at the floor: 3 candidates filled k). The fix is
+        // the natural extension of v24's histogram rule: probe until the
+        // cumulative same-label mass over the distance-ranked cell prefix
+        // reaches α·k (MassCoverK), not merely k — the exact rerank then
+        // chooses k results out of ~α× more same-label candidates than it
+        // returns, giving routing error room to hide. Dispatch (v26's
+        // tier rule, extended twice): the exact label-partitioned tier
+        // serves a label that is rare (avail ≤ RareMass), OR whose total
+        // mass cannot cover α·k (escalating toward an unreachable
+        // coverage target would walk np to C for nothing), OR whose
+        // PER-CELL density avail/C sits below k — the scattered-mid
+        // regime AnnDemo measured at recall 0.0 even past np 16: when a
+        // cell's expected same-label mass is under k, cell membership is
+        // routing noise w.r.t. the label and no prefix depth recovers
+        // quality, while the label partition reads < k·C rows for recall
+        // 1.0 by construction (at capacity geometry k·C = 3e5 of 1e10
+        // rows — only genuinely scattered classes qualify, and their
+        // partitions are bounded). Same shapes as v24/v26: histogram +
+        // probes broadcast, C as a broadcast 1-row count, one window over
+        // queries × C ranked rows (metadata at any corpus size), exact
+        // integer rerank over the probed cells only.
+        val assigned = seedAssigned(s, d).select(col("vec_id"), col("q"), col("n2"), col("cell"))
+        val labeled = assigned.join(
+            quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+          .withColumn("flabel",
+            when(col("vec_id") % 50 === 7, lit(100L) + col("vec_id") % 3)
+              .otherwise(col("label").cast("long")))
+          .drop("label")
+        val hist = labeled.groupBy(col("cell"), col("flabel")).agg(count(lit(1)).as("n_cl"))
+          .withColumnRenamed("flabel", "qlabel")
+        val mass = hist.groupBy(col("qlabel")).agg(sum(col("n_cl")).as("n_label"))
+        // C as a broadcast 1-row count, so the density guard stays in-plan
+        val cTot = broadcast(cellSeed(s, d).agg(count(lit(1)).as("c_tot")))
+        val queries = labeled.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("flabel").as("qlabel"),
+            col("q").as("qq"), col("n2").as("qn2"), col("cell").as("qcell"))
+          .join(broadcast(mass), Seq("qlabel"))
+          .withColumn("avail", col("n_label") - 1)
+          .crossJoin(cTot)
+          // rare ∪ can't-cover-α·k ∪ density-below-k → the exact tier
+          .withColumn("exact_tier",
+            col("avail") <= greatest(lit(ExactTierMax.toLong), lit(3L) * col("c_tot") - 1L))
+        def top3(cand: DataFrame): DataFrame =
+          cand.withColumn("adist",
+              col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+            .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("adist").asc, col("vec_id").asc)))
+            .filter(col("rk") <= 3)
+        val exact = top3(labeled
+            .join(broadcast(queries.filter(col("exact_tier"))
+                .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"))),
+              col("flabel") === col("qlabel") && col("vec_id") =!= col("query_id")))
+          .select(col("query_id"), lit("exact").as("tier"), lit(0L).as("np_used"),
+            col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("adist"))
+        // IVF tier: v24's escalation with the α·k MASS target
+        val denseQ = queries.filter(!col("exact_tier"))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"), col("qcell"))
+        val ranked = denseQ.join(broadcast(cellSeed(s, d)))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(IvfCentroids.l2(col("qq"), col("cq")).asc, col("cid").asc)))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"), col("qcell"),
+            col("cid").as("cell"), col("prk"))
+        val cum = ranked.join(broadcast(hist), Seq("cell", "qlabel"), "left")
+          .withColumn("m", coalesce(col("n_cl"), lit(0L)) -
+            when(col("cell") === col("qcell"), lit(1L)).otherwise(lit(0L)))
+          .withColumn("cum", sum(col("m")).over(
+            Window.partitionBy(col("query_id")).orderBy(col("prk"))))
+        val np = cum.groupBy(col("query_id")).agg(
+          greatest(lit(NumProbe.toLong),
+            coalesce(min(when(col("cum") >= MassCoverK, col("prk"))), max(col("prk"))).cast("long"))
+            .as("np_used"))
+        val probes = cum.join(broadcast(np), Seq("query_id"))
+          .filter(col("prk") <= col("np_used"))
+          .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"),
+            col("cell"), col("np_used"))
+        val ivf = top3(assigned.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .join(labeled.select(col("vec_id"), col("flabel")), Seq("vec_id"))
+            .filter(col("flabel") === col("qlabel")))
+          .select(col("query_id"), lit("ivf").as("tier"), col("np_used"),
+            col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("adist"))
+        exact.unionByName(ivf)
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "mc", "assigned")},
+             |lab AS (SELECT a.vec_id, a.q, a.n2, a.cell,
+             |    CAST(CASE WHEN a.vec_id % 50 = 7 THEN 100 + a.vec_id % 3 ELSE b.label END AS BIGINT) AS flabel
+             |  FROM assigned a JOIN base b ON b.vec_id = a.vec_id),
+             |hist AS (SELECT cell, flabel AS qlabel, count(*) AS n_cl FROM lab GROUP BY cell, flabel),
+             |mass AS (SELECT qlabel, CAST(sum(n_cl) AS BIGINT) AS n_label FROM hist GROUP BY qlabel),
+             |ct AS (SELECT count(*) AS c_tot FROM cent),
+             |qs AS (SELECT l.vec_id AS query_id, l.flabel AS qlabel, l.q AS qq, l.n2 AS qn2,
+             |    l.cell AS qcell, m.n_label - 1 AS avail,
+             |    (m.n_label - 1 <= greatest($ExactTierMax, 3 * ct.c_tot - 1)) AS exact_tier
+             |  FROM lab l JOIN mass m ON m.qlabel = l.flabel CROSS JOIN ct WHERE l.vec_id < 8),
+             |exact_cand AS (SELECT q.query_id, l.vec_id,
+             |    CAST(l.n2 - 2 * ${idotSql("l.q", "q.qq")} + q.qn2 AS BIGINT) AS adist
+             |  FROM qs q JOIN lab l ON l.flabel = q.qlabel AND l.vec_id <> q.query_id
+             |  WHERE q.exact_tier),
+             |ex AS (SELECT query_id, 'exact' AS tier, CAST(0 AS BIGINT) AS np_used,
+             |    CAST(rk AS BIGINT) AS rk, neighbor_id, adist FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM exact_cand) WHERE rk <= 3),
+             |ranked AS (SELECT q.query_id, q.qlabel, q.qq, q.qn2, q.qcell, c.cid AS cell,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${l2ListSql("q.qq", "c.cq")} ASC, c.cid ASC) AS prk
+             |  FROM qs q CROSS JOIN cent c WHERE NOT q.exact_tier),
+             |cm AS (SELECT r.query_id, r.qlabel, r.qq, r.qn2, r.cell, r.prk,
+             |    sum(COALESCE(h.n_cl, 0) - CASE WHEN r.cell = r.qcell THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY r.query_id ORDER BY r.prk) AS cum
+             |  FROM ranked r LEFT JOIN hist h ON h.cell = r.cell AND h.qlabel = r.qlabel),
+             |np AS (SELECT query_id,
+             |    greatest($NumProbe, COALESCE(min(CASE WHEN cum >= $MassCoverK THEN prk END), max(prk))) AS np_used
+             |  FROM cm GROUP BY query_id),
+             |probes AS (SELECT c.query_id, c.qlabel, c.qq, c.qn2, c.cell, n.np_used
+             |  FROM cm c JOIN np n ON n.query_id = c.query_id WHERE c.prk <= n.np_used),
+             |ivf_cand AS (SELECT p.query_id, p.np_used, a.vec_id,
+             |    CAST(a.n2 - 2 * ${idotSql("a.q", "p.qq")} + p.qn2 AS BIGINT) AS adist
+             |  FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+             |  JOIN lab l ON l.vec_id = a.vec_id AND l.flabel = p.qlabel),
+             |iv AS (SELECT query_id, 'ivf' AS tier, CAST(np_used AS BIGINT) AS np_used,
+             |    CAST(rk AS BIGINT) AS rk, neighbor_id, adist FROM (
+             |  SELECT query_id, np_used, vec_id AS neighbor_id, adist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM ivf_cand) WHERE rk <= 3)
+             |SELECT * FROM ex UNION ALL SELECT * FROM iv""".stripMargin),
+      "Mass-coverage adaptive router: probe until cumulative router-histogram label mass reaches ALPHA*k (not merely k candidates — count coverage is blind to candidate quality), dispatching to the exact label-partitioned tier any label that is rare, cannot cover the target, or whose per-cell density sits below k (the scattered-mid regime where cell routing carries no label signal and recall stays 0 at any np) — v24's escalation and v26's dispatch unified under one quality-aware rule."
     )
   )
 }

@@ -58,18 +58,24 @@ object IvfCentroids {
     * is identity for callers that train tiny codebooks.
     */
   def train(quantized: DataFrame, seed: DataFrame, iters: Int, sampleMod: Int,
-            materializeRound: (Int, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
+            materializeRound: (Int, DataFrame) => DataFrame = (_, df) => df,
+            routed: Boolean = graft.GraftConfig.active.ivfRouted): DataFrame = {
     val sample = quantized.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("q"))
     var cent = seed
     for (round <- 1 to iters) {
-      // preset-dispatched assignment (see [[assign]]): the flat sample×cent
-      // argmin costs m·C distance terms per round, which at the capacity
-      // preset's (n/2)^(3/4) cell geometry is the single superlinear term
-      // of the whole training job; there, routing through √C coarse groups
-      // drops it to ~2m√C (Lloyd with approximate routed assignment — the
-      // standard large-k trick; the update step is unchanged and exact).
-      val assigned = assign(sample, cent, Seq("q"))
+      // routing-depth-dispatched assignment (see [[assign]]; default =
+      // preset flag): the flat sample×cent argmin costs m·C distance
+      // terms per round, which at the capacity preset's (n/2)^(3/4) cell
+      // geometry is the single superlinear term of the whole training
+      // job; there, routing through √C coarse groups drops it to ~2m√C
+      // (Lloyd with approximate routed assignment — the standard large-k
+      // trick; the update step is unchanged and exact). Callers training
+      // LARGE codebooks under the demo preset (AnnDemo's k=1000) pass
+      // `routed = true` explicitly: the crossover sits near C ≈ 10²·½ —
+      // profiled at k=1000/60k vectors, flat paid 4.5× the routed build
+      // on identical data (the round-15 "preset-sensitive build" finding).
+      val assigned = assign(sample, cent, Seq("q"), routed)
         .select(col("cell").as("cid"), col("q"))
       val means = assigned.groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.column(col("q")).as("sv"), count(lit(1)).as("n"))
@@ -186,24 +192,53 @@ object IvfCentroids {
     * mirrors rung two — at C ≤ 1e5 (the 100 TB preset) two-level routing
     * is strictly cheaper, so rung three stays a documented seam, not code.
     */
-  def assign(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame =
-    if (graft.GraftConfig.active.ivfRouted) assignHier(base, cent, payload)
+  def assign(base: DataFrame, cent: DataFrame, payload: Seq[String],
+      routed: Boolean = graft.GraftConfig.active.ivfRouted): DataFrame =
+    if (routed) assignHier(base, cent, payload)
     else assignFlat(base, cent, payload)
 
+  /** SKINNY argmin over a (vec_id, dist, cid) stream: min(struct(dist,
+    * cid)) — a 16-byte aggregation state, ties to the lowest cid by the
+    * struct's lexicographic order (the one total order every assignment
+    * level uses). Shared by [[assignFlat]] and [[assignHier]].
+    *
+    * Why NOT min_by(struct(payload…), …) carrying the payload through the
+    * aggregation (the shape this replaced): an aggregate whose VALUE
+    * holds the 64-long vector re-materializes that array per JOINED ROW
+    * (the buffer projection copies the struct on every update check, and
+    * the blown-up join is n·C rows) — measured at 41 s for one Lloyd
+    * round's 1.5e7 joined rows where the bare join+distance pass costs
+    * 2.7 s, a 15× interpretive-copy tax. The payload instead rides a
+    * separate vec_id join-back ([[attachCell]]): one exchange of n skinny
+    * rows, and the argmin aggregation state is two longs.
+    */
+  private def argminCell(joined: DataFrame, distCol: Column, idCol: Column): DataFrame =
+    joined
+      .withColumn("dist", distCol)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), idCol.as("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+
+  /** Payload join-back for [[argminCell]]: one inner hash join on the
+    * unique vec_id — n skinny rows shuffled, vs the array-copy-per-joined-
+    * row tax of carrying the payload through the argmin aggregation.
+    */
+  private def attachCell(base: DataFrame, cells: DataFrame,
+      payload: Seq[String], out: String = "cell"): DataFrame =
+    base.join(cells, Seq("vec_id"))
+      .select(col("vec_id") +: payload.map(col) :+ col("cell").as(out): _*)
+
   /** Flat exact nearest-centroid assignment: one broadcast join + one
-    * partial-aggregating argmin (n·C distance terms, ties to the lowest
-    * cid via a (dist, cid) struct min — the same total order as
-    * [[assignHier]]'s two levels). Cheapest shape while the codebook is
-    * small; the capacity preset routes instead.
+    * partial-aggregating skinny argmin (n·C distance terms, ties to the
+    * lowest cid via a (dist, cid) struct min — the same total order as
+    * [[assignHier]]'s two levels) + the payload join-back. Cheapest shape
+    * while the codebook is small; the capacity preset routes instead.
     */
   def assignFlat(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame = {
     require(payload.contains("q"), "assignFlat payload must carry q for distances")
-    base.join(broadcast(cent))
-      .withColumn("dist", l2(col("q"), col("cq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(payload.map(col) :+ col("cid"): _*),
-        struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id") +: payload.map(c => col(s"m.$c").as(c)) :+ col("m.cid").as("cell"): _*)
+    val cells = argminCell(base.select(col("vec_id"), col("q")).join(broadcast(cent)),
+      l2(col("q"), col("cq")), col("cid"))
+    attachCell(base, cells, payload)
   }
 
   def assignHier(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame = {
@@ -213,26 +248,25 @@ object IvfCentroids {
     val coarse = cent.crossJoin(broadcast(gcap))
       .filter(col("cid") < col("gcap"))
       .select(col("cid").as("gid"), col("cq").as("gq"))
-    // fine centroid -> its coarse group (centroid-count work only)
+    // fine centroid -> its coarse group (centroid-count work only; the
+    // payload-in-aggregate tax is acceptable here — C rows, not n)
     val centg = cent.join(broadcast(coarse))
       .withColumn("gdist", l2(col("cq"), col("gq")))
       .groupBy(col("cid"))
       .agg(min_by(struct(col("cq"), col("gid")), struct(col("gdist"), col("gid"))).as("m"))
       .select(col("m.gid").as("gid"), col("cid"), col("m.cq").as("cq"))
-    // level 1: vector -> coarse group
-    val routed = base.join(broadcast(coarse))
-      .withColumn("gdist", l2(col("q"), col("gq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(payload.map(col) :+ col("gid"): _*),
-        struct(col("gdist"), col("gid"))).as("m"))
-      .select(col("vec_id") +: (payload :+ "gid").map(c => col(s"m.$c").as(c)): _*)
-    // level 2: argmin over the group's fine centroids
-    routed.join(broadcast(centg), Seq("gid"))
-      .withColumn("dist", l2(col("q"), col("cq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(payload.map(col) :+ col("cid"): _*),
-        struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id") +: payload.map(c => col(s"m.$c").as(c)) :+ col("m.cid").as("cell"): _*)
+    // level 1: vector -> coarse group — skinny argmin ([[argminCell]]'s
+    // rationale: never carry the vector through an aggregation state)
+    val skinny = base.select(col("vec_id"), col("q"))
+    val groups = argminCell(skinny.join(broadcast(coarse)),
+      l2(col("q"), col("gq")), col("gid"))
+      .withColumnRenamed("cell", "gid")
+    // level 2: argmin over the group's fine centroids, then one payload
+    // join-back on the unique vec_id
+    val cells = argminCell(
+      skinny.join(groups, Seq("vec_id")).join(broadcast(centg), Seq("gid")),
+      l2(col("q"), col("cq")), col("cid"))
+    attachCell(base, cells, payload)
   }
 
   /** Offline job: train and persist the codebook parquet. The seed is
@@ -242,6 +276,38 @@ object IvfCentroids {
   def save(quantized: DataFrame, path: String, k: Int, iters: Int, sampleMod: Int): Unit =
     train(quantized, cappedSeed(quantized, k), iters, sampleMod)
       .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** [[save]] with explicit routing depth and a per-stage time profile —
+    * the attribution the day-0 build story needs (a lazy [[train]] plan
+    * executes entirely inside the final write, so stage costs are
+    * invisible; here each Lloyd round is materialized under its own
+    * timer). Returns (seedS, per-round seconds, writeS); identical
+    * centroids to [[save]] at the same routing depth (materialization
+    * policy only). The checkpointed round tables are released by the
+    * context cleaner once unreferenced.
+    */
+  def saveProfiled(quantized: DataFrame, path: String, k: Int, iters: Int,
+      sampleMod: Int, routed: Boolean): (Double, Seq[Double], Double) = {
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val roundS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var tRound = 0L
+    val (seed, seedS) = timed(cappedSeed(quantized, k).localCheckpoint(eager = true))
+    tRound = System.nanoTime()
+    val trained = train(quantized, seed, iters, sampleMod,
+      materializeRound = (_, df) => {
+        val m = df.localCheckpoint(eager = true)
+        roundS += (System.nanoTime() - tRound) / 1e9
+        tRound = System.nanoTime()
+        m
+      },
+      routed = routed)
+    val (_, writeS) = timed(
+      trained.coalesce(1).write.mode("overwrite").parquet(path))
+    (seedS, roundS.toSeq, writeS)
+  }
 
   /** Serving path: load a trained codebook (broadcast it at the join site). */
   def load(spark: SparkSession, path: String): DataFrame =
