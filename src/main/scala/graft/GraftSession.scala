@@ -54,17 +54,37 @@ object GraftSession {
     (mult * cores).toInt
   }
 
-  /** Total on-disk bytes under `dir` (driver-side metadata walk; 0 for a
-    * missing dir — sizing then defaults to 1×). At cluster scale this is
-    * the catalog's table statistics; here it is the corpus directory the
+  /** Total on-disk bytes under `dir` (driver-side metadata call; 0 for a
+    * missing dir — sizing then defaults to 1×). Resolved through the
+    * Hadoop FileSystem for the dir's own scheme, NOT a java.io.File walk:
+    * the local-only walk silently returned 0 for any non-local corpus URI
+    * (hdfs://, s3a://) — collapsing `initialPartitions` to the 1× start
+    * on exactly the large corpora the sizing rule exists to protect
+    * (round-15 advice). A corpus dir that exists but measures 0 bytes is
+    * warned about for the same reason. At cluster scale this is the
+    * catalog's table statistics; here it is the corpus directory the
     * main is about to read.
     */
-  def dirBytes(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(dir.stripPrefix("file:")))
-  }
+  def dirBytes(dir: String): Long =
+    try {
+      val uri = new java.net.URI(dir)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) 0L
+      else {
+        val bytes = fs.getContentSummary(p).getLength
+        if (bytes == 0L)
+          System.err.println(s"[graft] corpus dir $dir measured 0 bytes — " +
+            "shuffle sizing will fall back to the 1x start")
+        bytes
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] corpus dir $dir could not be sized " +
+          s"(${e.getMessage}) — shuffle sizing falls back to the 1x start")
+        0L
+    }
 
   /** Re-size the session's AQE start parallelism for a corpus at `dir` —
     * for mains that synthesize or switch corpora mid-session (ScaleBench

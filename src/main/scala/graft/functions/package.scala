@@ -28,6 +28,12 @@ package object functions {
   def minhashN(hashes: Column, n: Int): Column =
     shims.column(MinHashN(shims.expression(hashes), n))
 
+  /** All LSH band keys (md5 over rowsPerBand adjacent minhashes) from an
+    * array of 60-bit shingle digests, one fused pass — see [[BandKeys]].
+    */
+  def bandKeys(hashes: Column, numMinhash: Int, numBands: Int): Column =
+    shims.column(BandKeys(shims.expression(hashes), numMinhash, numBands))
+
   /** Quantize an array<float|double> to array<bigint>: round(x·scale). */
   def quantizeVec(vec: Column, scale: Int): Column =
     shims.column(QuantizeVec(shims.expression(vec), scale))

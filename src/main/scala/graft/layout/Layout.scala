@@ -189,22 +189,50 @@ object Layout extends Serializable {
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   /** Grace window before a sweep may delete ANOTHER writer's `.merge_swap-*`
-    * staging dir (by modification time). Without it, a winner's post-commit
-    * GC could rip a live concurrent writer's staging out from under its
-    * Spark write or rename-in loop — that loser was going to abort at the
-    * OCC check anyway, but it would die with an arbitrary FS/task error
-    * instead of the clean retryable [[ConcurrentCommitException]] the
-    * protocol promises. Ten minutes bounds any real staging write;
-    * truly-orphaned dirs (crashed writers) outlive it and get swept by the
-    * next commit's GC or [[gcOrphans]]. Test seam: spec cases shrink it to
-    * sweep deterministically.
+    * staging dir or an unlisted data file (by modification time). Without
+    * it, a winner's post-commit GC could rip a live concurrent writer's
+    * staging out from under its Spark write or rename-in loop — that loser
+    * was going to abort at the OCC check anyway, but it would die with an
+    * arbitrary FS/task error instead of the clean retryable
+    * [[ConcurrentCommitException]] the protocol promises.
+    *
+    * THREE DAYS, the table-format convention for orphan-file retention,
+    * not a bound on any single write: staleness signals are heuristics
+    * (a swap dir's liveness is read from the newest mtime in its TREE —
+    * see [[sweepStaleSwaps]] — because renames into `graft_span=*`
+    * subdirs leave the top-level mtime stale; renamed-in files are
+    * re-touched at rename-in — [[renameInFresh]] — because `fs.rename`
+    * preserves the staged write's mtime, which on a slow staged write
+    * would put a LIVE merge's unlisted files past a short cutoff), and
+    * the one hard correctness backstop is the committer's staged-file
+    * re-verify ([[verifyStagedOrAbort]]): if a sweep ever does race a
+    * live writer, the writer aborts clean-and-retryable instead of
+    * committing a manifest that references deleted files. With
+    * correctness pinned there, the grace trades only reclamation latency
+    * against writer availability — and days-late reclamation of crashed
+    * residue is the right side of that trade. Test seam: spec cases
+    * shrink it to sweep deterministically.
     */
-  @volatile private[graft] var swapGraceMs: Long = 10 * 60 * 1000L
+  @volatile private[graft] var swapGraceMs: Long = 3L * 24 * 60 * 60 * 1000L
+
+  /** Newest modification time in a path's TREE (the path itself, every
+    * file, every subdir): the staleness signal for staging dirs, where a
+    * live Spark write lands files in `graft_span=*` subdirs without
+    * touching the top-level dir's mtime (rename-out at the rename-in
+    * stage likewise touches only the subdirs). Staging trees are tiny
+    * (≤ spans × files), so the recursive walk is metadata-cheap.
+    */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    if (!st.isDirectory) st.getModificationTime
+    else (st.getModificationTime +:
+      fs.listStatus(st.getPath).toIndexedSeq.map(c => newestMtime(fs, c))).max
 
   /** Delete `.merge_swap-*` staging dirs (and `.manifest_tmp-*` residue)
-    * older than [[swapGraceMs]] — shared by every post-commit GC and by
-    * [[gcOrphans]]. Freshly created staging belongs to its own writer
-    * (abort path or a later sweep). Returns the number of paths deleted.
+    * whose newest TREE mtime is older than [[swapGraceMs]] — shared by
+    * every post-commit GC and by [[gcOrphans]]. Freshly created or
+    * actively-written staging belongs to its own writer (abort path or a
+    * later sweep). Returns the number of paths deleted.
     */
   private def sweepStaleSwaps(fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
     val cutoff = System.currentTimeMillis() - swapGraceMs
@@ -212,11 +240,51 @@ object Layout extends Serializable {
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).count { st =>
       val n = st.getPath.getName
-      val stale = st.getModificationTime < cutoff
       val sweepable =
         (st.isDirectory && n.startsWith(".merge_swap")) ||
           (st.isFile && n.startsWith(".manifest_tmp"))
-      if (sweepable && stale) { fs.delete(st.getPath, st.isDirectory); true } else false
+      if (sweepable && newestMtime(fs, st) < cutoff) {
+        fs.delete(st.getPath, st.isDirectory); true
+      } else false
+    }
+  }
+
+  /** Rename a staged file into the layout dir AND re-touch its mtime to
+    * NOW: `fs.rename` preserves the mtime from the staged Spark write, so
+    * without the touch a merge whose staging took longer than the grace
+    * window would rename in files that are ALREADY past a sweep cutoff —
+    * an unlisted-but-live file a concurrent [[gcOrphans]] would delete in
+    * the rename-in→commit window. Grace for unlisted files therefore
+    * measures from rename-in, the moment the file actually enters the
+    * layout dir. A filesystem that refuses setTimes leaves the original
+    * mtime — the long default grace and the committer's re-verify
+    * ([[verifyStagedOrAbort]]) still hold.
+    */
+  private def renameInFresh(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+    fs.rename(src, dst)
+    try fs.setTimes(dst, System.currentTimeMillis(), -1)
+    catch { case _: Throwable => () }
+  }
+
+  /** The committer's HARD backstop against a GC race (grace windows are
+    * heuristics): immediately before the manifest commit, every staged
+    * file the new manifest will reference must still exist; if any is
+    * gone — a sweep raced this writer through the rename-in→commit
+    * window — run the caller's abort (delete this merge's remaining
+    * staged files) and throw the clean retryable
+    * [[ConcurrentCommitException]] instead of committing a corrupted
+    * snapshot that lists deleted files.
+    */
+  private def verifyStagedOrAbort(fs: org.apache.hadoop.fs.FileSystem,
+      listsPath: String, staged: Seq[String], abort: () => Unit): Unit = {
+    val missing = staged.filterNot(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$listsPath/$n")))
+    if (missing.nonEmpty) {
+      abort()
+      throw new ConcurrentCommitException(
+        s"staged files vanished before commit at $listsPath (a concurrent " +
+          s"sweep raced this writer): ${missing.mkString(", ")} — staged files cleaned, retry")
     }
   }
 
@@ -707,7 +775,7 @@ object Layout extends Serializable {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName).zipWithIndex.map { case (st, j) =>
           val name = s"compacted-${System.nanoTime()}-$j.parquet"
-          fs.rename(st.getPath, new Path(s"$listsPath/$name"))
+          renameInFresh(fs, st.getPath, new Path(s"$listsPath/$name"))
           name
         }.toIndexedSeq
     val mins = footerMins(conf, listsPath, newNames)
@@ -726,6 +794,10 @@ object Layout extends Serializable {
           s"${manifest.version}) during compaction — staged files cleaned, retry")
     }
     onStage("head_checked")
+    // staged files must all still exist at the commit point (GC-race
+    // backstop; see verifyStagedOrAbort)
+    verifyStagedOrAbort(fs, listsPath, newNames, () => abortStaged())
+    onStage("staged_verified")
     // (3) COMMIT: the new manifest lists only the compacted files. The
     // exists-CAS loss inside commitManifest runs the SAME cleanup as the
     // head-check abort — the exception's cleaned-up contract holds at both
@@ -900,7 +972,7 @@ object Layout extends Serializable {
         fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
           .zipWithIndex.foreach { case (st, j) =>
             val name = s"merged-${System.nanoTime()}-$i-$j.parquet"
-            fs.rename(st.getPath, new Path(s"$listsPath/$name"))
+            renameInFresh(fs, st.getPath, new Path(s"$listsPath/$name"))
             mergedEntries += ManifestEntry(name, Some(spanLo(i)))
           }
       }
@@ -925,6 +997,10 @@ object Layout extends Serializable {
           s"${manifest.map(_.version)}) during the merge — staged files cleaned, retry")
     }
     onStage("head_checked")
+    // staged files must all still exist at the commit point (GC-race
+    // backstop; see verifyStagedOrAbort)
+    verifyStagedOrAbort(fs, listsPath, mergedEntries.result().map(_.name), () => abortStaged())
+    onStage("staged_verified")
     // (3) COMMIT: manifest v+1 = live − replaced + merged, one atomic
     // rename — the instant readers switch snapshots. Losing the
     // exists-CAS inside commitManifest runs the SAME cleanup as the

@@ -175,10 +175,15 @@ object DedupQueries extends QueryModule {
     * and incremental ingest ([[incrementalNearDup]]).
     */
   def docBandRows(docs: DataFrame): DataFrame =
-    signatures(docs.select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh")))
-      .select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band")))
+    // ONE fused pass ([[graft.functions.BandKeys]]) — the stacked
+    // signatures→bandCols projections collapse onto the raw minhash call
+    // and re-evaluate the whole shingle→minhash pipeline PER BAND COLUMN
+    // (the bandSigsCached hazard; profiled at 57–66 s of the incremental
+    // legs' ×10 day-0 where one pass costs ~5 s)
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.bandKeys(
+          graft.functions.shingleHashes(col("text"), 3), NumMinhash, NumBands))
+          .as(Seq("band_idx", "band")))
       .select(col("band_idx").cast("int").as("band_idx"), col("band"), col("doc_id"))
 
   /** Per-document `(doc_id, sh, bands)` — the band-key math of
@@ -190,16 +195,12 @@ object DedupQueries extends QueryModule {
     * needs: band array for the broadcast eval-index lookup, shingle set
     * for the in-row Jaccard verify.
     */
-  def docShinglesAndBands(docs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh"))
-    val mh =
-      if (NumMinhash <= 8) graft.functions.minhash8(col("sh"))
-      else graft.functions.minhashN(col("sh"), NumMinhash)
-    sets.withColumn("mh", mh)
-      .select(col("doc_id") +: col("sh") +:
-        (0 until NumMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
-      .select(col("doc_id"), col("sh"), array(bandCols: _*).as("bands"))
-  }
+  def docShinglesAndBands(docs: DataFrame): DataFrame =
+    // fused band pass (see [[docBandRows]]); sh stays in-row for the
+    // verify half
+    docs.select(col("doc_id"), graft.functions.shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.bandKeys(col("sh"), NumMinhash, NumBands).as("bands"))
 
   /** Incremental near-dup ingest against a persisted band-claim store.
     *
@@ -570,6 +571,21 @@ object DedupQueries extends QueryModule {
   def release(s: SparkSession, d: String): Unit = {
     SharedCaches.release(s, d)
     dedupGroupsMemo.remove((s, d))
+  }
+
+  /** Pre-materialize the dedup family's shared caches (shingle sets, the
+    * 128-slice signature/band table, the memoized d8/d13/d20 group
+    * pipeline) — the serving-bench analog of
+    * [[EmbeddingQueries.warmIndexCaches]]: at a deployment the dedup
+    * group assignment is a PERSISTED pipeline output, so serving samples
+    * must not absorb its build. Without this, whichever d-family query
+    * ran first paid the whole band-join + verify + CC build in its first
+    * sample (the ×10 sweep's d13 showed a 13× max/mid tail from exactly
+    * that).
+    */
+  def warmCaches(s: SparkSession, d: String): Unit = {
+    bandSigsCached(s, d)
+    dedupGroups(s, d)
   }
 
   private def dedupGroups(s: SparkSession, d: String): DataFrame = {

@@ -33,18 +33,21 @@ class BenchFormatSpec extends AnyFunSuite {
     val j = mapper.readTree(line)
     assert(j.get("n").asInt === names.size)
     assert(j.get("failed").asInt === 0)
-    assert(j.get("samples").asInt === 3)
-    assert(j.get("reran").asInt === 0)
     assert(j.get("queries").size === names.size)
     // protocol markers beyond the headline are durable-only — at 148
-    // queries the inline envelope + stat marker overflowed the window
+    // queries the inline envelope + stat marker overflowed the window,
+    // and at 151 the samples/reran diagnostics followed them off the line
     assert(j.get("calib_rng") === null, "calib envelope must stay off the stdout line")
     assert(j.get("calib_pts") === null, "the dense probe grid must stay off the stdout line")
+    assert(j.get("samples") === null, "samples is durable-only")
+    assert(j.get("reran") === null, "reran is durable-only")
     assert(!line.contains("queries_max") && !line.contains("queries_mid"),
       "spread maps must stay off the stdout line")
     // the durable record carries the judge-auditable spread and markers
     val jf = mapper.readTree(full)
     assert(jf.get("stat").asText === "min")
+    assert(jf.get("samples").asInt === 3)
+    assert(jf.get("reran").asInt === 0)
     assert(jf.get("calib_rng").size === 2)
     assert(jf.get("calib_pts").size === calibPts.size)
     assert(jf.get("queries_max").size === names.size)
@@ -66,12 +69,12 @@ class BenchFormatSpec extends AnyFunSuite {
     val rerun = results.map { case ("qa", v) => "qa" -> (v :+ 1.02); case kv => kv }
     val (line, full) = Bench.renderLines(rerun, Seq(0.4, 0.4), "/tmp/x", reran = Seq("qa"))
     val j = mapper.readTree(line)
-    assert(j.get("reran").asInt === 1)
     assert(math.abs(j.get("queries").get("qa").asDouble - 1.02) < 1e-9)
+    val jf = mapper.readTree(full)
+    assert(jf.get("reran").asInt === 1)
     // "samples" stays the protocol constant: min over NON-FAILED vectors,
     // unmoved by the reran query's extra sample or the failed one's stub
-    assert(j.get("samples").asInt === 3)
-    val jf = mapper.readTree(full)
+    assert(jf.get("samples").asInt === 3)
     assert(jf.get("reran_queries").size === 1)
     assert(jf.get("reran_queries").get(0).asText === "qa")
   }
@@ -108,10 +111,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val (line, full) = Bench.renderLines(results, Seq(0.4, 0.4, 0.4), "/tmp/x")
     val j = mapper.readTree(line)
     assert(j.get("failed").asInt === 1)
-    assert(j.get("samples").asInt === 3)
     assert(j.get("queries").get("q_bad").asInt === -1)
     assert(math.abs(j.get("value").asDouble - 1.5) < 1e-9)
     val jf = mapper.readTree(full)
+    assert(jf.get("samples").asInt === 3)
     assert(jf.get("queries_mid").get("q_bad").asInt === -1)
     assert(jf.get("queries_max").get("q_bad").asInt === -1)
   }

@@ -969,6 +969,84 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.gcOrphans(spark, raw) === 0)
   }
 
+  test("rename-in re-touches staged mtimes: a slow staged write cannot expose live files to the sweep") {
+    // fs.rename preserves mtime, so a merge whose STAGED WRITE outlived
+    // the grace window used to rename in files already past a sweep
+    // cutoff — a concurrent gcOrphans in the rename-in→commit window
+    // would delete them and the writer would then commit a manifest
+    // referencing deleted files. renameInFresh re-touches at rename-in,
+    // so unlisted-file grace measures from rename-in. Simulated by
+    // back-dating every staged file far past the grace window at the
+    // "staged" boundary, then running the sweep at "renamed_in".
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    val path = tmp("slowstage")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    val preRows = Layout.readIvfLists(spark, path).count()
+    val ancient = System.currentTimeMillis() - Layout.swapGraceMs - 3600_000L
+    def backdate(f: java.io.File): Unit = {
+      f.setLastModified(ancient)
+      Option(f.listFiles).foreach(_.foreach(backdate))
+    }
+    var sweptAtRenameIn = -1
+    val hook = (st: String) => st match {
+      case "staged" =>
+        new java.io.File(path).listFiles
+          .filter(_.getName.startsWith(".merge_swap")).foreach(backdate)
+      case "renamed_in" =>
+        // the concurrent maintenance sweep, at the worst moment: the
+        // merged files are on disk, unlisted — and must be spared
+        sweptAtRenameIn = Layout.gcOrphans(spark, path)
+        // the re-touch is what spared them: every unlisted merged-* file
+        // carries a rename-in-time mtime despite the ancient staged write
+        val v1 = Layout.currentManifest(spark, path).get._2.toSet
+        val unlisted = new java.io.File(path).listFiles
+          .filter(f => f.getName.endsWith(".parquet") && !v1(f.getName))
+        assert(unlisted.nonEmpty, "fixture: nothing renamed in")
+        unlisted.foreach(f => assert(f.lastModified() > ancient,
+          s"${f.getName} kept the staged-write mtime through rename-in"))
+      case _ => ()
+    }
+    val d = spark.range(5).select((col("id") + 70000L).as("vec_id"), lit(3L).as("cell"))
+    Layout.mergeIvfDeltaStaged(spark, path, d, hook)
+    assert(sweptAtRenameIn === 0, "sweep deleted a live writer's staged state")
+    assert(Layout.readIvfLists(spark, path).count() === preRows + 5)
+  }
+
+  test("staged files vanishing before the commit point abort clean and retryable, never a corrupt snapshot") {
+    // the hard backstop behind the grace heuristics: if a sweep DOES race
+    // the writer (here: a staged file deleted between the head check and
+    // the commit), the committer's re-verify must abort with the clean
+    // retryable ConcurrentCommitException — not commit a manifest that
+    // references deleted files.
+    val df = spark.range(1600).select(col("id").as("vec_id"), (col("id") % 16).as("cell"))
+    val path = tmp("vanish")
+    Layout.writeIvfClustered(df, path, numFiles = 4)
+    val preRows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val v1Names = Layout.currentManifest(spark, path).get._2.toSet
+    val hook: String => Unit = st => if (st == "head_checked") {
+      val unlisted = new java.io.File(path).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !v1Names(f.getName))
+      assert(unlisted.nonEmpty, "fixture: nothing staged to delete")
+      assert(unlisted.head.delete())
+    }
+    val e = intercept[Layout.ConcurrentCommitException] {
+      Layout.mergeIvfDeltaStaged(spark, path,
+        spark.range(3).select((col("id") + 80000L).as("vec_id"), lit(5L).as("cell")), hook)
+    }
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    // loser cleaned its remaining staged files; snapshot is the old one
+    val onDisk = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk === v1Names, s"abort left garbage: ${onDisk -- v1Names}")
+    assert(!new java.io.File(path).listFiles.exists(_.getName.startsWith(".merge_swap")))
+    assert(Layout.readIvfLists(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === preRows)
+    // and RETRYABLE: the same merge re-run lands
+    Layout.mergeIvfDelta(spark, path,
+      spark.range(3).select((col("id") + 80000L).as("vec_id"), lit(5L).as("cell")))
+    assert(Layout.readIvfLists(spark, path).count() === preRows.size + 3)
+  }
+
   test("losing the exists-CAS inside the manifest commit cleans staged files like the head-check abort") {
     // the NARROW race: another writer commits between this merge's head
     // check and its manifest rename. Simulated by committing a conflicting

@@ -87,11 +87,14 @@ print(f"[close_round] BENCH_r{n:02d}.json: rc={rc} parsed={'ok' if ok else 'MISS
       + (f" total={parsed.get('value')}s n={parsed.get('n')}" if parsed else ""))
 EOF
 
-echo "[close_round] 4/4 commit"
-git add "TEST_${RN}.json" "CORRECTNESS_${RN}.json" "BENCH_${RN}.json"
-# refreshed tracked artifacts (bench_last.json, demo/audit lines, LEAKCHECK
-# if the driver touched it) ride in the same commit — round artifacts must
-# never sit dirty at judging
+echo "[close_round] 4/4 leakcheck + commit"
+# regenerate LEAKCHECK.json for THIS round (the round-15 residual: the
+# committed copy carried the prior round's content because it wasn't in
+# the regeneration set). A nonzero hit count aborts the close.
+python3 tools/leakcheck.py "$N"
+git add "TEST_${RN}.json" "CORRECTNESS_${RN}.json" "BENCH_${RN}.json" LEAKCHECK.json
+# refreshed tracked artifacts (bench_last.json, demo/audit lines) ride in
+# the same commit — round artifacts must never sit dirty at judging
 git add -u -- '*.json'
 git commit -m "round ${N}: test/correctness/bench artifacts (close_round.sh)" \
   || echo "[close_round] nothing to commit (already clean)"
