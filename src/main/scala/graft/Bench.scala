@@ -191,21 +191,33 @@ object Bench {
     // (IvfCentroids.save), so serving samples must not pay sampled-Lloyd
     // training — the ×10 sweep showed v6 max/min ≈ 4 from exactly that
     // (build cost lives in AnnDemo's build_s, not here)
-    try graft.queries.EmbeddingQueries.warmIndexCaches(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] index-cache warmup failed: ${e.getMessage}") }
+    // SPARK_GRAFT_BENCH_WARM (diagnostic only; the committed record always
+    // runs the default "all"): "index" skips the dedup warm, "none" skips
+    // both — lets an A/B isolate cache-residency effects on other queries
+    val warm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "all")
+    if (warm != "none")
+      try graft.queries.EmbeddingQueries.warmIndexCaches(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index-cache warmup failed: ${e.getMessage}") }
     // …and the dedup family's shared pipeline (shingle sets, band table,
     // the memoized d8/d13/d20 group pipeline): persisted artifacts at a
     // deployment, and the ×10 sweep's d13 13× max/mid tail was exactly
     // the first d-query's first sample absorbing this build
-    try graft.queries.DedupQueries.warmCaches(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] dedup-cache warmup failed: ${e.getMessage}") }
+    if (warm == "all")
+      try graft.queries.DedupQueries.warmCaches(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dedup-cache warmup failed: ${e.getMessage}") }
     // host-speed yardstick for cross-round comparison (see Artifacts.calibrate)
     val calib0 = Artifacts.calibrate(spark)
     // fixed name order: residual JVM warmup lands on the same queries every
-    // round, so per-query numbers stay comparable across rounds
+    // round, so per-query numbers stay comparable across rounds.
+    // SPARK_GRAFT_BENCH_ONLY (diagnostic only): comma-separated names to
+    // bench a subset for A/B bisects — the committed record is always the
+    // full catalog (the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // interleaved calib probes every ~15 queries (the round-13 lesson: the
     // old 3-point grid let a ~50s contention window fall entirely between
     // probes — a dense grid brackets any contaminated band in calib_pts)

@@ -65,10 +65,21 @@ object GraftSession {
     * catalog's table statistics; here it is the corpus directory the
     * main is about to read.
     */
-  def dirBytes(dir: String): Long =
+  def dirBytes(dir: String): Long = dirBytes(dir, None)
+
+  /** As [[dirBytes]], but resolving the FileSystem through `hadoopConf`
+    * when given — a live session MUST pass its own
+    * `spark.sparkContext.hadoopConfiguration`, or spark.hadoop.* settings
+    * (s3a credentials/endpoints) are invisible and exactly the remote
+    * corpora this sizing protects fail to size and silently fall back to
+    * the 1× start. The bare Configuration remains only for the
+    * pre-session builder path, where no session conf exists yet.
+    */
+  def dirBytes(dir: String,
+      hadoopConf: Option[org.apache.hadoop.conf.Configuration]): Long =
     try {
       val uri = new java.net.URI(dir)
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = hadoopConf.getOrElse(new org.apache.hadoop.conf.Configuration())
       val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(p)) 0L
@@ -93,7 +104,9 @@ object GraftSession {
     * Returns the count set.
     */
   def sizeShuffleFor(spark: SparkSession, dir: String): Int = {
-    val n = initialPartitions(dirBytes(dir), spark.sparkContext.defaultParallelism)
+    val n = initialPartitions(
+      dirBytes(dir, Some(spark.sparkContext.hadoopConfiguration)),
+      spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
     n
   }

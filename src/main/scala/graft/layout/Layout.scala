@@ -225,8 +225,17 @@ object Layout extends Serializable {
   private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Long =
     if (!st.isDirectory) st.getModificationTime
-    else (st.getModificationTime +:
-      fs.listStatus(st.getPath).toIndexedSeq.map(c => newestMtime(fs, c))).max
+    else {
+      // a concurrent sweeper (another gcOrphans / post-commit GC) may
+      // delete an entry mid-walk; a vanished subtree counts as FRESH
+      // (Long.MaxValue) so this sweeper skips it rather than failing a
+      // merge whose manifest commit already succeeded — same "both sides
+      // tolerate a missing target" contract as gcOrphans
+      val children =
+        try fs.listStatus(st.getPath).toIndexedSeq
+        catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
+      (st.getModificationTime +: children.map(c => newestMtime(fs, c))).max
+    }
 
   /** Delete `.merge_swap-*` staging dirs (and `.manifest_tmp-*` residue)
     * whose newest TREE mtime is older than [[swapGraceMs]] — shared by
@@ -243,9 +252,15 @@ object Layout extends Serializable {
       val sweepable =
         (st.isDirectory && n.startsWith(".merge_swap")) ||
           (st.isFile && n.startsWith(".manifest_tmp"))
-      if (sweepable && newestMtime(fs, st) < cutoff) {
-        fs.delete(st.getPath, st.isDirectory); true
-      } else false
+      // tolerate an entry vanishing between listStatus and here (a racing
+      // sweeper already deleted it): losing the race is success, and an
+      // exception must not propagate into a merge whose manifest commit
+      // already succeeded
+      try {
+        if (sweepable && newestMtime(fs, st) < cutoff) {
+          fs.delete(st.getPath, st.isDirectory); true
+        } else false
+      } catch { case _: java.io.FileNotFoundException => false }
     }
   }
 

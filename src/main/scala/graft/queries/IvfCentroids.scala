@@ -192,10 +192,27 @@ object IvfCentroids {
     * mirrors rung two — at C ≤ 1e5 (the 100 TB preset) two-level routing
     * is strictly cheaper, so rung three stays a documented seam, not code.
     */
+  /** PRECONDITION (all assign variants): `base.vec_id` must be UNIQUE.
+    * The skinny-argmin shape emits one (vec_id, cell) row per DISTINCT
+    * vec_id and joins the payload back on it — duplicate vec_ids would
+    * mix distances across rows inside [[argminCell]] and fan the
+    * join-back out to duplicates² rows. Every caller keys `base` by a
+    * primary key (embeddings.vec_id, centroid cid remaps); a non-keyed
+    * frame must be deduplicated first. Checked (one cheap count-distinct
+    * pass) when `spark.graft.debug.assign=true` so a future non-keyed
+    * caller fails loudly instead of producing a fanned-out assignment.
+    */
   def assign(base: DataFrame, cent: DataFrame, payload: Seq[String],
-      routed: Boolean = graft.GraftConfig.active.ivfRouted): DataFrame =
+      routed: Boolean = graft.GraftConfig.active.ivfRouted): DataFrame = {
+    if (base.sparkSession.conf.getOption("spark.graft.debug.assign")
+        .exists(_.toBoolean)) {
+      val Array(n, d) = base.agg(count(lit(1)), countDistinct(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d, s"assign() requires unique vec_id in base: $n rows, $d distinct")
+    }
     if (routed) assignHier(base, cent, payload)
     else assignFlat(base, cent, payload)
+  }
 
   /** SKINNY argmin over a (vec_id, dist, cid) stream: min(struct(dist,
     * cid)) — a 16-byte aggregation state, ties to the lowest cid by the
