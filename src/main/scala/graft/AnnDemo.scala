@@ -86,18 +86,21 @@ object AnnDemo {
       .localCheckpoint(eager = true)
 
     // 1. index build: trained codebook parquet + corpus→cell assignment.
-    // Training depth stays on the PRESET dispatch — the profiled
-    // alternative was measured and rejected: forcing routed training at
-    // k=1000 cut build_s 109.9 → 11 s but cost the index its low-np
-    // recall (this demo's own sweep: flat-trained 0.525 recall@5 at np 1
-    // vs routed-trained 0.175 — approximate Lloyd assignment degrades the
-    // centroids themselves, not just the final routing), while the REAL
-    // day-0 inefficiency was the under-split corpus scan fixed above —
-    // flat training at full core width costs ~seconds, keeping the better
-    // codebook. build_profile carries the per-stage attribution (seed /
-    // per-Lloyd-round / write) so the next regression is diagnosable from
-    // the artifact alone.
-    val routedTrain = graft.GraftConfig.active.ivfRouted
+    // Training is FLAT at every preset (round-17 decision, superseding the
+    // round-15 preset dispatch): routed Lloyd degrades the centroids
+    // themselves, not just the routing — measured true-neighbor cell
+    // coverage@np16 on this corpus: 2/24 routed-trained vs 12/24
+    // flat-trained at the same routed assignment (and the round-15 sweep
+    // had already measured np1 recall 0.175 routed vs 0.525 flat). Flat
+    // training is affordable at ANY corpus scale because Lloyd runs on the
+    // BOUNDED sample (sampleMod; FAISS-style ~10²–10³ vectors per
+    // centroid), so its cost is sample × C, not n × C — the corpus-sized
+    // step is the final assignment, which keeps the preset's routed
+    // multiprobe dispatch (ivfRouteWidth — see GraftConfig for the
+    // measured W curve). build_profile carries the per-stage attribution
+    // (seed / per-Lloyd-round / write) so the next regression is
+    // diagnosable from the artifact alone.
+    val routedTrain = false
     val ((seedS, roundS, writeS), buildS) = timed {
       IvfCentroids.saveProfiled(quantized, s"$workDir/codebook",
         k = 1000, iters = 2, sampleMod = 4, routed = routedTrain)
@@ -129,15 +132,18 @@ object AnnDemo {
     val nProbe = 10
     val nQueries = 8
     val sweepProbes = Seq(1, 2, 4, 8, 10, 16)
-    val probesAll = quantized.filter(col("vec_id") < nQueries)
-      .join(broadcast(codebook))
-      .withColumn("dist", IvfCentroids.l2(col("q"), col("cq")))
-      .withColumn("prk", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+    // exact (dist, cid) ranking — probeRanking's Scaladoc records the two
+    // measured-and-rejected alternatives (group-major mirror, radius
+    // branch-and-bound); the routing loss is paid at ASSIGNMENT time
+    // (ivfRouteWidth multiprobe) instead of per-query read amplification
+    val qside = quantized.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("q"))
+    val probesAll = IvfCentroids.probeRanking(qside, codebook)
       .filter(col("prk") <= sweepProbes.max)
+      .join(qside, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         graft.functions.longDot(col("q"), col("q")).as("qn2"),
-        col("cid").as("cell"), col("prk"))
+        col("cell"), col("prk"))
       .cache()
     probesAll.count()
     val probes = probesAll.filter(col("prk") <= nProbe).drop("prk").cache()
@@ -525,12 +531,59 @@ object AnnDemo {
     val (_, adaptiveBuildS) = timed {
       graft.layout.Layout.writePartitionedIvf(slabeled, byClassPath, "slabel", 2)
     }
+    def il2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    // exact (dist, cid) cell ranking — same rule as probeRanking (the
+    // measured-and-rejected alternatives are documented there)
+    def rankCells(qq: Array[Long]): Seq[Long] =
+      codebookArr.map { case (cid, cq) => (il2(qq, cq), cid) }.sorted.map(_._2)
+    // CALIBRATED dense-tier depth (round-17 rule, untimed ROUTER
+    // maintenance like the layout write above): for labels the dispatch
+    // keeps on the IVF tier, mass coverage saturates instantly — a
+    // 95%-selectivity label covers α·k inside any one cell — yet the
+    // probe depth a recall target needs is index- and query-set-dependent
+    // (this demo measured 0.083 recall@3 for the dense class at the
+    // routed preset's np floor while the unlabeled sweep read 0.575 at
+    // the same depth). Distance-bound escalation cannot close that hole
+    // (see probeRanking — admissible radii bounds never prune on this
+    // corpus), so the router CALIBRATES: a disjoint same-class
+    // calibration set with sampled exact ground truth (bounded work —
+    // |cal| brute-force passes per maintenance cycle, the same cost class
+    // as the sweep instrumentation) yields the coverage-vs-depth curve,
+    // and the dense tier serves at one grid step past the smallest depth
+    // meeting the deployment's recall target (the base sweep's np16
+    // recall — the bar this leg is graded against), escalate-only above
+    // the floor. Coverage here IS served recall: a GT neighbor whose cell
+    // is probed always survives the exact rerank (it outranks every
+    // non-GT candidate by definition of the ground truth).
+    val recallTarget = sweep.last._2
+    val ((npCal, calCurve), calS) = timed {
+      val npGrid = (Seq(10, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+        .filter(_ < nCells.toInt) :+ nCells.toInt).distinct
+      val calQueries = Seq(160L, 161L, 162L, 163L, 164L, 165L, 166L, 167L)
+      val needs = calQueries.flatMap { qid =>
+        val qrow = slabeled.filter(col("vec_id") === qid).head()
+        assert(qrow.getString(3) == "common", s"calibration query $qid is not common-class")
+        val qq = qrow.getSeq[Long](1).toArray
+        val qlit = array(qq.map(lit): _*)
+        val gtCells = slabeled.filter(col("slabel") === "common" && col("vec_id") =!= qid)
+          .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+            lit(2L) * graft.functions.longDot(col("q"), qlit))
+          .orderBy(col("adist").asc, col("vec_id").asc).limit(kAdapt)
+          .select("cell").collect().map(_.getLong(0))
+        val rank = rankCells(qq).zipWithIndex.toMap
+        gtCells.map(c => rank(c) + 1) // smallest np that probes this neighbor
+      }
+      def coverageAt(np: Int) = needs.count(_ <= np).toDouble / needs.size
+      val curve = npGrid.map(np => np -> coverageAt(np))
+      val minNp = curve.find(_._2 >= recallTarget).map(_._1).getOrElse(nCells.toInt)
+      // one grid step of margin: calibration transfers approximately
+      (npGrid.find(_ > minNp).getOrElse(nCells.toInt), curve)
+    }
     val (adaptiveJson, adaptiveS) = timed {
       val k = kAdapt
-      def il2(a: Array[Long], b: Array[Long]): Long = {
-        var s = 0L; var i = 0
-        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
-      }
       // 8 queries per class (the sweep's nQueries discipline): the
       // round-15 single-query-per-class numbers carried ~full-range
       // variance — one query's 3 neighbors either route or don't — so
@@ -551,8 +604,7 @@ object AnnDemo {
           assert(qrow.getString(3) == c, s"query $qid is not class $c")
           val qq = qrow.getSeq[Long](1).toArray
           val qcell = qrow.getLong(2)
-          val rankedCells = codebookArr.map { case (cid, cq) => (cid, il2(qq, cq)) }
-            .sortBy { case (cid, d) => (d, cid) }.map(_._1)
+          val rankedCells = rankCells(qq)
           def matchesIn(cid: Long) =
             histCl.getOrElse((cid, c), 0L) - (if (cid == qcell) 1L else 0L)
           val cum = rankedCells.scanLeft(0L)((acc, cid) => acc + matchesIn(cid)).drop(1)
@@ -605,8 +657,12 @@ object AnnDemo {
                 .select("vec_id").collect().map(_.getLong(0)).toSeq
               (0, ids.size, ids.count(exact3), partRows)
             } else {
-              val (r, h, rows) = leg(npAdaptive)
-              (npAdaptive, r, h, rows)
+              // the IVF tier serves at the deeper of the two escalation
+              // rules: mass coverage (starvation) and the CALIBRATED
+              // depth (quality — see npCal above)
+              val npServe = math.max(npAdaptive, npCal)
+              val (r, h, rows) = leg(npServe)
+              (npServe, r, h, rows)
             }
           // the serving rule's guarantees, per query: full k results (the
           // corpus holds >= k matches per class); the partitioned tier is
@@ -626,13 +682,13 @@ object AnnDemo {
         def avg(xs: Seq[Long]) = xs.sum / xs.size
         val (hitF, hitF16, hitA) =
           (perQuery.map(_._2).sum, perQuery.map(_._4).sum, perQuery.map(_._7).sum)
-        // the round-15 done bar, self-checking at class granularity: the
-        // served rule must meet or beat the DEEPEST fixed sweep point
-        // (np=16) for every class the dispatch takes OFF the floor — the
-        // exact tier by recall 1.0, the escalated ivf tier by superset
-        // monotonicity; a floor-served dense class ties its fixed floor
-        // by construction (escalate-only is the documented contract)
-        if (exactTier) assert(hitA >= hitF16,
+        // self-check at class granularity: the served rule must meet or
+        // beat the DEEPEST fixed sweep point (np=16) for EVERY class —
+        // the exact tier by recall 1.0, the ivf tier by superset
+        // monotonicity whenever it serves at ≥ np16 (the calibrated
+        // floor's grid starts one step past the np floor, so a dense
+        // class now always does)
+        if (exactTier || math.max(nProbe, npCal) >= 16) assert(hitA >= hitF16,
           s"dispatch under fixed np16 for class $c: $hitA < $hitF16")
         s"""{"class":"$c","selectivity":${fmt4(
             classTotals(c).toDouble / rowsTotal)},"n_queries":${qids.size},""" +
@@ -676,6 +732,9 @@ object AnnDemo {
         s""""results_equal":true},""" +
         s""""adaptive_nprobe":$adaptiveJson,"adaptive_s":${fmt(adaptiveS)},""" +
         s""""adaptive_build_s":${fmt(adaptiveBuildS)},""" +
+        s""""np_calibrated":$npCal,"recall_target":${fmt4(recallTarget)},""" +
+        s""""cal_curve":${calCurve.map { case (np, c) => s"""[$np,${fmt4(c)}]""" }
+          .mkString("[", ",", "]")},"cal_s":${fmt(calS)},""" +
         s""""sf":${Artifacts.jsonStr(sfDir)}}"""
     Artifacts.upsertLine(sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_demo_last.json"),
       s""""preset":${Artifacts.jsonStr(preset)}""", line)

@@ -51,8 +51,22 @@ final case class GraftConfig(
       * their oracle SQL dispatch on this TOGETHER, so either depth is
       * gate-checked end to end.
       */
-    ivfRouted: Boolean
+    ivfRouted: Boolean,
+    /** Routed assignment's MULTIPROBE width: each vector routes through
+      * its `ivfRouteWidth` nearest coarse groups and takes the exact
+      * argmin over their union of cells (~W·√C distance terms instead of
+      * √C). W = 1 is the classic two-level route; it mis-assigns every
+      * vector whose globally-nearest cell sits outside its single coarse
+      * group — measured on the ×30 demo corpus (near-uniform vectors, the
+      * worst case for coarse routing): true-neighbor cell coverage@np16
+      * 8/24 at W=1 vs 12/24 at W=4 vs 17/24 flat-exact. W=4 recovers most
+      * of the routing loss for ~4√C ≪ C work; cell-side group overlap
+      * (listing each cell under its H nearest groups) was measured WORSE
+      * for neighbor coverage (9/24 at H=8) and is not used.
+      */
+    ivfRouteWidth: Int
 ) {
+  require(ivfRouteWidth >= 1, s"ivfRouteWidth must be >= 1: $ivfRouteWidth")
   require(numBands >= 1 && numMinhash % numBands == 0,
     s"numMinhash=$numMinhash must split evenly into numBands=$numBands")
   require(pqSub * pqSubDim == dim, s"PQ geometry $pqSub×$pqSubDim != dim $dim")
@@ -84,7 +98,7 @@ object GraftConfig {
     dim = 64, numCells = 8,
     pqSub = 8, pqSubDim = 8,
     localCcMaxEdges = 5_000_000L,
-    ivfRouted = false)
+    ivfRouted = false, ivfRouteWidth = 1)
 
   /** 100 TB preset (README "Capacity math at 100 TB", 1e10 docs):
     *  - 32 bands × 4 rows: recall ≥ 1−5e−8 at Jaccard 0.8, candidate rate
@@ -100,7 +114,7 @@ object GraftConfig {
     dim = 64, numCells = 100_000,
     pqSub = 8, pqSubDim = 8,
     localCcMaxEdges = 5_000_000L,
-    ivfRouted = true)
+    ivfRouted = true, ivfRouteWidth = 4)
 
   /** The preset the query catalog (and its generated oracle SQL) runs at:
     * `GRAFT_PRESET=100tb` selects the capacity preset at launch, anything

@@ -272,19 +272,65 @@ object IvfCentroids {
       .groupBy(col("cid"))
       .agg(min_by(struct(col("cq"), col("gid")), struct(col("gdist"), col("gid"))).as("m"))
       .select(col("m.gid").as("gid"), col("cid"), col("m.cq").as("cq"))
-    // level 1: vector -> coarse group — skinny argmin ([[argminCell]]'s
-    // rationale: never carry the vector through an aggregation state)
+    // level 1: per-vector TOP-W coarse groups (W = ivfRouteWidth — the
+    // multiprobe width; see GraftConfig for the measured W=1 routing-loss
+    // numbers) in ONE map-side pass: the coarse table rides as a
+    // broadcast 1-row ARRAY and transform/array_sort/slice compute each
+    // vector's W nearest groups with no shuffle at all. Why not the
+    // obvious alternatives — a per-vector window over vec_id would
+    // shuffle all n·√C ranked rows (scale-killer), and W sequential
+    // argmin aggregations would shuffle n rows W times; the array form
+    // keeps level 1 shuffle-free and O(√C log √C) compute per vector.
+    // array_sort on struct(gdist, gid) is the same lexicographic
+    // (dist, id)-ascending total order as every other assignment level.
+    val routeW = graft.GraftConfig.active.ivfRouteWidth
+    val coarseArr = broadcast(
+      coarse.agg(collect_list(struct(col("gid"), col("gq"))).as("groups")))
     val skinny = base.select(col("vec_id"), col("q"))
-    val groups = argminCell(skinny.join(broadcast(coarse)),
-      l2(col("q"), col("gq")), col("gid"))
-      .withColumnRenamed("cell", "gid")
-    // level 2: argmin over the group's fine centroids, then one payload
-    // join-back on the unique vec_id
+    val topg = skinny.crossJoin(coarseArr)
+      .select(col("vec_id"), col("q"),
+        explode(slice(array_sort(transform(col("groups"),
+            g => struct(l2(col("q"), g("gq")).as("gdist"), g("gid").as("gid")))),
+          1, routeW)).as("g"))
+      .select(col("vec_id"), col("q"), col("g.gid").as("gid"))
+    // level 2: argmin over the W routed groups' union of fine centroids
+    // (~W·√C distance terms — the cells of distinct groups are disjoint,
+    // cg maps each cell to exactly one group), then one payload join-back
+    // on the unique vec_id
     val cells = argminCell(
-      skinny.join(groups, Seq("vec_id")).join(broadcast(centg), Seq("gid")),
+      topg.join(broadcast(centg), Seq("gid")),
       l2(col("q"), col("cq")), col("cid"))
     attachCell(base, cells, payload)
   }
+
+  /** Query-side PROBE RANKING `(vec_id, cell, prk)` over every cell —
+    * exact (dist, cid)-ascending order against the broadcast codebook.
+    * Cost: queries × C ranked rows, router metadata at any corpus size
+    * (the corpus is never touched).
+    *
+    * Two alternatives were measured and REJECTED on the ×30 demo corpus
+    * at the routed preset (true-neighbor cell coverage@np16, common
+    * class, flat-trained codebook, W=4 routed assignment — exact order
+    * scored 12/24):
+    *  - GROUP-MAJOR ranking (coarse groups by L2(q, gq), cells within
+    *    each group by L2(q, cq), mirroring the assignment's visit order):
+    *    5–8/24 — spending the whole probe budget inside the query's own
+    *    coarse group loses more cross-group neighbors than routing
+    *    consistency recovers;
+    *  - BRANCH-AND-BOUND escalation on per-cell radii (stop when the
+    *    next cell's admissible lower bound exceeds the current k-th
+    *    distance): on near-uniform vectors every cell radius exceeds the
+    *    query–centroid distances, the bound never prunes, and the walk
+    *    degenerates to a full scan (np = C measured on every query).
+    * The remaining routing loss is paid at ASSIGNMENT time instead
+    * (ivfRouteWidth multiprobe — see [[assignHier]]), where W× work is a
+    * map-side constant rather than a per-query read amplification.
+    */
+  def probeRanking(queries: DataFrame, cent: DataFrame): DataFrame =
+    queries.join(broadcast(cent))
+      .withColumn("prk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(l2(col("q"), col("cq")).asc, col("cid").asc)))
+      .select(col("vec_id"), col("cid").as("cell"), col("prk"))
 
   /** Offline job: train and persist the codebook parquet. The seed is
     * corpus-capped — the at-scale entry point must not reproduce the

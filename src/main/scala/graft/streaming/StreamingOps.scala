@@ -415,29 +415,34 @@ object StreamingOps {
           (gq, byGid.getOrElse(gid, Array.empty[(Long, Array[Long])]).sortBy(_._1))
         }
       }
+    // multiprobe width W: the batch route (IvfCentroids.assignHier) takes
+    // the top-W coarse groups per vector and argmins over their union of
+    // cells — the streaming route must replay it EXACTLY or a re-ingested
+    // vector lands in a different cell than its batch twin
+    val routeW = graft.GraftConfig.active.ivfRouteWidth
     val assignF = udf { (q: Seq[Long]) =>
       if (q == null) -1L
       else {
         val qa = q.toArray
         require(qa.length == dim,
           s"assignVectors: input dim ${qa.length} != codebook dim $dim")
-        // level 1: (gdist, gid) argmin — trivial when flat (one group)
-        var members = groups(0)._2
-        if (groups.length > 1) {
-          var bestD = Long.MaxValue; var g = 0
-          while (g < groups.length) {
-            val d = sq(qa, groups(g)._1)
-            if (d < bestD) { bestD = d; members = groups(g)._2 }
-            g += 1
-          }
-        }
-        // level 2: (dist, cid) argmin within the routed group
+        // level 1: top-W groups by (gdist, gid) — trivial when flat (one
+        // group); groups is ascending-gid, so sorting (d, idx) pairs
+        // replays the (gdist, gid) lexicographic order
+        val routed: Array[Array[(Long, Array[Long])]] =
+          if (groups.length == 1) Array(groups(0)._2)
+          else groups.indices.map(g => (sq(qa, groups(g)._1), g)).sorted
+            .take(routeW).map { case (_, g) => groups(g)._2 }.toArray
+        // level 2: (dist, cid) argmin over the routed groups' cells
         var bestDist = Long.MaxValue
         var bestCid = -1L
-        for ((cid, cq) <- members) {
+        for (members <- routed; (cid, cq) <- members) {
           val dist = sq(qa, cq)
-          // ascending-cid iteration + strict < replays the (dist, cid) min
-          if (dist < bestDist) { bestDist = dist; bestCid = cid }
+          // strict < + the final (dist, cid) comparison replays the
+          // (dist, cid) min regardless of group visit order
+          if (dist < bestDist || (dist == bestDist && cid < bestCid)) {
+            bestDist = dist; bestCid = cid
+          }
         }
         bestCid
       }
