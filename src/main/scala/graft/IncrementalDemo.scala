@@ -249,6 +249,25 @@ object IncrementalDemo {
     assigned0.select("vec_id", "cell").join(labelOf(kept0), Seq("vec_id"))
       .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
       .write.mode("overwrite").parquet(histPath)
+    // the d21/d22 OVERLAP GOVERNANCE MATRIX, maintained by this same loop
+    // (round-17: previously only the source-ADD leg proved the fold; the
+    // matrix must also stay current under the normal day-N churn). The
+    // doc→source map is day-0 metadata (a re-crawl edits text, never
+    // provenance); per-source sketch signatures are a pure function of
+    // the source's LIVE docs, so a day's maintenance recomputes ONLY the
+    // churned sources' rows (in production a directory-pruned read of
+    // those sources' partitions — the source-add leg measures exactly
+    // that boundedness) and keeps every unaffected source's stored row.
+    // A min-FOLD cannot serve here: min is insert-only, and a re-crawled
+    // doc's old shingles must leave its source's signature — replace-per-
+    // affected-source is the correct mergeable-state maintenance under
+    // churn, and the daily audit (maintained == whole-corpus recompute)
+    // is the same demo-scale proof discipline as the histogram's.
+    val docSrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").localCheckpoint(eager = true)
+    var sigPath = s"$leg/overlap_sigs_d0"
+    DedupQueries.sourceSketchSignatures(prior.join(docSrc, Seq("doc_id")))
+      .write.mode("overwrite").parquet(sigPath)
     val metaS = stage()
     // the codebook serves through its VERSIONED publication (rev 1 = the
     // day-0 seed): the mid-loop drift re-seed below bumps the revision and
@@ -414,6 +433,33 @@ object IncrementalDemo {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
       assert(histRows == histTruth,
         s"day $d router histogram diverged from the live index (${histRows.size} vs ${histTruth.size} rows)")
+      // overlap-matrix maintenance (see the day-0 comment): recompute the
+      // CHURNED sources' signature rows from today's corpus, keep every
+      // unaffected stored row, re-emit the refreshed matrix — then audit
+      // the maintained table against a whole-corpus recompute, the
+      // sketch twin of the histogram assert above
+      val affectedSrc = changedIds.join(docSrc, Seq("doc_id"))
+        .select("source").distinct().localCheckpoint(eager = true)
+      val nAffectedSrc = affectedSrc.count()
+      val curSrc = cur.join(docSrc, Seq("doc_id"))
+      val sigMaintained = spark.read.parquet(sigPath)
+        .join(affectedSrc, Seq("source"), "left_anti")
+        .unionByName(DedupQueries.sourceSketchSignatures(
+          curSrc.join(affectedSrc, Seq("source"), "left_semi")))
+      val nextSig = s"$leg/overlap_sigs_d$d"
+      sigMaintained.write.mode("overwrite").parquet(nextSig)
+      sigPath = nextSig
+      val sigStored = spark.read.parquet(sigPath)
+      val matrixPairs = DedupQueries.overlapMatrixFromSignatures(sigStored)
+        .filter(col("source_a").isin(affectedSrc.collect().map(_.getString(0)): _*) ||
+          col("source_b").isin(affectedSrc.collect().map(_.getString(0)): _*))
+        .count()
+      def canonSig(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+      val sketchConsistent =
+        canonSig(sigStored) == canonSig(DedupQueries.sourceSketchSignatures(curSrc))
+      assert(sketchConsistent,
+        s"day $d overlap sketch diverged from whole-corpus recompute")
       prior = cur
       rowsPrior = rowsAfter
       val daySec = (System.nanoTime() - tDay) / 1e9
@@ -427,6 +473,8 @@ object IncrementalDemo {
           s""""merge_files_rewritten":$filesRewritten,"merge_files_total":$filesTotal,""" +
           s""""index_rows_after":$rowsAfter,"catalog_rows":$catalogRows,""" +
           s""""hist_rows":${histRows.size},"hist_consistent":true,""" +
+          s""""overlap":{"sources_affected":$nAffectedSrc,""" +
+          s""""matrix_pairs_refreshed":$matrixPairs,"sketch_consistent":true},""" +
           s""""diff_s":${fmt(diffS)},"slice_s":${fmt(sliceS)},"guard_s":${fmt(guardS)},""" +
           s""""assign_s":${fmt(assignS)},"merge_s":${fmt(mergeS)},"day_s":${fmt(daySec)}}"""
     }
