@@ -70,11 +70,16 @@ object IvfCentroids {
       // geometry is the single superlinear term of the whole training
       // job; there, routing through √C coarse groups drops it to ~2m√C
       // (Lloyd with approximate routed assignment — the standard large-k
-      // trick; the update step is unchanged and exact). Callers training
-      // LARGE codebooks under the demo preset (AnnDemo's k=1000) pass
-      // `routed = true` explicitly: the crossover sits near C ≈ 10²·½ —
-      // profiled at k=1000/60k vectors, flat paid 4.5× the routed build
-      // on identical data (the round-15 "preset-sensitive build" finding).
+      // trick; the update step is unchanged and exact). CAUTION, measured
+      // round 17: routed TRAINING degrades the centroids themselves, not
+      // just the routing (2/24 true-neighbor cell coverage@np16 vs 12/24
+      // flat-trained at identical routed final assignment), and because
+      // Lloyd runs on the bounded sample, flat training at full scan
+      // width costs seconds at any corpus scale — AnnDemo now trains
+      // flat at every preset and routes only the corpus-sized final
+      // assignment. Routed training remains the oracle-pinned capacity
+      // MODE for the catalog (v6's SQL mirror dispatches with it), where
+      // the gate certifies its arithmetic, not its index quality.
       val assigned = assign(sample, cent, Seq("q"), routed)
         .select(col("cell").as("cid"), col("q"))
       val means = assigned.groupBy(col("cid"))
@@ -258,7 +263,8 @@ object IvfCentroids {
     attachCell(base, cells, payload)
   }
 
-  def assignHier(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame = {
+  def assignHier(base: DataFrame, cent: DataFrame, payload: Seq[String],
+      routeWidth: Int = graft.GraftConfig.active.ivfRouteWidth): DataFrame = {
     require(payload.contains("q"), "assignHier payload must carry q for level-2 distances")
     val gcap = cent.groupBy().agg(
       greatest(lit(1L), ceil(sqrt(count(lit(1)))).cast("long")).as("gcap"))
@@ -283,7 +289,7 @@ object IvfCentroids {
     // keeps level 1 shuffle-free and O(√C log √C) compute per vector.
     // array_sort on struct(gdist, gid) is the same lexicographic
     // (dist, id)-ascending total order as every other assignment level.
-    val routeW = graft.GraftConfig.active.ivfRouteWidth
+    val routeW = routeWidth
     val coarseArr = broadcast(
       coarse.agg(collect_list(struct(col("gid"), col("gq"))).as("groups")))
     val skinny = base.select(col("vec_id"), col("q"))

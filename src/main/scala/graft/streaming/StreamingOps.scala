@@ -382,7 +382,8 @@ object StreamingOps {
     * that bounds the batch side).
     */
   def assignVectors(vecs: DataFrame, codebook: Seq[(Long, Array[Long])],
-                    routed: Boolean = graft.GraftConfig.active.ivfRouted): DataFrame = {
+                    routed: Boolean = graft.GraftConfig.active.ivfRouted,
+                    routeWidth: Int = graft.GraftConfig.active.ivfRouteWidth): DataFrame = {
     // closure-captured, not sparkContext.broadcast — see scoreDocs
     val cents = codebook.sortBy(_._1).toArray
     require(cents.nonEmpty, "assignVectors needs a non-empty codebook")
@@ -419,7 +420,7 @@ object StreamingOps {
     // the top-W coarse groups per vector and argmins over their union of
     // cells — the streaming route must replay it EXACTLY or a re-ingested
     // vector lands in a different cell than its batch twin
-    val routeW = graft.GraftConfig.active.ivfRouteWidth
+    val routeW = routeWidth
     val assignF = udf { (q: Seq[Long]) =>
       if (q == null) -1L
       else {

@@ -108,6 +108,57 @@ class IvfCentroidsSpec extends SparkSpec {
     assert(dispatched == viaFlags)
   }
 
+  test("multiprobe width: W replays the top-W reference; W >= group count IS assignFlat") {
+    val cent = IvfCentroids.cappedSeed(quantized, 1000)
+    val cents = cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val gcap = math.max(1L, math.ceil(math.sqrt(cents.length.toDouble)).toLong).toInt
+    val coarse = cents.filter(_._1 < gcap)
+    val group = cents.map { case (cid, cq) =>
+      cid -> coarse.map { case (gid, gq) => (l2(cq, gq), gid) }.min._2
+    }.toMap
+    // reference: argmin over the union of the W nearest groups' cells
+    def assignW(q: Array[Long], w: Int): Long = {
+      val topG = coarse.map { case (gid, gq) => (l2(q, gq), gid) }
+        .sorted.take(w).map(_._2).toSet
+      cents.filter { case (cid, _) => topG(group(cid)) }
+        .map { case (cid, cq) => (l2(q, cq), cid) }.min._2
+    }
+    val inputs = quantized.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    for (w <- Seq(2, 4)) {
+      val got = IvfCentroids.assignHier(quantized, cent, Seq("q"), routeWidth = w)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inputs.forall { case (vid, q) => got(vid) == assignW(q, w) },
+        s"routeWidth=$w diverged from the top-$w reference")
+    }
+    // probing EVERY group is the exact argmin — the multiprobe ladder's
+    // endpoint is assignFlat, so widening W can only converge, never drift
+    val full = IvfCentroids.assignHier(quantized, cent, Seq("q"), routeWidth = gcap)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = IvfCentroids.assignFlat(quantized, cent, Seq("q"))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == flat)
+    // and the streaming route replays the batch rule at the same widths
+    val cbArr = cents.toSeq
+    for (w <- Seq(2, 4)) {
+      val batch = IvfCentroids.assignHier(quantized, cent, Seq("q"), routeWidth = w)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stream = graft.streaming.StreamingOps
+        .assignVectors(quantized, cbArr, routed = true, routeWidth = w)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stream == batch, s"streaming route diverged from batch at W=$w")
+    }
+  }
+
   test("routing-rung seam contract: every assigner is a drop-in behind assign()") {
     // The executable half of the IvfCentroids "next routing rung" design
     // note: a deeper router (b-ary tree / IMI) replaces assignHier ONLY if
@@ -122,7 +173,8 @@ class IvfCentroidsSpec extends SparkSpec {
 
     for ((name, rung) <- Seq[(String, (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Seq[String]) => org.apache.spark.sql.DataFrame)](
-      "assignFlat" -> IvfCentroids.assignFlat, "assignHier" -> IvfCentroids.assignHier)) {
+      "assignFlat" -> (IvfCentroids.assignFlat(_, _, _)),
+      "assignHier" -> (IvfCentroids.assignHier(_, _, _)))) {
       val out = rung(base, cent, Seq("q", "n2"))
       // schema: vec_id + payload pass-through + cell, nothing else
       assert(out.columns.toSeq === Seq("vec_id", "q", "n2", "cell"), s"$name schema")
