@@ -2028,6 +2028,106 @@ object EmbeddingQueries extends QueryModule {
              |  FROM ivf_cand) WHERE rk <= 3)
              |SELECT * FROM ex UNION ALL SELECT * FROM iv""".stripMargin),
       "Mass-coverage adaptive router: probe until cumulative router-histogram label mass reaches ALPHA*k (not merely k candidates — count coverage is blind to candidate quality), dispatching to the exact label-partitioned tier any label that is rare, cannot cover the target, or whose per-cell density sits below k (the scattered-mid regime where cell routing carries no label signal and recall stays 0 at any np) — v24's escalation and v26's dispatch unified under one quality-aware rule."
+    ),
+    QueryDef(
+      "v28_calibrated_probe_depth",
+      (s, d) => {
+        // CALIBRATED dense-tier depth — the round-17 serving rule pinned
+        // under the oracle gate. For labels the tiered dispatch keeps on
+        // the IVF tier, mass coverage (v27) saturates instantly — a dense
+        // label covers α·k inside any one cell — yet the probe depth a
+        // recall target actually needs is index- and query-set-dependent
+        // (AnnDemo measured recall@3 0.083 for the dense class at the
+        // routed preset's np floor), and admissible distance bounds never
+        // prune on near-uniform vectors (branch-and-bound measured
+        // degenerating to np = C; see IvfCentroids.probeRanking). So the
+        // router CALIBRATES: a disjoint same-tier calibration query set
+        // with sampled exact ground truth yields the coverage-vs-depth
+        // curve, and serving picks one grid step past the smallest depth
+        // whose coverage meets the deployment's recall target. Coverage
+        // IS served recall for an exact reranker: a ground-truth neighbor
+        // whose cell is probed outranks every non-GT candidate by
+        // definition. Cost shape at 100 TB: |cal| brute-force GT passes
+        // per maintenance cycle (bounded, amortized — the same cost class
+        // as the router histogram's audit), then the curve and the chosen
+        // depth are pure metadata arithmetic: needs = |cal|·k rows, the
+        // grid an in-plan literal array, no corpus access after GT.
+        val labeled = fineLabeled(s, d)
+        val calQ = labeled.filter(col("vec_id") >= 16 && col("vec_id") < 24
+            && col("flabel") < 100)
+          .select(col("vec_id").as("query_id"), col("flabel").as("qlabel"),
+            col("q").as("qq"), col("n2").as("qn2"))
+        // sampled exact ground truth: same-label top-3 per calibration query
+        val gt = labeled
+          .join(broadcast(calQ), col("flabel") === col("qlabel")
+            && col("vec_id") =!= col("query_id"))
+          .withColumn("adist",
+            col("n2") - lit(2L) * graft.functions.longDot(col("q"), col("qq")) + col("qn2"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("qq"), col("cell"))
+        // np needed per neighbor = its cell's rank in the exact probe order
+        val ranked = calQ.join(broadcast(cellSeed(s, d)))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(IvfCentroids.l2(col("qq"), col("cq")).asc, col("cid").asc)))
+          .select(col("query_id"), col("cid").as("cell"), col("prk"))
+        val needs = gt.join(ranked, Seq("query_id", "cell"))
+          .select(col("query_id"), col("prk").as("np_needed"))
+        // the coverage curve over the serving grid (in-plan literal), and
+        // the chosen depth: one grid step past the smallest point meeting
+        // the deployment target (margin — calibration transfers
+        // approximately); an unreachable target serves at the deepest step
+        // INTEGER curve: covered-count numerator, not a fraction — |cal|·k
+        // is 24, whose reciprocal is not dyadic, so a double fraction
+        // would gamble the hash gate on last-digit rounding agreement;
+        // the target test is the exact integer form covered·5 ≥ total·4
+        // (coverage ≥ 0.8)
+        val grid = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L)
+        val curve = needs
+          .select(explode(array(grid.map(lit): _*)).as("np"), col("np_needed"))
+          .groupBy(col("np"))
+          .agg(sum(when(col("np_needed") <= col("np"), 1L).otherwise(0L)).as("covered"),
+            count(lit(1)).as("total"))
+        val chosen = broadcast(curve
+          .agg(coalesce(min(when(col("covered") * 5 >= col("total") * 4, col("np"))),
+            lit(grid.last)).as("min_np")))
+        val npCal = broadcast(curve.crossJoin(chosen)
+          .agg(coalesce(min(when(col("np") > col("min_np"), col("np"))),
+            lit(grid.last)).as("np_cal")))
+        curve.crossJoin(npCal)
+          .select(col("np"), col("covered"), col("total"), col("np_cal"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, q, ${inorm2Sql("q")} AS n2 FROM ($quantizedSql)),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM base WHERE vec_id < ${cellCapSql("base")}),
+             |${assignSql("base", "cent", Seq("q", "n2"), "cd", "assigned")},
+             |lab AS (SELECT a.vec_id, a.q, a.n2, a.cell,
+             |    CAST(CASE WHEN a.vec_id % 50 = 7 THEN 100 + a.vec_id % 3 ELSE b.label END AS BIGINT) AS flabel
+             |  FROM assigned a JOIN base b ON b.vec_id = a.vec_id),
+             |calq AS (SELECT vec_id AS query_id, flabel AS qlabel, q AS qq, n2 AS qn2
+             |  FROM lab WHERE vec_id >= 16 AND vec_id < 24 AND flabel < 100),
+             |gt AS (SELECT query_id, qq, cell FROM (
+             |  SELECT c.query_id, c.qq, l.cell,
+             |    row_number() OVER (PARTITION BY c.query_id
+             |      ORDER BY CAST(l.n2 - 2 * ${idotSql("l.q", "c.qq")} + c.qn2 AS BIGINT) ASC, l.vec_id ASC) AS rk
+             |  FROM lab l JOIN calq c ON l.flabel = c.qlabel AND l.vec_id <> c.query_id)
+             |  WHERE rk <= 3),
+             |ranked AS (SELECT c.query_id, ct.cid AS cell,
+             |    row_number() OVER (PARTITION BY c.query_id
+             |      ORDER BY ${l2ListSql("c.qq", "ct.cq")} ASC, ct.cid ASC) AS prk
+             |  FROM calq c CROSS JOIN cent ct),
+             |needs AS (SELECT g.query_id, r.prk AS np_needed
+             |  FROM gt g JOIN ranked r ON r.query_id = g.query_id AND r.cell = g.cell),
+             |grid AS (SELECT CAST(np AS BIGINT) AS np FROM (VALUES (2),(4),(8),(16),(32),(64),(128)) AS t(np)),
+             |curve AS (SELECT g.np,
+             |    CAST(sum(CASE WHEN n.np_needed <= g.np THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+             |    CAST(count(*) AS BIGINT) AS total
+             |  FROM grid g CROSS JOIN needs n GROUP BY g.np),
+             |chosen AS (SELECT CAST(COALESCE(min(CASE WHEN covered * 5 >= total * 4 THEN np END), 128) AS BIGINT) AS min_np FROM curve),
+             |npcal AS (SELECT CAST(COALESCE(min(CASE WHEN c.np > ch.min_np THEN c.np END), 128) AS BIGINT) AS np_cal
+             |  FROM curve c CROSS JOIN chosen ch)
+             |SELECT c.np, c.covered, c.total, p.np_cal FROM curve c CROSS JOIN npcal p""".stripMargin),
+      "Calibrated dense-tier probe depth: a disjoint same-tier calibration set with sampled exact ground truth yields the coverage-vs-depth curve (coverage == served recall for an exact reranker), and serving picks one grid step past the smallest depth meeting the deployment recall target — the round-17 rule that closed the dense-label recall hole mass coverage and admissible distance bounds both miss (AnnDemo: common-class recall@3 0.083 -> 1.0 at the routed preset)."
     )
   )
 }
