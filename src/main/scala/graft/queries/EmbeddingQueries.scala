@@ -179,6 +179,9 @@ object EmbeddingQueries extends QueryModule {
     // the tiered routers' serving state: labeled assignment + router
     // histogram (C×|labels| + n skinny rows — metadata-scale)
     fineHist(s, d)
+    // the SQ8 tier's per-dim stats row (persisted beside the codes at a
+    // deployment; 1 row — see sq8Stats)
+    sq8Stats(s, d)
   }
 
   /** The same cap as a SQL scalar subquery over the base CTE — the exact
@@ -490,16 +493,21 @@ object EmbeddingQueries extends QueryModule {
     * corpus aggregate, broadcast back to every consumer (the scalar-join
     * pattern). Split out of [[sq8Recon]] so serving paths (v19) can
     * dequantize CANDIDATE rows inline instead of joining a corpus-wide
-    * reconstruction table.
+    * reconstruction table. Registered as a shared cache: at a deployment
+    * the stats row is PERSISTED next to the SQ8 codes it defines (codes
+    * are meaningless without it), so serving samples must not re-scan the
+    * corpus for it — the ×10 sweep showed v17 max/min ≈ 2 from exactly
+    * this row's rebuild on the first sample.
     */
-  private def sq8Stats(s: SparkSession, d: String): DataFrame = {
-    val base = quantized(s, d)
-    val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
-      (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
-    base.agg(aggs.head, aggs.tail: _*).select(
-      array((0 until Dim).map(i => col(s"mn$i")): _*).as("mns"),
-      array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
-  }
+  private def sq8Stats(s: SparkSession, d: String): DataFrame =
+    SharedCaches.get(s, d, "sq8Stats") {
+      val base = quantized(s, d)
+      val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
+        (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))
+      base.agg(aggs.head, aggs.tail: _*).select(
+        array((0 until Dim).map(i => col(s"mn$i")): _*).as("mns"),
+        array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rng"))
+    }
 
   /** Quantize-then-dequantize `q` against the per-dim stats — the SQ8
     * round trip in pure integer arithmetic (mod-subtract exact division;
