@@ -22,6 +22,22 @@ N=${1:?usage: tools/close_round.sh <round-number>}
 RN=$(printf 'r%02d' "$N")
 CPUS=${SPARK_GRAFT_CPUS:-32}
 
+# Round-17 lesson: a re-run AFTER the closing commit landed in a poisoned
+# host window and overwrote the committed BENCH record with a 1.9×-slower
+# one, leaving the tree contradicting round-of-record. Once a round's
+# artifacts are committed they are final — refuse to regenerate them.
+for f in "TEST_${RN}.json" "CORRECTNESS_${RN}.json" "BENCH_${RN}.json"; do
+  if git cat-file -e "HEAD:$f" 2>/dev/null; then
+    if [ "${CLOSE_ROUND_FORCE:-0}" != "1" ]; then
+      echo "[close_round] ABORT: $f is already committed (round $N closed)."
+      echo "[close_round] Re-closing would overwrite the round-of-record;"
+      echo "[close_round] set CLOSE_ROUND_FORCE=1 only if that is intended."
+      exit 2
+    fi
+    echo "[close_round] WARNING: overwriting committed $f (CLOSE_ROUND_FORCE=1)"
+  fi
+done
+
 echo "[close_round] 1/4 sbt test"
 sbt -batch test >/tmp/close_round_test.log 2>&1 && TEST_RC=0 || TEST_RC=$?
 tail -4 /tmp/close_round_test.log
