@@ -685,10 +685,14 @@ object AnnDemo {
         // self-check at class granularity: the served rule must meet or
         // beat the DEEPEST fixed sweep point (np=16) for EVERY class —
         // the exact tier by recall 1.0, the ivf tier by superset
-        // monotonicity whenever it serves at ≥ np16 (the calibrated
-        // floor's grid starts one step past the np floor, so a dense
-        // class now always does)
-        if (exactTier || math.max(nProbe, npCal) >= 16) assert(hitA >= hitF16,
+        // monotonicity whenever it SERVED at ≥ np16. Guard on the depth
+        // each query actually served at (npServe = max(npAdaptive,
+        // npCal), recorded per query), not the npCal formula alone: with
+        // small-nCells geometry npCal can sit under 16 while mass
+        // escalation still drives every query's served depth past it —
+        // the superset argument holds there too, and the old
+        // npCal-only guard skipped exactly that check (round-17 advice).
+        if (exactTier || perQuery.map(_._6).min >= 16) assert(hitA >= hitF16,
           s"dispatch under fixed np16 for class $c: $hitA < $hitF16")
         s"""{"class":"$c","selectivity":${fmt4(
             classTotals(c).toDouble / rowsTotal)},"n_queries":${qids.size},""" +

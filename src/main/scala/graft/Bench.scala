@@ -266,7 +266,18 @@ object Bench {
     }
     val (line, full) = renderLines(results,
       calib0 +: midProbes.toSeq :+ calibEnd, sfDir, flagged)
-    Artifacts.writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"), full)
+    // DIAGNOSTIC STAMP (round-17 advice): a subset (SPARK_GRAFT_BENCH_ONLY)
+    // or reduced-warm (SPARK_GRAFT_BENCH_WARM) run writes the same artifact
+    // path as a full-catalog record, and "the driver never sets these" is
+    // convention, not enforcement — so when either knob deviates from the
+    // default, the deviation is stamped into the durable line itself and a
+    // stray diagnostic can never pass as a committable record.
+    val diag = only.map(s => s""""only":${s.size}""").toSeq ++
+      (if (warm != "all") Seq(s""""warm":${Artifacts.jsonStr(warm)}""") else Seq.empty)
+    val fullStamped =
+      if (diag.isEmpty) full
+      else full.dropRight(1) + s""","diag":{${diag.mkString(",")}}}"""
+    Artifacts.writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"), fullStamped)
     // Stop Spark BEFORE printing: executor/blockmanager shutdown logs land on
     // stderr first, leaving the JSON as the process's final stdout line (the
     // driver parses exactly that — build.sbt strips sbt's prefix/success noise).

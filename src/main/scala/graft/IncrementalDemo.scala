@@ -324,14 +324,86 @@ object IncrementalDemo {
         val driftAfter = after.join(drifted.select("cid"), Seq("cid"), "left_semi")
           .agg(coalesce(sum(col("drift")), lit(0L))).head().getLong(0)
         codebookArr = loadCbArr() // today's ingest assigns against rev 2
+        // ---- CALIBRATION REFRESH (round-17 ask #4). The dense tier's
+        // calibrated probe depth (the v28 rule) is a function of the
+        // index GEOMETRY — the revision bump above moved the reseeded
+        // centroids, which reorders every query's cell-probe ranking —
+        // so nothing computed at build time stays valid across a reseed.
+        // Maintenance therefore re-runs the calibration against the NEW
+        // codebook (|cal| bounded exact-GT passes — the same cost class
+        // as the histogram audit) and asserts the refreshed depth still
+        // serves its recall target against the live index BEFORE any day
+        // ingests on rev 2: the v28 twin of hist_consistent /
+        // sketch_consistent. The serve leg is the real check — it reads
+        // probe order, router labels, and list membership together, so a
+        // stale codebook or a histogram/label drift trips it even though
+        // the chosen depth meets the target on the curve by construction
+        // (an unreachable target escalates to all cells = exact scan).
+        val tCal = System.nanoTime()
+        val liveLab = lists.join(labelOf(prior), Seq("vec_id"))
+          .localCheckpoint(eager = true)
+        def il2(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }; s
+        }
+        val calK = 3
+        val calRows = liveLab.orderBy(col("vec_id")).limit(8)
+          .select("vec_id", "q", "label").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        val calLegs = calRows.map { case (qid, qq, qlab) =>
+          val qlit = array(qq.map(lit): _*)
+          def topK(frame: DataFrame) = frame
+            .filter(col("label") === qlab && col("vec_id") =!= qid)
+            .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+              lit(2L) * graft.functions.longDot(col("q"), qlit))
+            .orderBy(col("adist").asc, col("vec_id").asc).limit(calK)
+            .select("vec_id", "cell").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val gt = topK(liveLab)
+          // np needed per GT neighbor = its cell's rank in the NEW
+          // codebook's exact probe order (the v28 "needs" construction)
+          val ranked = codebookArr.map { case (cid, cq) => (il2(qq, cq), cid) }
+            .sorted.map(_._2)
+          val rank = ranked.zipWithIndex.toMap
+          (qid, qq, qlab, gt, gt.map { case (_, c) => rank(c) + 1 }, ranked)
+        }
+        val needs = calLegs.flatMap(_._5)
+        val calGrid = (Seq(2, 4, 8, 16, 32, 64, 128).filter(_ < numCells)
+          :+ numCells).distinct
+        // integer-numerator target test (coverage >= 0.8), one grid step
+        // of margin past the smallest covering depth — the v28 contract
+        val minNp = calGrid.find(np => needs.count(_ <= np) * 5 >= needs.length * 4)
+          .getOrElse(numCells)
+        val npCal = calGrid.find(_ > minNp).getOrElse(numCells)
+        // serve the calibration set at the refreshed depth on the LIVE
+        // index and count exact-GT hits — served coverage, not curve math
+        val servedHits = calLegs.map { case (qid, qq, qlab, gt, _, ranked) =>
+          val probed = ranked.take(npCal).map(Long.box)
+          val qlit = array(qq.map(lit): _*)
+          val ids = liveLab.filter(col("cell").isin(probed: _*))
+            .filter(col("label") === qlab && col("vec_id") =!= qid)
+            .withColumn("adist", graft.functions.longDot(col("q"), col("q")) -
+              lit(2L) * graft.functions.longDot(col("q"), qlit))
+            .orderBy(col("adist").asc, col("vec_id").asc).limit(calK)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          gt.count { case (id, _) => ids.contains(id) }
+        }.sum
+        val calTotal = calLegs.map(_._4.length).sum
+        val calConsistent = servedHits * 5 >= calTotal * 4
+        assert(calConsistent, s"post-reseed calibration under target: " +
+          s"$servedHits/$calTotal GT neighbors served at np_cal=$npCal")
+        val calS = (System.nanoTime() - tCal) / 1e9
         val rsS = (System.nanoTime() - tRs) / 1e9
         println(s"[incremental] reseed before day $d: rev $revBefore -> $revAfter " +
-          s"cells=$nReseeded drift $driftBefore -> $driftAfter (${fmt(rsS)} s)")
+          s"cells=$nReseeded drift $driftBefore -> $driftAfter " +
+          s"np_cal=$npCal served=$servedHits/$calTotal (${fmt(rsS)} s)")
         reseedRecord =
           s""""reseed":{"before_day":$d,"rev_before":$revBefore,"rev_after":$revAfter,""" +
             s""""cells_reseeded":$nReseeded,"drift_excess_before":$driftBefore,""" +
             s""""drift_excess_after":$driftAfter,"pinned_reader_isolated":true,""" +
-            s""""reseed_s":${fmt(rsS)}},"""
+            s""""np_cal":$npCal,"cal_queries":${calRows.length},"cal_gt":$calTotal,""" +
+            s""""cal_served_hits":$servedHits,"cal_consistent":$calConsistent,""" +
+            s""""cal_s":${fmt(calS)},"reseed_s":${fmt(rsS)}},"""
       }
       val tDay = System.nanoTime()
       val catalog = spark.read.parquet(catalogPath)
@@ -450,9 +522,13 @@ object IncrementalDemo {
       sigMaintained.write.mode("overwrite").parquet(nextSig)
       sigPath = nextSig
       val sigStored = spark.read.parquet(sigPath)
+      // collect the (bounded, per-source) affected set ONCE and reuse it in
+      // both isin filters — the inline form collected it twice per day
+      // (round-17 advice)
+      val affectedNames = affectedSrc.collect().map(_.getString(0))
       val matrixPairs = DedupQueries.overlapMatrixFromSignatures(sigStored)
-        .filter(col("source_a").isin(affectedSrc.collect().map(_.getString(0)): _*) ||
-          col("source_b").isin(affectedSrc.collect().map(_.getString(0)): _*))
+        .filter(col("source_a").isin(affectedNames.toIndexedSeq: _*) ||
+          col("source_b").isin(affectedNames.toIndexedSeq: _*))
         .count()
       def canonSig(df: DataFrame) = df.collect()
         .map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq

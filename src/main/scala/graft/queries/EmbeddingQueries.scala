@@ -1954,6 +1954,23 @@ object EmbeddingQueries extends QueryModule {
             .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
               .orderBy(col("adist").asc, col("vec_id").asc)))
             .filter(col("rk") <= 3)
+        // CATALOG shape vs SERVING shape — recorded disposition (r16 ask
+        // #5 / r17 ask #6): this exact tier scans the cached labeled
+        // corpus with the exact-tier queries broadcast, while the SERVING
+        // path (AnnDemo/Layout) dispatches the same tier to the
+        // label-partitioned parquet layout and reads only the query
+        // label's partitions (measured bounded: rows_read 120–2880 of the
+        // corpus, tier "partitioned", ann_demo_last.json). The catalog
+        // keeps the scan shape deliberately: the DuckDB oracle replays the
+        // identical full-scan predicate, so the row/hash compare checks
+        // the TIER SEMANTICS (which neighbors an exact-tier query must
+        // return) rather than the storage layout, and the layout's
+        // partition pruning is asserted where the layout exists — in the
+        // serving demo and LayoutSpec, not against a bare parquet dir that
+        // has no label partitioning to prune. Cost at catalog scale is a
+        // one-pass scan of the session-cached labeled frame (1.91 s at
+        // sf0.1, SharedCaches-registered); at 100 TB the serving path is
+        // the shape that runs.
         val exact = top3(labeled
             .join(broadcast(queries.filter(col("exact_tier"))
                 .select(col("query_id"), col("qlabel"), col("qq"), col("qn2"))),

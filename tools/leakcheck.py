@@ -66,7 +66,11 @@ for f in files:
     for ln, line in enumerate(text.splitlines(), 1):
         for cat, pat in CATEGORIES.items():
             m = pat.search(line)
-            if m and m.group(0).lower() not in BENIGN:
+            # BENIGN applies ONLY to the shortlink half of internal-url —
+            # it exists for prose like "go/no-go"; letting it suppress any
+            # other category's full match would silently drop a real hit
+            # whose text happened to equal a benign token.
+            if m and not (cat == "internal-url" and m.group(0).lower() in BENIGN):
                 hits[cat].append(f"{f}:{ln}: {line.strip()[:160]}")
 
 record = {
