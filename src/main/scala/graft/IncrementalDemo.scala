@@ -56,6 +56,46 @@ object IncrementalDemo {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+  /** Every plan node under `p`, descending through AQE wrappers and query
+    * stages (the adaptive FINAL plan — call only after an action ran).
+    */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      planNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => planNodes(q.plan)
+    case _ => p.children.flatMap(planNodes)
+  })
+
+  /** Count exchanges (shuffle OR broadcast) sitting between a scan of the
+    * bucketed claim-store table and the first join above it — the plan
+    * contract behind the bucketed store: the STORE side of the claim join
+    * must co-locate off its bucket layout, so nothing may move it before
+    * the join consumes it (only the new batch's skinny claims shuffle).
+    * Exchanges ABOVE a join shuffle join output — claims-derived, not the
+    * store — so the count resets at every multi-child node on the way
+    * down. A scan is "the store's" when its relation reads the store
+    * table's path.
+    */
+  private def storeSideExchanges(df: org.apache.spark.sql.DataFrame,
+      storePath: String): Int = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, pending: Int): Int = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(storePath)) =>
+        pending
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan, pending)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan, pending)
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.children.map(walk(_, pending + 1)).sum
+      case other =>
+        val next = if (other.children.size > 1) 0 else pending
+        other.children.map(walk(_, next)).sum
+    }
+    walk(df.queryExecution.executedPlan, 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(3)
@@ -63,6 +103,10 @@ object IncrementalDemo {
     GraftSession.quietStartupWarnings()
     val spark = GraftSession.builder()
       .config("spark.sql.debug.maxToStringFields", "2000")
+      // the bucketed claim-store tables below live in the session catalog
+      // with external data paths under workDir; the warehouse dir only
+      // backs the default database's metadata and must stay out of the repo
+      .config("spark.sql.warehouse.dir", s"$workDir/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -79,35 +123,64 @@ object IncrementalDemo {
         .select((col("doc_id") + lit(maxId)).as("doc_id"), col("text"))
 
     val records = Seq.newBuilder[String]
-    var storePath: Option[String] = None
+    // the store checkpoints as a BUCKETED external table on the claim key
+    // (band_idx, band) — the co-location the incrementalNearDup scale note
+    // promises, now executable: the store side of every claim join reads
+    // its bucket layout in place and only the new batch's skinny claims
+    // shuffle (asserted per batch via storeSideExchanges == 0). The
+    // bucket count follows the session's dir-sizing rule so the bucketed
+    // partitioning is at least the join's expected shuffle count at any
+    // corpus scale (the shingleSetsWide precedent — a smaller count gets
+    // re-shuffled up to AQE's initialPartitionNum and the layout buys
+    // nothing). At 100 TB this is the same table written by a catalog
+    // (metastore) job; here the session catalog carries the bucket spec.
+    val par = spark.sparkContext.defaultParallelism
+    val nBuckets = math.max(par, GraftSession.initialPartitions(
+      GraftSession.dirBytes(sfDir, Some(spark.sparkContext.hadoopConfiguration)), par))
+    var storeTable: Option[(String, String)] = None // (table name, data path)
     var storeRows = 0L
+    // broadcast off for THIS leg only (restored below): at demo scale the
+    // store fits the broadcast threshold and stats would broadcast it,
+    // which trivially satisfies — and so never exercises — the bucket
+    // co-location the contract is about; at 100 TB the store outgrows any
+    // threshold and the bucketed join IS the plan, so the leg pins that
+    // plan shape at test scale too
+    val priorBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for (b <- 0 to nBatches) {
       val t0 = System.nanoTime()
       val in = batch(b)
-      // canonical column order + type on read-back: partition-column
-      // inference returns band_idx last and as INT regardless of how the
-      // store schema declares it
-      val store = storePath
-        .map(p => spark.read.parquet(p)
-          .select(col("band_idx").cast("int"), col("band"), col("rep")))
+      val store = storeTable
+        .map { case (t, _) => spark.table(t)
+          .select(col("band_idx").cast("int"), col("band"), col("rep")) }
         .getOrElse(emptyStore)
       val (kept, updated) = graft.queries.DedupQueries.incrementalNearDup(in, store)
-      // checkpoint the store the production way: band-partitioned parquet,
-      // so the next batch's claim join co-locates on the band key
       val nextPath = s"$workDir/store_b$b"
-      updated.write.mode("overwrite").partitionBy("band_idx").parquet(nextPath)
+      val nextTable = s"claim_store_b$b"
+      spark.sql(s"DROP TABLE IF EXISTS $nextTable")
+      updated.write.mode("overwrite")
+        .bucketBy(nBuckets, "band_idx", "band")
+        .option("path", nextPath).saveAsTable(nextTable)
       val nIn = in.count()
       val nKept = kept.count()
-      val newRows = spark.read.parquet(nextPath).count()
+      // plan contract, checked on the executed (adaptive-final) plan of
+      // the batch's keep decision: once the store is a bucketed table
+      // (b >= 1), no shuffle exchange may sit on its side of the claim
+      // join — the store co-locates, the claims move to it
+      val storeEx = storeTable.map { case (_, p) => storeSideExchanges(kept, p) }
+      storeEx.foreach(n => assert(n == 0,
+        s"batch $b: $n shuffle exchange(s) on the bucketed store side"))
+      val newRows = spark.table(nextTable).count()
       val sec = (System.nanoTime() - t0) / 1e9
       val label = if (b < nBatches) "fresh" else "replay"
-      records += f"""{"batch":$b,"kind":"$label","docs_in":$nIn,"kept":$nKept,"dropped":${nIn - nKept},"store_rows_before":$storeRows,"store_rows_after":$newRows,"store_growth":${newRows - storeRows},"sec":$sec%.2f}"""
-      println(f"[incremental] batch $b ($label): in=$nIn kept=$nKept store $storeRows -> $newRows (${sec}%.2f s)")
-      storePath = Some(nextPath)
+      records += f"""{"batch":$b,"kind":"$label","docs_in":$nIn,"kept":$nKept,"dropped":${nIn - nKept},"store_rows_before":$storeRows,"store_rows_after":$newRows,"store_growth":${newRows - storeRows},"store_side_exchanges":${storeEx.fold("null")(_.toString)},"sec":$sec%.2f}"""
+      println(f"[incremental] batch $b ($label): in=$nIn kept=$nKept store $storeRows -> $newRows store_ex=${storeEx.fold("-")(_.toString)} (${sec}%.2f s)")
+      storeTable = Some((nextTable, nextPath))
       storeRows = newRows
     }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
     val line =
-      s"""{"metric":"incremental_dedup","sf":${Artifacts.jsonStr(sfDir)},"batches":${nBatches + 1},"per_batch":[${records.result().mkString(",")}]}"""
+      s"""{"metric":"incremental_dedup","sf":${Artifacts.jsonStr(sfDir)},"batches":${nBatches + 1},"store_buckets":$nBuckets,"store_bucketed":true,"per_batch":[${records.result().mkString(",")}]}"""
     // per-sf upsert (like leg 2): a capacity-corpus run must not overwrite
     // the sf0.1 record — the artifact carries one line per corpus
     Artifacts.upsertLine(
