@@ -64,6 +64,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("d3 band explode emits SKINNY rows — no signature columns ride the self-join") {
+    // the round-18 shuffle fix: the band self-join's exchange payload is
+    // (doc_id, band_idx, band) per exploded row; carrying the full band
+    // signature (the old in-row first-shared-band dedup) amplified the
+    // exchange ~27x over input at the capacity geometry (~2.5 GB/query
+    // measured at x10). The explode's output width pins the property at
+    // any preset: 1 carried column + 2 generator columns.
+    val df = SparkEntry.queries("d3_lsh_near_dup_pairs")(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected a posexplode of band keys in d3's plan")
+    gens.foreach { g =>
+      assert(g.output.size <= 3,
+        s"band explode carries ${g.output.size} columns (${g.output.map(_.name).mkString(", ")}) — wide rows on the self-join exchange")
+    }
+  }
+
   test("j_asof_recent_purchase plans NO join at all (merged-stream carry-forward)") {
     val p = plan("j_asof_recent_purchase")
     assert(!p.contains("Join"), p)
