@@ -203,7 +203,11 @@ object CurationQueries extends QueryModule {
         // shuffle keys, never the strings); the span-frequency table is a
         // grow-with-corpus side, so it joins back by shuffle (AQE may
         // broadcast it when small) rather than a forced broadcast.
-        val docs = Tables.documents(s, d)
+        // r18: spread before tokenize — the tokenize+shingle+hash pass ran
+        // as the scan's single task at demo file layouts (0.8 of 1.2 s
+        // measured); no exchange added at production split counts
+        val docs = spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         // hash INSIDE the array and distinct the hashes, so an intra-doc
         // 60-bit collision merges in-row exactly like the oracle's
@@ -401,7 +405,13 @@ object CurationQueries extends QueryModule {
         // the true shingle strings so the result is exact even under hash
         // collisions. One broadcast hash-join; the training side stays
         // map-only.
-        val docs = Tables.documents(s, d)
+        // r18: spread before tokenize — the tokenize+shingle pass ran as
+        // the scan's single task at demo file layouts (1.2 of 1.6 s
+        // measured); no exchange added at production split counts, so the
+        // training side stays map-only exactly where the scan parallelizes
+        val docs = spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"))
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         val bench = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(array_distinct(shingles(col("toks"), 5))).as("bs")).distinct()
@@ -449,7 +459,9 @@ object CurationQueries extends QueryModule {
         // the posexplode index; coverage is a distinct position count per
         // doc. The bench side stays broadcast; position explosion is
         // bounded by 5× the contaminated-window count, not the corpus.
-        val docs = Tables.documents(s, d)
+        // r18: spread before tokenize (same rationale as d10)
+        val docs = spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         val bench = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(array_distinct(shingles(col("toks"), 5))).as("s")).distinct()
@@ -513,7 +525,10 @@ object CurationQueries extends QueryModule {
         // task and warns "No Partition Defined"). Ranks are then assigned
         // to the k survivors by a broadcast self-join bounded at k×k
         // comparisons: rank = how many survivors order at-or-before you.
-        val top = Tables.documents(s, d)
+        // r18: spread before the pre-token regex + pair explode (the whole
+        // pass ran as the scan's single task at demo file layouts)
+        val top = spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
           .select(explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("pt"))
           .filter(length(col("pt")) >= 2)
           .select(explode(transform(

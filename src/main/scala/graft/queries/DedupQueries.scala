@@ -1244,7 +1244,14 @@ object DedupQueries extends QueryModule {
         // broadcast. The 100 TB governance path is d22's sketch (one
         // scan, |sources|×128 rows of shuffle); this exact form is the
         // small-corpus audit that calibrates it.
-        val srcSets = Tables.documents(s, d)
+        // r18: spread the scan before the 5-gram shingle explode — the
+        // whole tokenize+shingle+partial-collect pass ran as the scan
+        // stage's single task at demo file layouts (4.8 of 5.7 s measured
+        // at sf0.1/32 cores); at production split counts spreadForCpuWork
+        // adds no exchange (see PipelineFns.spreadForCpuWork)
+        val srcSets = PipelineFns.spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"))
           .select(col("source"),
             explode(array_distinct(shingles(tokens(col("text")), 5))).as("sg"))
           .groupBy(col("sg"))

@@ -125,13 +125,6 @@ object DomainQueries extends QueryModule {
     // IoU-style hits at metric >= t, error-style (pixel/ADD) at metric <= t
     val threshold = col("ti").cast("double") / (bins - 1)
     val isHit = if (greater) col("iou") >= threshold else col("iou") <= threshold
-    val perFrame = scored
-      .select(col("frame_id"), col("iou"),
-        explode(sequence(lit(0), lit(bins - 1))).as("ti"))
-      .groupBy(col("ti"), col("frame_id"))
-      .agg(
-        sum(when(isHit, 1L).otherwise(0L)).as("hit"),
-        count(lit(1)).as("n"))
     val segs = if (segments > 0) segments else PipelineFns.autoSegments(scored.sparkSession)
     // non-integral frame ids can't be range-bucketed monotonically (a
     // failed cast would null the segment key and silently drop rows at
@@ -142,8 +135,28 @@ object DomainQueries extends QueryModule {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
+    val singlePath = segs <= 1 || !integralFrameId
+    val exploded = scored
+      .select(col("frame_id"), col("iou"),
+        explode(sequence(lit(0), lit(bins - 1))).as("ti"))
+    // Single-window path: ONE explicit exchange on ti, shared by every
+    // downstream op. `repartition(bins, ti)` is exempt from AQE
+    // coalescing — the implicit ti exchange it replaces carries so few
+    // BYTES at a bounded eval size that byte-based coalescing folded all
+    // `bins` window partitions into ONE task (r18 measured the final job
+    // of g22/g26 serializing ~0.8 s of window machinery on 1 of 32
+    // cores). HashPartitioning(ti) satisfies the (ti, frame_id) groupBy,
+    // the ti-partitioned windows, AND the final per-ti aggregation, so
+    // the whole sweep runs with a single shuffle and `bins`-way
+    // parallelism whatever the byte count.
+    val perFrame =
+      (if (singlePath) exploded.repartition(bins, col("ti")) else exploded)
+        .groupBy(col("ti"), col("frame_id"))
+        .agg(
+          sum(when(isHit, 1L).otherwise(0L)).as("hit"),
+          count(lit(1)).as("n"))
     val cumulated =
-      if (segs <= 1 || !integralFrameId) singleTaskCumPr(perFrame)
+      if (singlePath) singleTaskCumPr(perFrame)
       else segmentedCumPr(scored, perFrame, segs)
     cumulated
       .withColumn("term", round(col("delta") * col("monoprec") * 1e9, 0).cast("long"))
@@ -467,7 +480,16 @@ object DomainQueries extends QueryModule {
             array(col("x") + 0.01, col("y") + 0.02, col("z") + 0.5,
               col("xl"), col("yl"), col("zl"),
               lit(0.0), lit(0.0), lit(0.0))), 4).as("iou"))
-        apSweep(scored, 21)
+        // segments = 1: the eval set is PLAN-BOUNDED (l_orderkey <= 2000
+        // caps it at ~2000 frames × 7 lines at ANY corpus scale), so the
+        // per-threshold single-task windows hold ≤ 14k rows forever and
+        // the two-level segmented machinery — bounds agg, per-segment
+        // offsets/suffix-max, two broadcast joins back — is pure plan/job
+        // overhead (r18 measured it as ~¾ of the query's wall time at 13
+        // driver-serialized jobs). Unbounded cumulative-PR callers keep
+        // the segmented default; exact-parity of the two paths is pinned
+        // by ApSweepSpec.
+        apSweep(scored, 21, segments = 1)
       },
       Some(apSweepSql(
         """SELECT frame_id,
@@ -495,7 +517,8 @@ object DomainQueries extends QueryModule {
         val scored = syntheticBoxes(s, d).select(
           col("frame_id"),
           round(sqrt(dx * dx + dy * dy + dz * dz), 4).as("iou"))
-        apSweep(scored, 21, greater = false)
+        // segments = 1: plan-bounded eval set — see g22
+        apSweep(scored, 21, greater = false, segments = 1)
       },
       Some(apSweepSql(
         s"""SELECT frame_id, round(sqrt(dx*dx + dy*dy + dz*dz), 4) AS m
@@ -529,7 +552,8 @@ object DomainQueries extends QueryModule {
           (col("x") * x2 + col("y") * y2) / sqrt(rho1 * rho2)).otherwise(lit(1.0))
         val scored = syntheticBoxes(s, d).select(
           col("frame_id"), round(cosAz + lit(0.0), 4).as("iou"))
-        apSweep(scored, 21)
+        // segments = 1: plan-bounded eval set — see g22
+        apSweep(scored, 21, segments = 1)
       },
       Some(apSweepSql(
         s"""SELECT frame_id,
@@ -562,7 +586,8 @@ object DomainQueries extends QueryModule {
           (col("z") * z2 + rho1 * rho2) / (r1 * r2)).otherwise(lit(1.0))
         val scored = syntheticBoxes(s, d).select(
           col("frame_id"), round(cosPolar + lit(0.0), 4).as("iou"))
-        apSweep(scored, 21)
+        // segments = 1: plan-bounded eval set — see g22
+        apSweep(scored, 21, segments = 1)
       },
       Some(apSweepSql(
         s"""SELECT frame_id,

@@ -62,6 +62,34 @@ object PipelineFns {
   def autoSegments(s: SparkSession): Int =
     math.max(1, s.sparkContext.defaultParallelism)
 
+  /** `df` hash-spread on `key` across the session's dir-sized partition
+    * count — but ONLY when the underlying scan under-splits the cores.
+    *
+    * Why: CPU-dense per-row work (tokenize → shingle → hash → explode) runs
+    * in the SCAN stage, and byte-based file packing gives a sub-128 MB demo
+    * corpus (one ~0.6 MB documents.parquet; the synthesized ×10 corpus is a
+    * handful of sub-MB files) a 1–2 task scan — the whole corpus pays its
+    * most expensive compute serialized on 1 of N cores (measured: d21 spent
+    * 4.8 of its 5.7 s in a single-task job at sf0.1/32 cores). The same
+    * rationale as [[DedupQueries.shingleSetsWide]]'s unconditional spread,
+    * made conditional for per-query lineages: at production split counts
+    * (a 100 TB corpus scans as thousands of splits) the scan already
+    * parallelizes, the condition is false, and NO exchange is added — the
+    * map-only streaming shape of the scan is preserved exactly where it
+    * matters. The planned scan partition count is deterministic for a
+    * given file layout + session conf, so bench samples and the oracle
+    * replay identical plans.
+    */
+  def spreadForCpuWork(s: SparkSession, d: String, df: DataFrame, key: Column): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else {
+      val n = math.max(par, graft.GraftSession.initialPartitions(
+        graft.GraftSession.dirBytes(d, Some(s.sparkContext.hadoopConfiguration)), par))
+      df.repartition(n, key)
+    }
+  }
+
   /** Monotone bucketing of `orderCol` into `segments` contiguous ranges of
     * its [minCol, maxCol] domain — the segment key for two-level prefix
     * programs. All-integral arithmetic (SQL `div`, never `/`, which is

@@ -164,24 +164,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("g22/g23 AP sweeps: cumulative-PR windows are segmented (no one-task-per-threshold sort)") {
+  test("g22/g23 AP sweeps: ONE explicit uncoalescible ti exchange (bounded-eval single-window path)") {
+    // r18: the g-family eval set is PLAN-BOUNDED (l_orderkey <= 2000 caps
+    // it at ~2000 frames × 7 lines at ANY corpus scale), so the sweeps
+    // take the single-window cumulative-PR path — per-threshold windows
+    // hold ≤ 14k rows forever. The contract that matters is therefore not
+    // segmentation but PARALLELISM: the one ti exchange must be the
+    // explicit repartition(bins, ti) (REPARTITION_BY_NUM — exempt from
+    // AQE coalescing), because byte-based coalescing folded the tiny ti
+    // shuffle into ONE task and serialized ~0.8 s of window machinery on
+    // 1 of 32 cores. Every downstream op (groupBy(ti, frame_id), the four
+    // windows, the final per-ti agg) reuses that single exchange. The
+    // UNBOUNDED cumulative-prefix machinery keeps its segmented contract
+    // via t8/t19/m11 and SegmentedParitySpec.
     for (name <- Seq("g22_ap_sweep", "g23_ap_add_sweep")) {
       val df = SparkEntry.queries(name)(spark, sf)
-      // every window that orders the eval rows by frame_id must carry the
-      // segment key next to ti — partitioning by ti alone serializes the
-      // whole eval set into `bins` tasks
       val rowWindows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.orderSpec.exists(_.child.references.exists(_.name == "frame_id")) => w
       }
       assert(rowWindows.nonEmpty, s"$name lost its cumulative windows")
-      for (w <- rowWindows)
-        assert(w.partitionSpec.size >= 2,
-          s"$name window partitions only by ${w.partitionSpec}: parallelism ceiling = bins")
-      // segment offsets / suffix maxima join back via broadcast — never a
-      // shuffle join of the row-level frame
       val p = plan(name)
-      assert(p.contains("BroadcastExchange"), s"$name:\n$p")
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+      assert(exchanges == 1, s"$name should plan exactly 1 exchange, found $exchanges:\n$p")
+      assert(p.contains("REPARTITION_BY_NUM"), s"$name lost the explicit ti repartition:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$name:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
