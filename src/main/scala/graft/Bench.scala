@@ -163,6 +163,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sort-writer alignment (see GraftSession.bypassMergeThreshold): the
+      // bypass writer's M×R file churn dominated the verify family at ×10
+      .config("spark.shuffle.sort.bypassMergeThreshold", GraftSession.bypassMergeThreshold)
       .config("spark.sql.adaptive.enabled", "true")
       // stages start at the count the CORPUS warrants (1× at sf0.1, up to
       // 4× at synthesized capacity corpora — same rule as GraftSession):

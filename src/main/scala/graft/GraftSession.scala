@@ -111,6 +111,22 @@ object GraftSession {
     n
   }
 
+  /** Shuffle-writer selection threshold (spark.shuffle.sort.bypassMergeThreshold,
+    * Spark default 200). The bypass-merge writer opens R partition files per
+    * MAP TASK; at this engine's shuffle geometry (R = 32–128 reduce
+    * partitions × as many map tasks) that is thousands of file
+    * opens+streams per shuffle, and r18 thread-sampling showed
+    * DiskBlockObjectWriter.initialize/createTempShuffleBlock dominating the
+    * verify family's runtime (d6 ×10 warm: 4.2 s → 1.8 s with the sort
+    * writer). At 100 TB R is far above any threshold, so the SORT writer is
+    * what production runs anyway — a low threshold makes demo-scale
+    * shuffles exercise the same writer instead of a worse one production
+    * never uses. 16 keeps genuinely tiny fan-outs (R ≤ 16: scalar/bounded
+    * shuffles) on the cheap bypass path. Env-overridable for A/Bs.
+    */
+  def bypassMergeThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "16")
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Size-adaptive shuffle parallelism, BY STAGE INPUT BYTES (see
@@ -134,6 +150,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       // registers graft's custom expressions for SQL use (simhash56, …)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypassMergeThreshold)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial.toString)

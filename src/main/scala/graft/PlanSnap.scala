@@ -17,8 +17,14 @@ object PlanSnap {
     val names = args.drop(3).toSeq
     GraftSession.quietStartupWarnings()
     val spark = GraftSession.getOrCreate()
-    // plan-only inspection: skip the shared-cache materialization jobs
-    graft.queries.SharedCaches.eagerMaterialize = false
+    // plan-only inspection by default: skip the shared-cache
+    // materialization jobs. SPARK_GRAFT_PLANSNAP_EXEC=1 keeps them on so
+    // the dump shows the EXECUTING-JVM shape — needed for queries whose
+    // registered caches are lineage-truncated (SharedCaches.getTruncated):
+    // plan-only mode registers the raw lineage instead and would print a
+    // tree no executing session ever runs.
+    if (!sys.env.get("SPARK_GRAFT_PLANSNAP_EXEC").contains("1"))
+      graft.queries.SharedCaches.eagerMaterialize = false
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold", GraftSession.bypassMergeThreshold)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")

@@ -78,7 +78,7 @@ object EmbeddingQueries extends QueryModule {
     * divergence here fails every v6/v7/v10 gate comparison.
     */
   private def cellSeed(s: SparkSession, d: String): DataFrame =
-    SharedCaches.get(s, d, "ivfSeed")(IvfCentroids.cappedSeed(quantized(s, d), NumCells))
+    SharedCaches.getTruncated(s, d, "ivfSeed")(IvfCentroids.cappedSeed(quantized(s, d), NumCells))
 
   /** The sampled-Lloyd-trained codebook (v6's cells), registered as a
     * shared cache: a k-row table referenced several times per query on top
@@ -87,13 +87,13 @@ object EmbeddingQueries extends QueryModule {
     * in-session analog of serving the [[IvfCentroids.save]] parquet.
     */
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
-    SharedCaches.get(s, d, "ivfTrained")(
+    SharedCaches.getTruncated(s, d, "ivfTrained")(
       IvfCentroids.train(quantized(s, d), cellSeed(s, d), TrainIters, SampleMod,
         // Lloyd rounds are sequential; registering each round makes the
         // next round (and the final consumers) read a k-row cache instead
         // of re-executing the whole earlier-round lineage per reference.
         // The final round is the "ivfTrained" registration itself.
-        (t, df) => if (t < TrainIters) SharedCaches.get(s, d, s"ivfTrainRound$t")(df) else df))
+        (t, df) => if (t < TrainIters) SharedCaches.getTruncated(s, d, s"ivfTrainRound$t")(df) else df))
 
   /** Corpus→cell assignment against `codebook`, registered as a shared
     * cache under `key`: the two-level route ([[IvfCentroids.assignHier]])
@@ -113,7 +113,7 @@ object EmbeddingQueries extends QueryModule {
     */
   private def cachedAssigned(s: SparkSession, d: String, key: String,
                              codebook: => DataFrame): DataFrame =
-    SharedCaches.get(s, d, key) {
+    SharedCaches.getTruncated(s, d, key) {
       val base = quantized(s, d).withColumn("n2", inorm2(col("q")))
       IvfCentroids.assign(
         base.select(col("vec_id"), col("q"), col("n2")), codebook, Seq("q", "n2"))
@@ -140,7 +140,7 @@ object EmbeddingQueries extends QueryModule {
     * tier, IVF tier), re-executing the corpus join per reference.
     */
   private def fineLabeled(s: SparkSession, d: String): DataFrame =
-    SharedCaches.get(s, d, "ivfSeedFineLabeled") {
+    SharedCaches.getTruncated(s, d, "ivfSeedFineLabeled") {
       seedAssigned(s, d)
         .join(quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
         .withColumn("flabel",
@@ -156,7 +156,7 @@ object EmbeddingQueries extends QueryModule {
     * corpus aggregation per query.
     */
   private def fineHist(s: SparkSession, d: String): DataFrame =
-    SharedCaches.get(s, d, "ivfSeedFineHist") {
+    SharedCaches.getTruncated(s, d, "ivfSeedFineHist") {
       fineLabeled(s, d).groupBy(col("cell"), col("flabel"))
         .agg(count(lit(1)).as("n_cl"))
         .withColumnRenamed("flabel", "qlabel")
@@ -500,7 +500,7 @@ object EmbeddingQueries extends QueryModule {
     * this row's rebuild on the first sample.
     */
   private def sq8Stats(s: SparkSession, d: String): DataFrame =
-    SharedCaches.get(s, d, "sq8Stats") {
+    SharedCaches.getTruncated(s, d, "sq8Stats") {
       val base = quantized(s, d)
       val aggs = (0 until Dim).map(i => min(element_at(col("q"), i + 1)).as(s"mn$i")) ++
         (0 until Dim).map(i => max(element_at(col("q"), i + 1)).as(s"mx$i"))

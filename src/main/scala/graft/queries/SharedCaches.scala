@@ -59,8 +59,10 @@ object SharedCaches {
     // an uncached lineage that silently recomputes per execution, forever.
     // `df.storageLevel` asks the CacheManager, so a lost cache is detected
     // and rebuilt on next access (CacheLifecycleSpec pins both paths).
-    def live(df: DataFrame): Boolean =
-      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // Truncated handles ([[getTruncated]]) are LogicalRDD-backed instead of
+    // CacheManager-backed: their liveness is the checkpointed RDD's own
+    // storage level (clearCache() does not touch checkpointed RDDs, so
+    // they stay live across it by construction).
     m.get(key) match {
       case Some(df) if live(df) => df
       case _ => m.synchronized {
@@ -77,11 +79,72 @@ object SharedCaches {
           // pays one materialization. The catalog is an execution surface
           // (Verify/Bench run everything they build); plan-only audits
           // (PlanAudit) flip [[eagerMaterialize]] off instead.
+          // Truncated frames ([[getTruncated]]) ALSO go through this
+          // cache: the InMemoryRelation recomputes ACCURATE statistics on
+          // materialization (a bare LogicalRDD defaults to
+          // defaultSizeInBytes = huge, which silently demoted every
+          // stats-based auto-broadcast of the k-row codebooks to
+          // sort-merge joins — caught by PlanSpec), and its cachedPlan is
+          // the tiny LogicalRDD scan, so plan renders stay O(consumer).
+          // The columnar copy over the checkpoint blocks is deliberate;
+          // the frames registered truncated are codebook/assignment-scale.
           if (eagerMaterialize) df.count()
           m.put(key, df)
           df
         }
       }
+    }
+  }
+
+  /** As [[get]], but in EXECUTING JVMs the built lineage is truncated to an
+    * eager `localCheckpoint` before registration, so the registered frame's
+    * plan is a LogicalRDD leaf instead of the full build tree.
+    *
+    * Why (r18, measured at the ×10 capacity preset): the embedding cache
+    * CHAIN (seed → unrolled Lloyd rounds → trained codebook → assignment →
+    * labeled → histogram) gives every consumer a ~3,900-node analyzed tree
+    * and nested InMemoryRelations whose cachedPlans render each other —
+    * and AQE posts a FULL `explainString` + SparkPlanInfo per stage
+    * update, so v6 spent ~4.2 of its 4.9 s warm runtime in
+    * `TreeNode.generateTreeString` (driver thread sampling; AQE-off A/B
+    * 4.9 → 0.65 s). Truncating each link makes every render/canonicalize
+    * walk O(consumer), not O(whole training history). The checkpointed
+    * frame is then cached like every other handle — the InMemoryRelation
+    * recomputes ACCURATE statistics (a bare LogicalRDD estimates
+    * defaultSizeInBytes = huge, which demoted the k-row codebooks'
+    * stats-based auto-broadcasts to sort-merge joins), at the cost of a
+    * columnar copy over the checkpoint blocks — acceptable for the
+    * codebook/assignment-scale frames registered this way.
+    *
+    * Plan-only JVMs ([[eagerMaterialize]] false — PlanAudit) register the
+    * RAW lineage instead: under AQE, constructing a checkpoint's RDD
+    * materializes the build's exchanges (stage jobs), exactly the cost a
+    * plan-only audit must not pay. Those JVMs never execute, so the big
+    * tree costs them only plan-print time.
+    *
+    * Trade-off, deliberate: a truncated handle loses lineage — an evicted
+    * block is an error, not a recompute (acceptable for session-lifetime
+    * serving state in one JVM, the same rationale as the incremental
+    * band-claim localCheckpoint), and `spark.catalog.clearCache()` does
+    * not drop it (liveness tracks the RDD's own storage level; release()
+    * unpersists the RDD explicitly).
+    */
+  def getTruncated(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
+    get(s, d, key)(if (eagerMaterialize) build.localCheckpoint(true) else build)
+
+  /** Liveness: every handle (truncated or not) is CacheManager-backed. */
+  private def live(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+
+  /** Drop a handle's storage: the columnar cache, plus — for truncated
+    * handles — the checkpointed RDD beneath it (unpersisting only the
+    * cache would leave the checkpoint blocks pinned per release cycle).
+    */
+  private def dropStorage(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
     }
   }
 
@@ -98,5 +161,5 @@ object SharedCaches {
     * storage accumulates one pipeline per corpus dir touched.
     */
   def release(s: SparkSession, d: String): Unit =
-    memo.remove((s, d)).foreach(_.values.foreach(_.unpersist()))
+    memo.remove((s, d)).foreach(_.values.foreach(dropStorage))
 }

@@ -510,7 +510,9 @@ object TextQueries extends QueryModule {
     QueryDef(
       "t14_unigram_surprisal",
       (s, d) => {
-        // see [[unigramSurprisal]]
+        // see [[unigramSurprisal]] (r18: measured the doc_id spread here —
+        // ×10 2.09 → 2.3 s, equal-calib: the cost is the token-keyed join
+        // shuffle, not the scan-stage tokenize — left unspread)
         unigramSurprisal(Tables.documents(s, d))
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
@@ -539,7 +541,12 @@ object TextQueries extends QueryModule {
         // feeding two token-keyed aggregations (prefix counts are derived
         // from the bigram counts, not a second corpus pass), a vocab-scale
         // join bc⋈uni on w1, and the per-occurrence join-back on (w1,w2).
-        val docs = Tables.documents(s, d)
+        // r18: spread before the tokenize + bigram explode — t15 makes TWO
+        // bigram passes over the corpus (counts + per-doc join-back), the
+        // heaviest per-row text work outside the shingle family; at the
+        // ×10 file layout the scan under-splits to 1–2 tasks
+        val docs = PipelineFns.spreadForCpuWork(s, d,
+          Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
         val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
         val n1 = greatest(size(col("ts")) - 1, lit(0))
         val big = toks

@@ -330,12 +330,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("v12_cluster_balanced_sample: broadcast codebook, quota pre-reduced below the rank exchange") {
+  test("v12_cluster_balanced_sample: cached assignment scan, quota pre-reduced below the rank exchange") {
     val p = plan("v12_cluster_balanced_sample")
-    assert(p.contains("BroadcastExchange"), p)
-    // rk <= quota over row_number must rewrite to a per-partition partial
-    // top-k below the cell exchange — only ~quota rows per input partition
-    // shuffle, whatever the corpus size
+    // r18: the codebook broadcast this test used to grep for lived in the
+    // assignment cache's BUILD lineage, which the old InMemoryRelation
+    // rendered inline — the truncated (localCheckpoint-backed) cache no
+    // longer prints its one-time build, so the contract pins what the
+    // query itself executes: a read of the shared assignment cache …
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // … with rk <= quota over row_number rewritten to a per-partition
+    // partial top-k below the cell exchange — only ~quota rows per input
+    // partition shuffle, whatever the corpus size
     assert(p.contains("WindowGroupLimit"), p)
   }
 
