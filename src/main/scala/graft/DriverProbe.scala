@@ -29,6 +29,21 @@ object DriverProbe {
       val t0 = System.nanoTime; val r = f
       println(f"[probe]   $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
+    // per-stage attribution (SPARK_GRAFT_PROBE_STAGES=1): wall per stage,
+    // task count, summed executor run time — the breakdown that separates
+    // "few huge tasks" (parallelism collapse) from driver-side gaps
+    if (sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val s = e.stageInfo
+          val wall = (for (a <- s.completionTime; b <- s.submissionTime) yield (a - b) / 1e3)
+            .getOrElse(-1.0)
+          val run = s.taskMetrics.executorRunTime / 1e3
+          println(f"[probe]     stage ${s.stageId}: wall $wall%.2f s run $run%.2f s " +
+            f"${s.numTasks}t  ${s.name.take(90)}")
+        }
+      })
     names.foreach { name =>
       println(s"[probe] $name")
       // first full run warms caches/codegen so the second run isolates

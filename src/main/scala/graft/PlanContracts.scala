@@ -171,17 +171,21 @@ object PlanContracts {
           s"row-level window partitions only by ${w.partitionSpec.mkString(",")} — serialized")
     }
 
+    // Bounded-eval sweeps have NO lookup side — their whole plan is one
+    // explicit ti exchange (contract asserted by boundedSweepOneExchange
+    // below), so there is legitimately nothing to broadcast. One shared
+    // set keeps the generic broadcast check and the per-sweep
+    // registrations in sync: adding a sweep to the flagship list means
+    // adding it here AND registering its boundedSweepOneExchange contract.
+    val boundedSweeps = Set("g22_ap_sweep")
+
     for (name <- Flagships) {
       val p = plans.formatted(name)
       if (p.contains("CartesianProduct")) out += Violation(name, "plans a CartesianProduct")
       // every flagship routes its lookup sides over broadcast — a preset
       // that silently exceeds the broadcast threshold shows up here as a
-      // SortMergeJoin where none belongs. Exception (r18): g22 no longer
-      // HAS a lookup side — its bounded-eval sweep runs the single-window
-      // cumulative-PR path whose whole plan is one explicit ti exchange
-      // (contract asserted by boundedSweepOneExchange below), so there is
-      // legitimately nothing to broadcast.
-      if (name != "g22_ap_sweep" && !p.contains("BroadcastExchange"))
+      // SortMergeJoin where none belongs (bounded sweeps exempt, above).
+      if (!boundedSweeps.contains(name) && !p.contains("BroadcastExchange"))
         out += Violation(name, "no BroadcastExchange — a lookup side went shuffle")
       val global = plans.optimized(name).collect {
         case w: Window if w.partitionSpec.isEmpty => w
@@ -216,7 +220,9 @@ object PlanContracts {
 
     // segmented-window contracts (the round-6/7 scale ceilings, kept fixed)
     rowWindowsSegmented("t8_token_packing", "doc_id")
-    boundedSweepOneExchange("g22_ap_sweep", "frame_id")
+    // every member of boundedSweeps carries the one-exchange contract —
+    // the registration loop and the broadcast exemption share the set
+    boundedSweeps.foreach(boundedSweepOneExchange(_, "frame_id"))
     if (!plans.formatted("t8_token_packing").contains("BroadcastExchange"))
       out += Violation("t8_token_packing", "segment offsets must ride a broadcast join")
     // pre-reduced top-k on both recall sides: partial + final × 2

@@ -649,7 +649,15 @@ object CurationQueries extends QueryModule {
         // shingle set is distinct-projected and — being eval-set-sized,
         // metadata-scale at any corpus size — broadcast into a left-semi
         // join; the training side streams map-only.
-        val docs = Tables.documents(s, d)
+        // r19: spread before tokenize (same rationale as d10 — the
+        // tokenize+shingle pass ran as the scan's single task at demo file
+        // layouts, 0.5 s of d9's 1.2 s stage-probed; no exchange at
+        // production split counts). r18 measured this spread flat in a
+        // noisier window; re-measured as a win after the schema-memo and
+        // subset-A/B protocol (see OPTIMIZATION_r19.md).
+        val docs = PipelineFns.spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"))
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         val benchShingles = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(shingles(col("toks"), 5)).as("s")).distinct()
@@ -690,7 +698,10 @@ object CurationQueries extends QueryModule {
         // groupBy(doc_id). array_distinct BEFORE explode: the fraction is
         // over a doc's distinct shingles, and deduping per-row also sheds
         // repeated-shingle rows before the shuffle.
-        val docs = Tables.documents(s, d)
+        // r19: spread before tokenize (d9/d10 rationale; 0.6 s single-task
+        // stage probed at demo layouts, no exchange at production splits)
+        val docs = PipelineFns.spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         val bench = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(shingles(col("toks"), 5)).as("s")).distinct()
@@ -790,6 +801,12 @@ object CurationQueries extends QueryModule {
         // Scale shape: one corpus scan, one (source, seg) shuffle for the
         // prefix sum, budgets and offsets broadcast — never a sort of the
         // whole corpus on one task.
+        // NOTE (r18, re-measured r19): spreading this scan regresses m11
+        // (0.9 → 1.2 s same-window min-of-3) even though the tokenize runs
+        // as two single-task stages — base feeds TWO consumers (per-source
+        // budget agg + segmented cum-sum), each re-executing the spread's
+        // reduce side, and the two added AQE stages cost more than the
+        // serialized tokenize. Left unspread, twice measured.
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),

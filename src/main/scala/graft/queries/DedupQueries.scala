@@ -1007,7 +1007,11 @@ object DedupQueries extends QueryModule {
         // Metadata-scale on top of d8: one scan for scores, one join, one
         // group agg, one join-back keyed on group_id.
         val groups = dedupGroups(s, d)
-        val scored = Tables.documents(s, d)
+        // r19: spread the scoring scan — qualityScore's tokenize ran as the
+        // scan's single task at demo file layouts (0.74 s of d15's 1.33 s
+        // measured, stage-probe r19); no exchange at production split counts
+        val scored = PipelineFns.spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), TextQueries.qualityScore.as("quality"))
         val jg = groups.join(scored, "doc_id")
         val best = jg

@@ -59,14 +59,18 @@ object SharedCaches {
     // an uncached lineage that silently recomputes per execution, forever.
     // `df.storageLevel` asks the CacheManager, so a lost cache is detected
     // and rebuilt on next access (CacheLifecycleSpec pins both paths).
-    // Truncated handles ([[getTruncated]]) are LogicalRDD-backed instead of
-    // CacheManager-backed: their liveness is the checkpointed RDD's own
-    // storage level (clearCache() does not touch checkpointed RDDs, so
-    // they stay live across it by construction).
+    // Truncated handles ([[getTruncated]]) are CacheManager-backed like
+    // every other handle, so clearCache() invalidates them too and the
+    // rebuild path below re-runs the build (re-checkpointing); the stale
+    // handle's own storage — including the checkpointed RDD beneath a
+    // truncated one, which clearCache() does NOT touch — is dropped
+    // explicitly before the replacement lands, or its MEMORY_AND_DISK
+    // blocks would stay pinned once per clearCache cycle.
     m.get(key) match {
       case Some(df) if live(df) => df
       case _ => m.synchronized {
         m.get(key).filter(live).getOrElse {
+          m.get(key).foreach(dropStorage)
           val df = build.cache()
           // Materialize EAGERLY: every registered lineage is consumed by at
           // least two downstream stages (that's why it's cached), and when
@@ -125,9 +129,11 @@ object SharedCaches {
     * Trade-off, deliberate: a truncated handle loses lineage — an evicted
     * block is an error, not a recompute (acceptable for session-lifetime
     * serving state in one JVM, the same rationale as the incremental
-    * band-claim localCheckpoint), and `spark.catalog.clearCache()` does
-    * not drop it (liveness tracks the RDD's own storage level; release()
-    * unpersists the RDD explicitly).
+    * band-claim localCheckpoint). Liveness is CacheManager-backed like any
+    * other handle, so `spark.catalog.clearCache()` invalidates it and the
+    * next access rebuilds (re-running the build and re-checkpointing);
+    * the replaced handle's checkpoint RDD is unpersisted by the rebuild
+    * path, and release() unpersists it explicitly.
     */
   def getTruncated(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     get(s, d, key)(if (eagerMaterialize) build.localCheckpoint(true) else build)

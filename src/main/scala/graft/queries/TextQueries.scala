@@ -79,8 +79,27 @@ object PipelineFns {
     * matters. The planned scan partition count is deterministic for a
     * given file layout + session conf, so bench samples and the oracle
     * replay identical plans.
+    *
+    * PRECONDITION (asserted): `df` must be an exchange-free scan+select
+    * lineage. The split-count probe below constructs `df.rdd`, and under
+    * AQE constructing the RDD of a plan that CONTAINS exchanges
+    * materializes its query stages — i.e. runs shuffle jobs at
+    * plan-construction time, including in plan-only JVMs
+    * (PlanAudit/PlanSnap). Safe for every current caller (all pass a bare
+    * scan+select); the require keeps a future derived-frame caller from
+    * silently executing jobs during planning.
     */
   def spreadForCpuWork(s: SparkSession, d: String, df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    df.queryExecution.analyzed.foreach {
+      case n @ (_: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
+                _: lp.Distinct | _: lp.RepartitionOperation | _: lp.GlobalLimit) =>
+        throw new IllegalArgumentException(
+          s"spreadForCpuWork requires an exchange-free scan+select lineage; " +
+          s"found ${n.nodeName} — probing df.rdd here would execute its " +
+          "shuffle stages at plan-construction time")
+      case _ => ()
+    }
     val par = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= par) df
     else {
@@ -473,9 +492,17 @@ object TextQueries extends QueryModule {
         // per-document window for top-3.
         val docs = Tables.documents(s, d)
         // corpus size as a broadcast 1-row aggregate: the plan stays fully
-        // lazy (no driver-side count action before the query even runs)
+        // lazy (no driver-side count action before the query even runs);
+        // built from the RAW scan — a count(*) never touches text, so it
+        // must not ride the spread exchange below
         val corpusN = docs.agg(count(lit(1)).cast("double").as("corpus_n"))
-        val terms = docs
+        // r19: spread before tokenize+explode (d10 rationale; the tf pass
+        // ran as the scan's single task at demo layouts — 0.3–0.5 s of
+        // t6's ~1.0 s — and hash(doc_id) partitioning also satisfies the
+        // groupBy(doc_id, token) clustering, so no exchange is added for
+        // the aggregate; none at production split counts either)
+        val terms = spreadForCpuWork(s, d,
+            docs.select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
@@ -595,8 +622,12 @@ object TextQueries extends QueryModule {
         // construction) for the global document-frequency window, then a
         // per-doc aggregate. Because the sets are per-doc distinct, the
         // window count IS the document frequency.
-        val sets = Tables.documents(s, d).select(col("doc_id"),
-          graft.functions.shingleHashes(col("text"), 8).as("sh"))
+        // r19: spread before the fused shingle scan (t15 rationale — the
+        // digest pass ran as the scan's single task at demo layouts,
+        // ~0.6 s of t18's ~0.9 s; no exchange at production split counts)
+        val sets = spreadForCpuWork(s, d,
+            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+          .select(col("doc_id"), graft.functions.shingleHashes(col("text"), 8).as("sh"))
         val pairs = sets.select(col("doc_id"), explode(col("sh")).as("h"))
         val w = Window.partitionBy(col("h"))
         pairs

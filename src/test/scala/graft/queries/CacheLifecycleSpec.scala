@@ -119,6 +119,36 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(warns.isEmpty, s"cache-hygiene warnings:\n${warns.mkString("\n")}")
   }
 
+  test("clearCache() against a getTruncated handle: rebuild drops the stale checkpoint RDD") {
+    // r18-advice scenario: an external spark.catalog.clearCache() marks a
+    // truncated handle dead (liveness is CacheManager-backed), get()
+    // rebuilds — and must unpersist the evicted handle's checkpointed RDD,
+    // or its MEMORY_AND_DISK blocks stay pinned once per clearCache cycle.
+    import org.apache.spark.sql.execution.LogicalRDD
+    val key = "lifecycle-spec-truncated"
+    // parquet-backed like every real registration (a bare spark.range build
+    // trips a Spark cache-substitution quirk unrelated to this contract)
+    def build = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    SharedCaches.release(spark, sf)
+    try {
+      val h1 = SharedCaches.getTruncated(spark, sf, key)(build)
+      h1.count()
+      val rdd1 = h1.queryExecution.analyzed match {
+        case r: LogicalRDD => r.rdd
+        case other => fail(s"truncated handle is not a LogicalRDD leaf: ${other.getClass}")
+      }
+      assert(rdd1.getStorageLevel != StorageLevel.NONE, "checkpoint RDD not persisted")
+      spark.catalog.clearCache() // external hygiene call — kills the columnar cache
+      assert(h1.storageLevel == StorageLevel.NONE, "clearCache did not invalidate the handle")
+      val h2 = SharedCaches.getTruncated(spark, sf, key)(build)
+      assert(!(h1 eq h2), "stale handle handed out after clearCache")
+      assert(rdd1.getStorageLevel == StorageLevel.NONE,
+        "stale handle's checkpointed RDD still persisted after rebuild — storage leak")
+      assert(h2.storageLevel != StorageLevel.NONE, "rebuilt handle not cached")
+    } finally SharedCaches.release(spark, sf)
+  }
+
   test("concurrent first-touch of one shared lineage builds it once, warning-free") {
     // d3 and d6 both register the "shingleSets" key; raced from two threads
     // on a fresh registry, a non-atomic build would cache() two
