@@ -408,30 +408,41 @@ object CurationQueries extends QueryModule {
         // r18: spread before tokenize — the tokenize+shingle pass ran as
         // the scan's single task at demo file layouts (1.2 of 1.6 s
         // measured); no exchange added at production split counts, so the
-        // training side stays map-only exactly where the scan parallelizes
-        val docs = spreadForCpuWork(s, d,
-            Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
-            col("doc_id"))
-          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        val bench = docs.filter(col("doc_id") % 97 === 0)
-          .select(explode(array_distinct(shingles(col("toks"), 5))).as("bs")).distinct()
+        // training side stays map-only exactly where the scan parallelizes.
+        // r19: carry `source` THROUGH the per-doc hit aggregation instead
+        // of joining the hit doc_ids back onto the corpus (guide §2.3/§2.4
+        // — the old left join re-shuffled and sorted every train
+        // (doc_id, source) row, corpus-scale at 100 TB, to produce
+        // |sources|-row counts). The per-doc agg stays exchange-free: the
+        // spread's hash(doc_id) partitioning satisfies the
+        // groupBy(doc_id, source) clustering. Bench side tokenizes inside
+        // the scan task — eval-set-sized at any corpus scale.
+        val docsRaw = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val bench = docsRaw.filter(col("doc_id") % 97 === 0)
+          .select(explode(array_distinct(shingles(tokens(col("text")), 5))).as("bs")).distinct()
           .select(col("bs"), h60(col("bs")).as("h"))
-        val train = docs.filter(col("doc_id") % 97 =!= 0)
+        val train = spreadForCpuWork(s, d,
+            docsRaw.filter(col("doc_id") % 97 =!= 0), col("doc_id"))
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         val hits = train
-          .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 5))).as("sp"))
-          .select(col("doc_id"), col("sp"), h60(col("sp")).as("h"))
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(shingles(col("toks"), 5))).as("sp"))
+          .select(col("doc_id"), col("source"), col("sp"), h60(col("sp")).as("h"))
           .join(broadcast(bench), Seq("h"))
-          .groupBy(col("doc_id"))
+          .groupBy(col("doc_id"), col("source"))
           .agg(
             max(lit(1L)).as("cand"),
             max(when(col("sp") === col("bs"), 1L).otherwise(0L)).as("conf"))
-        train.select(col("doc_id"), col("source"))
-          .join(hits, Seq("doc_id"), "left")
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_train"),
-            sum(coalesce(col("cand"), lit(0L))).cast("long").as("n_candidate_docs"),
-            sum(coalesce(col("conf"), lit(0L))).cast("long").as("n_confirmed_docs"))
+        docsRaw.filter(col("doc_id") % 97 =!= 0)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+          .join(
+            hits.groupBy(col("source")).agg(
+              sum(col("cand")).as("cand"), sum(col("conf")).as("conf")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_train"),
+            coalesce(col("cand"), lit(0L)).cast("long").as("n_candidate_docs"),
+            coalesce(col("conf"), lit(0L)).cast("long").as("n_confirmed_docs"))
       },
       Some(s"""WITH docs AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
              |bench AS (SELECT bs, ${h60Sql("bs")} AS h FROM (
@@ -459,13 +470,15 @@ object CurationQueries extends QueryModule {
         // the posexplode index; coverage is a distinct position count per
         // doc. The bench side stays broadcast; position explosion is
         // bounded by 5× the contaminated-window count, not the corpus.
-        // r18: spread before tokenize (same rationale as d10)
-        val docs = spreadForCpuWork(s, d,
-            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+        // r18: spread before tokenize (same rationale as d10). r19: only
+        // the TRAIN side spreads — the bench side is eval-set-sized at any
+        // corpus scale and tokenizes inside the scan task
+        val docsRaw = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val bench = docsRaw.filter(col("doc_id") % 97 === 0)
+          .select(explode(array_distinct(shingles(tokens(col("text")), 5))).as("s")).distinct()
+        val train = spreadForCpuWork(s, d,
+            docsRaw.filter(col("doc_id") % 97 =!= 0), col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val bench = docs.filter(col("doc_id") % 97 === 0)
-          .select(explode(array_distinct(shingles(col("toks"), 5))).as("s")).distinct()
-        val train = docs.filter(col("doc_id") % 97 =!= 0)
           .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
         val wins = train
           .select(col("doc_id"), col("n_tokens"),
@@ -649,28 +662,39 @@ object CurationQueries extends QueryModule {
         // shingle set is distinct-projected and — being eval-set-sized,
         // metadata-scale at any corpus size — broadcast into a left-semi
         // join; the training side streams map-only.
-        // r19: spread before tokenize (same rationale as d10 — the
-        // tokenize+shingle pass ran as the scan's single task at demo file
-        // layouts, 0.5 s of d9's 1.2 s stage-probed; no exchange at
-        // production split counts). r18 measured this spread flat in a
-        // noisier window; re-measured as a win after the schema-memo and
-        // subset-A/B protocol (see OPTIMIZATION_r19.md).
-        val docs = PipelineFns.spreadForCpuWork(s, d,
-            Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
-            col("doc_id"))
+        // r19, two shape changes (guide §2.3/§2.4, measured in
+        // OPTIMIZATION_r19.md):
+        //  - spread before tokenize (d10 rationale: the tokenize+shingle
+        //    pass ran as the scan's single task at demo file layouts; no
+        //    exchange at production split counts);
+        //  - carry `source` THROUGH the contamination distinct instead of
+        //    joining the flagged doc_ids back onto the corpus: the old
+        //    left join re-shuffled every train (doc_id, source) row and
+        //    sorted both sides — corpus-scale at 100 TB — where the
+        //    per-source counts only ever need the ~|sources|-row
+        //    aggregates. source is functionally determined by doc_id, so
+        //    distinct (doc_id, source) ≡ distinct doc_id.
+        val docsRaw = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        // bench side: eval-set-sized at any corpus scale — tokenizing it
+        // inside the scan task is the cheap path; only the train side
+        // spreads
+        val benchShingles = docsRaw.filter(col("doc_id") % 97 === 0)
+          .select(explode(shingles(tokens(col("text")), 5)).as("s")).distinct()
+        val train = PipelineFns.spreadForCpuWork(s, d,
+            docsRaw.filter(col("doc_id") % 97 =!= 0), col("doc_id"))
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        val benchShingles = docs.filter(col("doc_id") % 97 === 0)
-          .select(explode(shingles(col("toks"), 5)).as("s")).distinct()
-        val train = docs.filter(col("doc_id") % 97 =!= 0)
         val contaminated = train
-          .select(col("doc_id"), explode(shingles(col("toks"), 5)).as("s"))
+          .select(col("doc_id"), col("source"), explode(shingles(col("toks"), 5)).as("s"))
           .join(broadcast(benchShingles), Seq("s"), "left_semi")
-          .select(col("doc_id")).distinct()
-        train.join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_train"),
-            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+          .select(col("doc_id"), col("source")).distinct()
+        val perSourceHits = contaminated.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        docsRaw.filter(col("doc_id") % 97 =!= 0)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+          .join(perSourceHits, Seq("source"), "left")
+          .select(col("source"), col("n_train"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       },
       Some(s"""WITH docs AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
              |bench AS (SELECT DISTINCT unnest(${shinglesSql("toks", 5)}) AS s
@@ -698,14 +722,16 @@ object CurationQueries extends QueryModule {
         // groupBy(doc_id). array_distinct BEFORE explode: the fraction is
         // over a doc's distinct shingles, and deduping per-row also sheds
         // repeated-shingle rows before the shuffle.
-        // r19: spread before tokenize (d9/d10 rationale; 0.6 s single-task
-        // stage probed at demo layouts, no exchange at production splits)
-        val docs = PipelineFns.spreadForCpuWork(s, d,
-            Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+        // r19: spread the TRAIN side before tokenize (d9/d10 rationale;
+        // 0.6 s single-task stage probed at demo layouts, no exchange at
+        // production splits); the bench side is eval-set-sized at any
+        // corpus scale and tokenizes inside the scan task
+        val docsRaw = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val bench = docsRaw.filter(col("doc_id") % 97 === 0)
+          .select(explode(shingles(tokens(col("text")), 5)).as("s")).distinct()
+        PipelineFns.spreadForCpuWork(s, d,
+            docsRaw.filter(col("doc_id") % 97 =!= 0), col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val bench = docs.filter(col("doc_id") % 97 === 0)
-          .select(explode(shingles(col("toks"), 5)).as("s")).distinct()
-        docs.filter(col("doc_id") % 97 =!= 0)
           .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 5))).as("s"))
           .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("s"), "left")
           .groupBy(col("doc_id"))

@@ -1253,6 +1253,17 @@ object DedupQueries extends QueryModule {
         // stage's single task at demo file layouts (4.8 of 5.7 s measured
         // at sf0.1/32 cores); at production split counts spreadForCpuWork
         // adds no exchange (see PipelineFns.spreadForCpuWork)
+        // r19: ONE corpus pass, fused. The r18 form consumed srcSets from
+        // TWO branches (per-source distinct counts + the pair expansion),
+        // and an uncached diamond re-executes its lineage per consumer —
+        // the corpus-scale string-shingle shuffle ran TWICE per execution
+        // (the dominant ×10 cost). Fused: each shingle's sorted source set
+        // emits its pair structs AND one (s, s) singleton struct per
+        // member in the same in-row projection, one tiny groupBy counts
+        // both (keys never collide — pairs have a < b), and two
+        // |sources|²-row windows attach the per-source totals where the
+        // old shape broadcast-joined a second corpus pass. Oracle SQL
+        // unchanged — same rows out.
         val srcSets = PipelineFns.spreadForCpuWork(s, d,
             Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
             col("doc_id"))
@@ -1260,24 +1271,27 @@ object DedupQueries extends QueryModule {
             explode(array_distinct(shingles(tokens(col("text")), 5))).as("sg"))
           .groupBy(col("sg"))
           .agg(sort_array(collect_set(col("source"))).as("srcs"))
-        val per = srcSets.select(explode(col("srcs")).as("source"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-        srcSets
-          .filter(size(col("srcs")) >= 2)
-          .select(explode(flatten(transform(col("srcs"), (x, i) =>
-            transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
-              y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+        val counts = srcSets
+          .select(explode(concat(
+            transform(col("srcs"), x => struct(x.as("source_a"), x.as("source_b"))),
+            flatten(transform(col("srcs"), (x, i) =>
+              transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+                y => struct(x.as("source_a"), y.as("source_b"))))))).as("p"))
           .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
           .groupBy(col("source_a"), col("source_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .join(broadcast(per.withColumnRenamed("source", "source_a")
-            .withColumnRenamed("n_sh", "n_a")), Seq("source_a"))
-          .join(broadcast(per.withColumnRenamed("source", "source_b")
-            .withColumnRenamed("n_sh", "n_b")), Seq("source_b"))
-          .select(col("source_a"), col("source_b"), col("n_shared"),
+          .agg(count(lit(1)).as("n"))
+        val perA = max(when(col("source_a") === col("source_b"), col("n")))
+          .over(Window.partitionBy(col("source_a")))
+        val perB = max(when(col("source_a") === col("source_b"), col("n")))
+          .over(Window.partitionBy(col("source_b")))
+        counts
+          .withColumn("n_a", perA)
+          .withColumn("n_b", perB)
+          .filter(col("source_a") =!= col("source_b"))
+          .select(col("source_a"), col("source_b"), col("n").as("n_shared"),
             col("n_a"), col("n_b"),
-            round(col("n_shared").cast("double") /
-              (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+            round(col("n").cast("double") /
+              (col("n_a") + col("n_b") - col("n")), 6).as("jaccard"))
       },
       Some(s"""WITH sh AS (SELECT DISTINCT source, unnest(${shinglesSql("toks", 5)}) AS sg
              |  FROM (SELECT source, $tokensSql AS toks FROM documents)),
@@ -1295,7 +1309,16 @@ object DedupQueries extends QueryModule {
     ),
     QueryDef(
       "d22_overlap_sketch",
-      (s, d) => overlapSketchMatrix(Tables.documents(s, d)),
+      // r19: spread before the fused shingle→minhash kernel — the 128-perm
+      // signature pass ran as the scan's single task at demo file layouts
+      // (t15/t18 rationale); the partial element-wise min still reduces to
+      // |sources|×128 longs of shuffle at any corpus size, and no exchange
+      // is added at production split counts. The incremental loop's
+      // bounded source-add leg calls sourceSketchSignatures directly and
+      // is unaffected.
+      (s, d) => overlapSketchMatrix(PipelineFns.spreadForCpuWork(s, d,
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))),
       Some(overlapSketchSql),
       "Cross-source overlap matrix (sketched, the 100 TB governance path): per-source 128-perm MinHash signatures built by min-aggregation in ONE corpus scan (the d2 fused signature kernel, partial-agg to |sources|×128 values of shuffle at ANY corpus size), pairwise Jaccard estimated from signature agreement — deterministic integer math, so the DuckDB oracle replays the identical mins; d21 stays the exact small-corpus audit that calibrates the estimator."
     )

@@ -882,13 +882,20 @@ object EmbeddingQueries extends QueryModule {
         val approx = topk(base.join(broadcast(queries),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
         val nApprox = approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+        // r19: both rank frames are bounded at k × n_queries rows BY
+        // CONSTRUCTION (WindowGroupLimit top-k over a plan-bounded query
+        // set) — broadcast them so the recall assembly is two
+        // BroadcastHashJoins instead of exchange+sort+SortMergeJoin pairs
+        // over ≤50-row inputs (stats-blind after the window, so the
+        // planner can't see it alone)
         exact
-          .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .join(broadcast(approx.withColumn("hit", lit(1L))),
+            Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg(
             count(lit(1)).as("n_exact"),
             sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
-          .join(nApprox, Seq("query_id"), "left")
+          .join(broadcast(nApprox), Seq("query_id"), "left")
           .select(col("query_id"), col("n_exact"),
             coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_hit"),
             round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_5"))
@@ -1008,10 +1015,15 @@ object EmbeddingQueries extends QueryModule {
           top5(cands.filter(col("prk") <= np)).withColumn("nprobe", lit(np)))
           .reduce(_ unionAll _)
         val exact = top5(assigned.join(broadcast(queries), col("vec_id") =!= col("query_id")))
-        val exactPerNp = nprobes.map(np => exact.withColumn("nprobe", lit(np)))
-          .reduce(_ unionAll _)
+        // r19: one execution of the exact arm — the union-of-lits form
+        // re-ran the brute-force rank window once per nprobe value; an
+        // in-row explode multiplies the 40 bounded rank rows instead.
+        // Same rows, same order-free semantics.
+        val exactPerNp = exact.withColumn("nprobe",
+          explode(array(nprobes.map(np => lit(np)): _*)))
         exactPerNp
-          .join(approx.withColumn("hit", lit(1L)), Seq("nprobe", "query_id", "neighbor_id"), "left")
+          .join(broadcast(approx.withColumn("hit", lit(1L))),
+            Seq("nprobe", "query_id", "neighbor_id"), "left")
           .groupBy(col("nprobe"), col("query_id"))
           .agg(count(lit(1)).as("n_exact"),
             sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
@@ -1195,8 +1207,11 @@ object EmbeddingQueries extends QueryModule {
             .select(col("query_id"), col("vec_id").as("neighbor_id"))
         val exact = topk(base.select(col("vec_id"), col("q")), "q")
         val approx = topk(sq8Recon(s, d), "xh")
+        // r19: the approx rank frame is k × n_queries rows by construction
+        // — broadcast it (v11 rationale)
         exact
-          .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .join(broadcast(approx.withColumn("hit", lit(1L))),
+            Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg(
             count(lit(1)).as("n_exact"),
@@ -1562,13 +1577,15 @@ object EmbeddingQueries extends QueryModule {
             .join(quantized(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
             .filter(col("label") === col("qlabel")))
         val nApprox = approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+        // r19: bounded rank frames broadcast (v11 rationale)
         exact
-          .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .join(broadcast(approx.withColumn("hit", lit(1L))),
+            Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg(
             count(lit(1)).as("n_exact"),
             sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
-          .join(nApprox, Seq("query_id"), "left")
+          .join(broadcast(nApprox), Seq("query_id"), "left")
           .select(col("query_id"), col("n_exact"),
             coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_hit"),
             round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_3"))

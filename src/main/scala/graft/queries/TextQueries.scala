@@ -310,13 +310,22 @@ object TextQueries extends QueryModule {
     * t14 oracle query and as the LM stage of the CorpusDemo funnel.
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
+    // r19 shape: the r17 form aggregated a vocabulary table and sort-merge
+    // joined it back onto every token occurrence — THREE tokenize passes
+    // over the corpus (vocab, the 1-row total via vocab's lineage, and the
+    // join-back side) plus a vocab-side sort, where the join's left side
+    // was already being sorted by tok. The per-token count is the same
+    // number as a count window over the tok partition, so the join and the
+    // vocab aggregation fold into the one tok-keyed shuffle the plan
+    // already paid: two tokenize passes (the 1-row total + the scored
+    // pass), zero joins, identical integer arithmetic (×10 A/B in
+    // OPTIMIZATION_r19.md).
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("n_total"))
-    val lp = vocab.crossJoin(broadcast(total))
-      .select(col("tok"),
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.crossJoin(broadcast(total))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .select(col("doc_id"),
         (length(bin(expr("n_total div cnt"))) - 1).cast("long").as("bits"))
-    toks.join(lp, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
       .select(
