@@ -1115,7 +1115,19 @@ object DedupQueries extends QueryModule {
           .limit(AuditSampleCap)
           .select(col("doc_id"))
         val sample = sets.join(broadcast(winners), Seq("doc_id"))
-        val base = sample.join(signatures(sample), Seq("doc_id"))
+        // r19: [[signatures]] is a pure projection over its input — the old
+        // `sample.join(signatures(sample))` re-executed the cap-bounded
+        // sample lineage (winners' corpus top-k + the semi-join against the
+        // corpus-wide shingle cache) a second time and shuffled the join,
+        // for columns derivable in-row. Project them directly: each join
+        // side below now runs the corpus pass once (2 total, was 4).
+        val mhArr =
+          if (NumMinhash <= 8) graft.functions.minhash8(col("sh"))
+          else graft.functions.minhashN(col("sh"), NumMinhash)
+        val base = sample
+          .withColumn("mh", mhArr)
+          .select(col("doc_id") +: col("sh") +:
+            (0 until NumMinhash).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
           .select(col("doc_id") +: col("sh") +:
             (0 until NumMinhash).map(j => col(s"mh$j")) ++: bandCols: _*)
         val l = base.select(base.columns.map(c => col(c).as("l_" + c)).toIndexedSeq: _*)
