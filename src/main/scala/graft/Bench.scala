@@ -166,6 +166,8 @@ object Bench {
       // sort-writer alignment (see GraftSession.bypassMergeThreshold): the
       // bypass writer's M×R file churn dominated the verify family at ×10
       .config("spark.shuffle.sort.bypassMergeThreshold", GraftSession.bypassMergeThreshold)
+      // planner may pick shuffled-hash join when it fits (see GraftSession)
+      .config("spark.sql.join.preferSortMergeJoin", GraftSession.preferSortMergeJoin)
       .config("spark.sql.adaptive.enabled", "true")
       // stages start at the count the CORPUS warrants (1× at sf0.1, up to
       // 4× at synthesized capacity corpora — same rule as GraftSession):

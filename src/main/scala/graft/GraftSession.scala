@@ -127,6 +127,17 @@ object GraftSession {
   def bypassMergeThreshold: String =
     sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "16")
 
+  /** Let the planner pick shuffled-hash join when its size conditions are
+    * met (spark.sql.join.preferSortMergeJoin=false — the guide's §9
+    * baseline): SHJ skips both sides' sorts and Spark only chooses it when
+    * one side's per-partition build fits memory, so sort-merge remains the
+    * fallback for unbounded sides. Measured r19 (warm A/B, same window):
+    * j7 1.55 → 1.37, j4 0.96 → 0.87, j8 1.09 → 1.02 at sf0.1.
+    * Env-overridable for A/Bs.
+    */
+  def preferSortMergeJoin: String =
+    sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Size-adaptive shuffle parallelism, BY STAGE INPUT BYTES (see
@@ -151,6 +162,7 @@ object GraftSession {
       // registers graft's custom expressions for SQL use (simhash56, …)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.shuffle.sort.bypassMergeThreshold", bypassMergeThreshold)
+      .config("spark.sql.join.preferSortMergeJoin", preferSortMergeJoin)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial.toString)

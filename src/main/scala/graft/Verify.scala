@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.shuffle.sort.bypassMergeThreshold", GraftSession.bypassMergeThreshold)
+      .config("spark.sql.join.preferSortMergeJoin", GraftSession.preferSortMergeJoin)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")

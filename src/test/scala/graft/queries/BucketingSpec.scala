@@ -84,7 +84,10 @@ class BucketingSpec extends SparkSpec {
       assert(counts.keySet === Set("added", "changed", "unchanged"),
         s"unexpected classes: $counts")
       val plan = diff.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
+      // the contract is exchange-free co-location on the bucket key; the
+      // shuffle-join flavor (sort-merge vs shuffled-hash, r19's
+      // preferSortMergeJoin=false) is the planner's size call
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
       assert(!plan.contains("Exchange hashpartitioning"), plan)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
